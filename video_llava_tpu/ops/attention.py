@@ -1,0 +1,293 @@
+"""Attention: XLA reference path + Pallas flash-attention TPU kernels.
+
+Replaces the reference's CUDA flash-attn monkey patch
+(video_chatgpt/train/llama_flash_attn_monkey_patch.py) and the stock HF
+attention used by CLIP/LLaMA, as TPU-native kernels:
+
+  * `attention_reference` — pure-jnp fused-by-XLA baseline (fp32 softmax).
+  * `flash_attention`     — Pallas online-softmax forward with a
+    recompute backward (custom_vjp), blocked over (batch*head, q-block)
+    with K/V streamed through VMEM.
+  * `decode_attention`    — single-step attention over a static-shape KV
+    cache with a traced valid-length (no host sync during decode).
+
+All public entry points take (batch, seq, heads, head_dim) ["BSHD"]
+arrays; GQA (num_kv_heads < num_heads) is supported everywhere.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_MASK_VALUE = -1e30
+
+
+def _repeat_kv(k: jax.Array, num_heads: int) -> jax.Array:
+    """(b, s, h_kv, d) -> (b, s, h, d) by repeating each kv head."""
+    h_kv = k.shape[2]
+    if h_kv == num_heads:
+        return k
+    return jnp.repeat(k, num_heads // h_kv, axis=2)
+
+
+def attention_reference(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = False,
+    kv_valid_len: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """XLA attention, fp32 softmax. q: (b, sq, h, d); k/v: (b, skv, h_kv, d).
+
+    kv_valid_len: optional (b,) int32 — keys at positions >= len are
+    masked out (right-padded KV).
+    """
+    b, sq, h, d = q.shape
+    skv = k.shape[1]
+    scale = scale if scale is not None else 1.0 / (d**0.5)
+    k = _repeat_kv(k, h)
+    v = _repeat_kv(v, h)
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if causal:
+        # Right-aligned causality: query i sits at absolute position
+        # skv - sq + i, so it may attend to keys [0, skv - sq + i].
+        qpos = jnp.arange(sq)[:, None] + (skv - sq)
+        kpos = jnp.arange(skv)[None, :]
+        logits = jnp.where(qpos >= kpos, logits, DEFAULT_MASK_VALUE)
+    if kv_valid_len is not None:
+        kmask = jnp.arange(skv)[None, :] < kv_valid_len[:, None]  # (b, skv)
+        logits = jnp.where(kmask[:, None, None, :], logits, DEFAULT_MASK_VALUE)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas flash attention (forward)
+# ---------------------------------------------------------------------------
+
+
+def _flash_fwd_kernel(
+    q_ref, k_ref, v_ref, o_ref, *, causal: bool, scale: float, block_k: int,
+    kv_len: int, q_offset: int,
+):
+    """One (batch*head, q-block) program: online softmax over k blocks.
+
+    q_ref: (1, block_q, d); k_ref/v_ref: (1, kv_len_pad, d).
+    """
+    _, block_q, d = q_ref.shape
+    qi = pl.program_id(1)
+
+    q = q_ref[0].astype(jnp.float32) * scale
+
+    m0 = jnp.full((block_q, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    acc0 = jnp.zeros((block_q, d), jnp.float32)
+
+    num_kb = pl.cdiv(kv_len, block_k)
+    if causal:
+        # Highest absolute q position in this block, +1.
+        q_end = q_offset + (qi + 1) * block_q
+        num_kb = jnp.minimum(num_kb, pl.cdiv(q_end, block_k))
+
+    def body(ki, carry):
+        m, l, acc = carry
+        k = k_ref[0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # (bq, bk)
+        if causal:
+            qpos = (
+                q_offset
+                + qi * block_q
+                + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+            )
+            kpos = ki * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1
+            )
+            s = jnp.where(qpos >= kpos, s, DEFAULT_MASK_VALUE)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l_new = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = alpha * acc + jnp.dot(
+            p, v, preferred_element_type=jnp.float32
+        )
+        return m_new, l_new, acc_new
+
+    m, l, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def _flash_forward(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    causal: bool,
+    scale: Optional[float],
+    block_q: int,
+    block_k: int,
+    interpret: bool,
+) -> jax.Array:
+    b, sq, h, d = q.shape
+    skv, h_kv = k.shape[1], k.shape[2]
+    scale = scale if scale is not None else 1.0 / (d**0.5)
+    group = h // h_kv
+
+    block_q = max(8, min(block_q, sq))
+    block_k = min(block_k, skv)
+    sq_pad = pl.cdiv(sq, block_q) * block_q
+    skv_pad = pl.cdiv(skv, block_k) * block_k
+    if skv_pad != skv and not causal:
+        raise ValueError(
+            "non-causal flash attention requires skv % block_k == 0 "
+            f"(got skv={skv}, block_k={block_k})"
+        )
+
+    # BSHD -> (b*h, s, d); padded q rows are sliced off afterwards and,
+    # under the causal mask, padded k columns are never attended.
+    qf = jnp.pad(
+        q.transpose(0, 2, 1, 3).reshape(b * h, sq, d),
+        ((0, 0), (0, sq_pad - sq), (0, 0)),
+    )
+    kf = jnp.pad(
+        k.transpose(0, 2, 1, 3).reshape(b * h_kv, skv, d),
+        ((0, 0), (0, skv_pad - skv), (0, 0)),
+    )
+    vf = jnp.pad(
+        v.transpose(0, 2, 1, 3).reshape(b * h_kv, skv, d),
+        ((0, 0), (0, skv_pad - skv), (0, 0)),
+    )
+
+    grid = (b * h, sq_pad // block_q)
+    kernel = functools.partial(
+        _flash_fwd_kernel,
+        causal=causal,
+        scale=scale,
+        block_k=block_k,
+        kv_len=skv if causal else skv_pad,
+        q_offset=skv - sq,  # right-aligned causal convention
+    )
+
+    def kv_index(bh, qi, _g=group, _h=h):
+        return ((bh // _h) * (_h // _g) + (bh % _h) // _g, 0, 0)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, block_q, d), lambda bh, qi: (bh, qi, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, skv_pad, d), kv_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, skv_pad, d), kv_index, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, d), lambda bh, qi: (bh, qi, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * h, sq_pad, d), q.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * sq_pad * skv_pad * d,
+            bytes_accessed=(qf.size + kf.size + vf.size) * 4,
+            transcendentals=b * h * sq_pad * skv_pad,
+        ),
+    )(qf, kf, vf)
+    return out.reshape(b, h, sq_pad, d)[:, :, :sq].transpose(0, 2, 1, 3)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    causal: bool = False,
+    scale: Optional[float] = None,
+    block_q: int = 256,
+    block_k: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """Flash attention forward. q: (b, sq, h, d); k/v: (b, skv, h_kv, d).
+
+    Backward pass recomputes attention with the XLA reference path
+    (flash recompute strategy: O(s) memory, no stored probs).
+    """
+    return _flash_forward(q, k, v, causal, scale, block_q, block_k, interpret)
+
+
+def _flash_fwd_rule(q, k, v, causal, scale, block_q, block_k, interpret):
+    out = _flash_forward(q, k, v, causal, scale, block_q, block_k, interpret)
+    return out, (q, k, v)
+
+
+def _flash_bwd_rule(causal, scale, block_q, block_k, interpret, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: attention_reference(
+            q_, k_, v_, causal=causal, scale=scale
+        ),
+        q, k, v,
+    )
+    return vjp(g)
+
+
+flash_attention.defvjp(_flash_fwd_rule, _flash_bwd_rule)
+
+
+def multi_head_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = False,
+    kv_valid_len: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+    use_pallas: Optional[bool] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Dispatch: Pallas flash kernel on TPU, XLA reference elsewhere or
+    when a KV validity mask is needed (prefill over padded batches uses
+    causal + right padding, which needs no mask)."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    d = q.shape[-1]
+    if use_pallas and kv_valid_len is None and d % 8 == 0:
+        return flash_attention(q, k, v, causal, scale, interpret=interpret)
+    return attention_reference(
+        q, k, v, causal=causal, kv_valid_len=kv_valid_len, scale=scale
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decode attention over a KV cache
+# ---------------------------------------------------------------------------
+
+
+def decode_attention(
+    q: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    cache_len: jax.Array,
+    *,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Single decode step. q: (b, 1, h, d); caches: (b, L, h_kv, d);
+    cache_len: (b,) int32 number of valid cache entries (incl. the token
+    just written). Static shapes; masking by traced length."""
+    return attention_reference(
+        q, k_cache, v_cache, causal=False, kv_valid_len=cache_len, scale=scale
+    )
