@@ -40,13 +40,21 @@ def get_seq_frames_jax(total_num_frames, desired_num_frames: int):
     """Traced-total variant for on-device pipelines.
 
     `desired_num_frames` must be static (output shape); the total may be
-    a traced int32 scalar. Uses round-half-to-even to match numpy.
+    a traced int32 scalar. Uses exact integer round-half-to-even, which
+    matches the fp64 host path everywhere except when seg_size*i lands
+    within one ulp of an exact .5 boundary (where fp64 rounding noise in
+    numpy can shift a segment bound, and thus a sampled index, by 1).
+    The host `get_seq_frames` is the bit-parity path for data loading.
     """
-    total = jnp.asarray(total_num_frames, jnp.float32)
-    seg_size = (total - 1.0) / float(desired_num_frames)
-    i = jnp.arange(desired_num_frames + 1, dtype=jnp.float32)
-    # jnp.round implements round-half-to-even like np.round.
-    bounds = jnp.round(seg_size * i).astype(jnp.int32)
+    total = jnp.asarray(total_num_frames, jnp.int32)
+    d = desired_num_frames
+    i = jnp.arange(d + 1, dtype=jnp.int32)
+    # Exact integer round-half-to-even of (total-1)*i/d, immune to the
+    # fp32 precision loss a naive jnp.round would suffer.
+    num = (total - 1) * i
+    q, r = num // d, num % d
+    round_up = (2 * r > d) | ((2 * r == d) & (q % 2 == 1))
+    bounds = q + round_up.astype(jnp.int32)
     return (bounds[:-1] + bounds[1:]) // 2
 
 
