@@ -1,0 +1,238 @@
+"""CLIP (ViT-L/14) vision + text towers in pure-functional JAX.
+
+Replaces the reference's HF CLIPVisionModel usage
+(video_chatgpt/inference.py:92-94, chat.py:139-144,
+scripts/save_spatio_temporal_clip_features.py:116-121): per-frame
+forward, select the penultimate hidden state, drop the CLS token.
+
+TPU-first design choices:
+  * patch embedding is a patchify-reshape + one big matmul on the MXU
+    (not a conv) — identical math to the stride-14 conv;
+  * the 24 encoder layers are parameter-stacked and driven by
+    `lax.scan`, so the tower compiles as one layer program;
+  * attention runs through ops.attention (Pallas flash kernel on TPU);
+  * frames are just batch: 100 frames encode as a single (100, 257, d)
+    batched program, embarrassingly shardable over the mesh data axis.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from video_llava_tpu.config import CLIPTextConfig, CLIPVisionConfig
+from video_llava_tpu.models.layers import (
+    ACTIVATIONS,
+    embed,
+    embedding_init,
+    layer_norm,
+    layer_norm_init,
+    linear,
+    linear_init,
+)
+from video_llava_tpu.ops.attention import multi_head_attention
+
+
+# -- encoder layer (shared by vision and text towers) ------------------------
+
+
+def _encoder_layer_init(key, hidden: int, intermediate: int, dtype):
+    ks = jax.random.split(key, 6)
+    return {
+        "ln1": layer_norm_init(hidden, dtype),
+        "q": linear_init(ks[0], hidden, hidden, dtype=dtype),
+        "k": linear_init(ks[1], hidden, hidden, dtype=dtype),
+        "v": linear_init(ks[2], hidden, hidden, dtype=dtype),
+        "o": linear_init(ks[3], hidden, hidden, dtype=dtype),
+        "ln2": layer_norm_init(hidden, dtype),
+        "fc1": linear_init(ks[4], hidden, intermediate, dtype=dtype),
+        "fc2": linear_init(ks[5], intermediate, hidden, dtype=dtype),
+    }
+
+
+def _encoder_layer(p, x, *, num_heads: int, act, eps: float, causal: bool):
+    b, s, d = x.shape
+    hd = d // num_heads
+    h = layer_norm(p["ln1"], x, eps)
+    q = linear(p["q"], h).reshape(b, s, num_heads, hd)
+    k = linear(p["k"], h).reshape(b, s, num_heads, hd)
+    v = linear(p["v"], h).reshape(b, s, num_heads, hd)
+    attn = multi_head_attention(q, k, v, causal=causal)
+    x = x + linear(p["o"], attn.reshape(b, s, d))
+    h = layer_norm(p["ln2"], x, eps)
+    x = x + linear(p["fc2"], act(linear(p["fc1"], h)))
+    return x
+
+
+def _run_encoder(stacked_layers, x, num_layers: int, **kw):
+    """Scan `num_layers` of the parameter-stacked encoder."""
+    sliced = jax.tree.map(lambda a: a[:num_layers], stacked_layers)
+
+    def body(h, layer_params):
+        return _encoder_layer(layer_params, h, **kw), None
+
+    out, _ = jax.lax.scan(body, x, sliced)
+    return out
+
+
+# -- vision tower -------------------------------------------------------------
+
+
+def init_vision_params(key, cfg: CLIPVisionConfig, dtype=jnp.float32):
+    ks = jax.random.split(key, 4)
+    patch_dim = cfg.patch_size * cfg.patch_size * 3
+    layer_keys = jax.random.split(ks[3], cfg.num_layers)
+    layers = jax.vmap(
+        lambda k: _encoder_layer_init(k, cfg.hidden_size, cfg.intermediate_size, dtype)
+    )(layer_keys)
+    return {
+        "class_embedding": jax.random.normal(ks[0], (cfg.hidden_size,), dtype) * 0.02,
+        # (P*P*3, hidden): patchify-matmul form of the stride-P conv.
+        "patch_embedding": jax.random.normal(
+            ks[1], (patch_dim, cfg.hidden_size), dtype
+        )
+        * patch_dim**-0.5,
+        "position_embedding": jax.random.normal(
+            ks[2], (cfg.num_positions, cfg.hidden_size), dtype
+        )
+        * 0.02,
+        "pre_layernorm": layer_norm_init(cfg.hidden_size, dtype),
+        "post_layernorm": layer_norm_init(cfg.hidden_size, dtype),
+        "layers": layers,
+    }
+
+
+def patchify(pixels: jax.Array, patch_size: int) -> jax.Array:
+    """(b, H, W, 3) -> (b, num_patches, P*P*3), row-major patch order
+    matching a stride-P conv + flatten."""
+    b, hh, ww, c = pixels.shape
+    gh, gw = hh // patch_size, ww // patch_size
+    x = pixels.reshape(b, gh, patch_size, gw, patch_size, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)  # (b, gh, gw, P, P, c)
+    return x.reshape(b, gh * gw, patch_size * patch_size * c)
+
+
+def vision_embeddings(params, pixels: jax.Array, cfg: CLIPVisionConfig):
+    """pixels: (b, H, W, 3) normalized -> (b, 1+num_patches, hidden)."""
+    patches = patchify(pixels, cfg.patch_size)
+    x = jnp.dot(
+        patches, params["patch_embedding"], preferred_element_type=jnp.float32
+    ).astype(params["patch_embedding"].dtype)
+    cls = jnp.broadcast_to(
+        params["class_embedding"], (x.shape[0], 1, cfg.hidden_size)
+    )
+    x = jnp.concatenate([cls.astype(x.dtype), x], axis=1)
+    return x + params["position_embedding"].astype(x.dtype)
+
+
+def vision_forward(
+    params,
+    pixels: jax.Array,
+    cfg: CLIPVisionConfig,
+    *,
+    num_layers: Optional[int] = None,
+) -> jax.Array:
+    """Run embeddings + pre-LN + `num_layers` encoder layers.
+
+    Returns raw hidden states (no post-LN), i.e. HF hidden_states
+    semantics: num_layers = cfg.num_layers - 1 gives hidden_states[-2].
+    """
+    num_layers = cfg.num_layers if num_layers is None else num_layers
+    x = vision_embeddings(params, pixels, cfg)
+    x = layer_norm(params["pre_layernorm"], x, cfg.layer_norm_eps)
+    act = ACTIVATIONS[cfg.hidden_act]
+    return _run_encoder(
+        params["layers"],
+        x,
+        num_layers,
+        num_heads=cfg.num_heads,
+        act=act,
+        eps=cfg.layer_norm_eps,
+        causal=False,
+    )
+
+
+def vision_penultimate_patches(params, pixels, cfg: CLIPVisionConfig):
+    """The exact feature the reference feeds to pooling:
+    hidden_states[-2][:, 1:] — penultimate layer output, CLS dropped
+    (video_chatgpt/inference.py:92-94)."""
+    h = vision_forward(params, pixels, cfg, num_layers=cfg.num_layers - 1)
+    return h[:, 1:, :]
+
+
+def vision_pooled_embedding(params, pixels, cfg: CLIPVisionConfig):
+    """Full tower: CLS token after post-LN (used with a projection by
+    the grounding stack's zero-shot crop filter)."""
+    h = vision_forward(params, pixels, cfg)
+    return layer_norm(params["post_layernorm"], h[:, 0], cfg.layer_norm_eps)
+
+
+# -- text tower ---------------------------------------------------------------
+
+
+def init_text_params(key, cfg: CLIPTextConfig, dtype=jnp.float32):
+    ks = jax.random.split(key, 4)
+    layer_keys = jax.random.split(ks[2], cfg.num_layers)
+    layers = jax.vmap(
+        lambda k: _encoder_layer_init(k, cfg.hidden_size, cfg.intermediate_size, dtype)
+    )(layer_keys)
+    return {
+        "token_embedding": embedding_init(ks[0], cfg.vocab_size, cfg.hidden_size, dtype),
+        "position_embedding": jax.random.normal(
+            ks[1], (cfg.max_position_embeddings, cfg.hidden_size), dtype
+        )
+        * 0.02,
+        "final_layernorm": layer_norm_init(cfg.hidden_size, dtype),
+        "text_projection": linear_init(
+            ks[3], cfg.hidden_size, cfg.projection_dim, use_bias=False, dtype=dtype
+        ),
+        "layers": layers,
+    }
+
+
+def text_forward(params, token_ids: jax.Array, cfg: CLIPTextConfig):
+    """token_ids: (b, 77) -> pooled, projected text embedding (b, proj).
+
+    Pooling: features at the EOT token (highest token id), HF semantics.
+    """
+    x = embed(params["token_embedding"], token_ids)
+    x = x + params["position_embedding"][: x.shape[1]].astype(x.dtype)
+    x = _run_encoder(
+        params["layers"],
+        x,
+        cfg.num_layers,
+        num_heads=cfg.num_heads,
+        act=ACTIVATIONS[cfg.hidden_act],
+        eps=cfg.layer_norm_eps,
+        causal=True,
+    )
+    x = layer_norm(params["final_layernorm"], x, cfg.layer_norm_eps)
+    eot = jnp.argmax(token_ids, axis=-1)
+    pooled = jnp.take_along_axis(x, eot[:, None, None], axis=1)[:, 0]
+    return linear(params["text_projection"], pooled)
+
+
+# -- batched frame encoding ---------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "frame_batch"))
+def encode_frames(params, pixels: jax.Array, cfg: CLIPVisionConfig,
+                  frame_batch: int = 0) -> jax.Array:
+    """Encode (t, H, W, 3) normalized frames -> (t, num_patches, hidden)
+    penultimate patch features. `frame_batch` > 0 chunks frames through
+    a scan to bound activation memory on small chips."""
+    if frame_batch and pixels.shape[0] % frame_batch == 0 and (
+        pixels.shape[0] > frame_batch
+    ):
+        t = pixels.shape[0]
+        chunks = pixels.reshape(t // frame_batch, frame_batch, *pixels.shape[1:])
+
+        def body(_, chunk):
+            return None, vision_penultimate_patches(params, chunk, cfg)
+
+        _, feats = jax.lax.scan(body, None, chunks)
+        return feats.reshape(t, cfg.num_patches, cfg.hidden_size)
+    return vision_penultimate_patches(params, pixels, cfg)

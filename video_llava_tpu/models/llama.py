@@ -1,0 +1,266 @@
+"""LLaMA / Vicuna decoder in pure-functional JAX.
+
+Replaces the reference's HF LlamaModel/LlamaForCausalLM backbone
+(video_chatgpt/model/video_chatgpt.py:37-251) with a TPU-first design:
+
+  * parameter-stacked layers driven by `lax.scan` (single compiled layer
+    body, fast compile at 32/40 layers);
+  * static-shape KV cache carried through the scan — (L, b, max_len,
+    h_kv, hd) — updated with dynamic_update_slice, no host syncs;
+  * attention via ops.attention (Pallas flash for prefill, masked
+    reference for decode);
+  * RoPE computed from explicit position ids (fp32);
+  * tensor-parallel friendly: head and ffn dims shard on the mesh
+    'model' axis (see parallel/sharding.py).
+
+Two entry points: `forward` (prefill / training: full sequences, writes
+cache) and `decode_step` (one token per sequence against the cache).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from video_llava_tpu.config import LlamaConfig
+from video_llava_tpu.models.layers import (
+    apply_rope,
+    embed,
+    embedding_init,
+    linear,
+    linear_init,
+    rms_norm,
+    rms_norm_init,
+    rope_cos_sin,
+)
+from video_llava_tpu.ops.attention import (
+    decode_attention,
+    multi_head_attention,
+)
+
+
+class KVCache(NamedTuple):
+    """Static-shape per-layer-stacked KV cache.
+
+    k, v: (num_layers, batch, max_len, num_kv_heads, head_dim)
+    length: (batch,) int32 — number of valid entries per sequence.
+    """
+
+    k: jax.Array
+    v: jax.Array
+    length: jax.Array
+
+    @classmethod
+    def create(
+        cls, cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16
+    ) -> "KVCache":
+        shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+        return cls(
+            k=jnp.zeros(shape, dtype),
+            v=jnp.zeros(shape, dtype),
+            length=jnp.zeros((batch,), jnp.int32),
+        )
+
+
+def _layer_init(key, cfg: LlamaConfig, dtype):
+    ks = jax.random.split(key, 7)
+    d, hd = cfg.hidden_size, cfg.head_dim
+    return {
+        "input_norm": rms_norm_init(d, dtype),
+        "wq": linear_init(ks[0], d, cfg.num_heads * hd, use_bias=False, dtype=dtype),
+        "wk": linear_init(ks[1], d, cfg.num_kv_heads * hd, use_bias=False, dtype=dtype),
+        "wv": linear_init(ks[2], d, cfg.num_kv_heads * hd, use_bias=False, dtype=dtype),
+        "wo": linear_init(ks[3], cfg.num_heads * hd, d, use_bias=False, dtype=dtype),
+        "post_norm": rms_norm_init(d, dtype),
+        "gate": linear_init(ks[4], d, cfg.intermediate_size, use_bias=False, dtype=dtype),
+        "up": linear_init(ks[5], d, cfg.intermediate_size, use_bias=False, dtype=dtype),
+        "down": linear_init(ks[6], cfg.intermediate_size, d, use_bias=False, dtype=dtype),
+    }
+
+
+def init_params(key, cfg: LlamaConfig, dtype=jnp.bfloat16):
+    ks = jax.random.split(key, 3)
+    layer_keys = jax.random.split(ks[1], cfg.num_layers)
+    layers = jax.vmap(lambda k: _layer_init(k, cfg, dtype))(layer_keys)
+    return {
+        "embed_tokens": embedding_init(ks[0], cfg.vocab_size, cfg.hidden_size, dtype),
+        "layers": layers,
+        "final_norm": rms_norm_init(cfg.hidden_size, dtype),
+        "lm_head": linear_init(
+            ks[2], cfg.hidden_size, cfg.vocab_size, use_bias=False, dtype=dtype
+        ),
+    }
+
+
+def _attention_block(
+    p,
+    x: jax.Array,
+    cos: jax.Array,
+    sin: jax.Array,
+    cfg: LlamaConfig,
+    layer_k: Optional[jax.Array],
+    layer_v: Optional[jax.Array],
+    cache_len: Optional[jax.Array],
+    write_pos: Optional[jax.Array],
+) -> Tuple[jax.Array, Optional[jax.Array], Optional[jax.Array]]:
+    """Self-attention with optional KV-cache read/write.
+
+    Returns (output, new_layer_k, new_layer_v). With a cache, new keys
+    are written at write_pos (per-batch offsets) and attention runs over
+    the cache masked to cache_len.
+    """
+    b, s, d = x.shape
+    h, h_kv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    q = linear(p["wq"], x).reshape(b, s, h, hd)
+    k = linear(p["wk"], x).reshape(b, s, h_kv, hd)
+    v = linear(p["wv"], x).reshape(b, s, h_kv, hd)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    if layer_k is None:
+        attn = multi_head_attention(q, k, v, causal=True)
+        new_k = new_v = None
+        out = attn
+    else:
+        # Write the new keys/values into the cache at write_pos.
+        def write_one(cache, new, pos):
+            return jax.lax.dynamic_update_slice(cache, new, (pos, 0, 0))
+
+        new_k = jax.vmap(write_one)(layer_k, k.astype(layer_k.dtype), write_pos)
+        new_v = jax.vmap(write_one)(layer_v, v.astype(layer_v.dtype), write_pos)
+        if s == 1:
+            out = decode_attention(q, new_k, new_v, cache_len)
+        else:
+            # (Chunked) prefill: row b's queries occupy cache positions
+            # [write_pos_b, write_pos_b + s).
+            out = multi_head_attention(
+                q, new_k, new_v, causal=True, kv_valid_len=cache_len,
+                q_offset=write_pos,
+            )
+    out = linear(p["wo"], out.reshape(b, s, h * hd))
+    return out, new_k, new_v
+
+
+def _mlp_block(p, x):
+    return linear(p["down"], jax.nn.silu(linear(p["gate"], x)) * linear(p["up"], x))
+
+
+def forward_hidden(
+    params,
+    inputs_embeds: jax.Array,
+    positions: jax.Array,
+    cfg: LlamaConfig,
+    cache: Optional[KVCache] = None,
+    new_length: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, Optional[KVCache]]:
+    """Core decoder: embeds (b, s, d) + positions (b, s) -> hidden (b, s, d).
+
+    With a cache, writes k/v at positions `cache.length` onward and
+    returns the updated cache with length = new_length.
+    """
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+
+    x = inputs_embeds
+    if cache is None:
+
+        def body_no_cache(h, layer_params):
+            attn, _, _ = _attention_block(
+                layer_params,
+                rms_norm(layer_params["input_norm"], h, cfg.rms_norm_eps),
+                cos,
+                sin,
+                cfg,
+                None,
+                None,
+                None,
+                None,
+            )
+            h = h + attn
+            h = h + _mlp_block(
+                layer_params, rms_norm(layer_params["post_norm"], h, cfg.rms_norm_eps)
+            )
+            return h, None
+
+        x, _ = jax.lax.scan(body_no_cache, x, params["layers"])
+        new_cache = None
+    else:
+        write_pos = cache.length
+        cache_len = new_length if new_length is not None else (
+            cache.length + inputs_embeds.shape[1]
+        )
+
+        def body(h, layer_in):
+            layer_params, layer_k, layer_v = layer_in
+            attn, nk, nv = _attention_block(
+                layer_params,
+                rms_norm(layer_params["input_norm"], h, cfg.rms_norm_eps),
+                cos,
+                sin,
+                cfg,
+                layer_k,
+                layer_v,
+                cache_len,
+                write_pos,
+            )
+            h = h + attn
+            h = h + _mlp_block(
+                layer_params, rms_norm(layer_params["post_norm"], h, cfg.rms_norm_eps)
+            )
+            return h, (nk, nv)
+
+        x, (new_k, new_v) = jax.lax.scan(
+            body, x, (params["layers"], cache.k, cache.v)
+        )
+        new_cache = KVCache(k=new_k, v=new_v, length=cache_len)
+
+    x = rms_norm(params["final_norm"], x, cfg.rms_norm_eps)
+    return x, new_cache
+
+
+def forward(
+    params,
+    cfg: LlamaConfig,
+    *,
+    input_ids: Optional[jax.Array] = None,
+    inputs_embeds: Optional[jax.Array] = None,
+    positions: Optional[jax.Array] = None,
+    cache: Optional[KVCache] = None,
+    new_length: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, Optional[KVCache]]:
+    """Full LM forward -> (logits (b, s, vocab) fp32, updated cache)."""
+    if inputs_embeds is None:
+        inputs_embeds = embed(params["embed_tokens"], input_ids)
+    b, s = inputs_embeds.shape[:2]
+    if positions is None:
+        base = cache.length[:, None] if cache is not None else 0
+        positions = jnp.arange(s, dtype=jnp.int32)[None, :] + base
+        positions = jnp.broadcast_to(positions, (b, s))
+    hidden, new_cache = forward_hidden(
+        params, inputs_embeds, positions, cfg, cache, new_length
+    )
+    logits = jnp.dot(
+        hidden, params["lm_head"]["kernel"], preferred_element_type=jnp.float32
+    )
+    return logits, new_cache
+
+
+def decode_step(
+    params,
+    cfg: LlamaConfig,
+    token: jax.Array,
+    cache: KVCache,
+) -> Tuple[jax.Array, KVCache]:
+    """One decode step. token: (b,) int32 -> (logits (b, vocab), cache)."""
+    embeds = embed(params["embed_tokens"], token[:, None])
+    positions = cache.length[:, None]
+    logits, new_cache = forward(
+        params,
+        cfg,
+        inputs_embeds=embeds,
+        positions=positions,
+        cache=cache,
+        new_length=cache.length + 1,
+    )
+    return logits[:, 0], new_cache

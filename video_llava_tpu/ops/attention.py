@@ -43,12 +43,16 @@ def attention_reference(
     *,
     causal: bool = False,
     kv_valid_len: Optional[jax.Array] = None,
+    q_offset: Optional[jax.Array] = None,
     scale: Optional[float] = None,
 ) -> jax.Array:
     """XLA attention, fp32 softmax. q: (b, sq, h, d); k/v: (b, skv, h_kv, d).
 
     kv_valid_len: optional (b,) int32 — keys at positions >= len are
     masked out (right-padded KV).
+    q_offset: optional (b,) int32 absolute position of each row's first
+    query within the key sequence (used by chunked prefill into a KV
+    cache). Default: right-aligned (skv - sq).
     """
     b, sq, h, d = q.shape
     skv = k.shape[1]
@@ -59,11 +63,15 @@ def attention_reference(
         "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
     ) * scale
     if causal:
-        # Right-aligned causality: query i sits at absolute position
-        # skv - sq + i, so it may attend to keys [0, skv - sq + i].
-        qpos = jnp.arange(sq)[:, None] + (skv - sq)
-        kpos = jnp.arange(skv)[None, :]
-        logits = jnp.where(qpos >= kpos, logits, DEFAULT_MASK_VALUE)
+        # Query i of row b sits at absolute key position offset_b + i
+        # and may attend to keys [0, offset_b + i].
+        if q_offset is None:
+            q_offset = jnp.full((b,), skv - sq, jnp.int32)
+        qpos = jnp.arange(sq)[None, :, None] + q_offset[:, None, None]  # (b,sq,1)
+        kpos = jnp.arange(skv)[None, None, :]
+        logits = jnp.where(
+            (qpos >= kpos)[:, None], logits, DEFAULT_MASK_VALUE
+        )
     if kv_valid_len is not None:
         kmask = jnp.arange(skv)[None, :] < kv_valid_len[:, None]  # (b, skv)
         logits = jnp.where(kmask[:, None, None, :], logits, DEFAULT_MASK_VALUE)
@@ -255,20 +263,22 @@ def multi_head_attention(
     *,
     causal: bool = False,
     kv_valid_len: Optional[jax.Array] = None,
+    q_offset: Optional[jax.Array] = None,
     scale: Optional[float] = None,
     use_pallas: Optional[bool] = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Dispatch: Pallas flash kernel on TPU, XLA reference elsewhere or
-    when a KV validity mask is needed (prefill over padded batches uses
-    causal + right padding, which needs no mask)."""
+    when a KV validity mask / per-row offset is needed (prefill over
+    padded batches uses causal + right padding, which needs no mask)."""
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     d = q.shape[-1]
-    if use_pallas and kv_valid_len is None and d % 8 == 0:
+    if use_pallas and kv_valid_len is None and q_offset is None and d % 8 == 0:
         return flash_attention(q, k, v, causal, scale, interpret=interpret)
     return attention_reference(
-        q, k, v, causal=causal, kv_valid_len=kv_valid_len, scale=scale
+        q, k, v, causal=causal, kv_valid_len=kv_valid_len, q_offset=q_offset,
+        scale=scale,
     )
 
 
