@@ -1,0 +1,194 @@
+"""Autoregressive generation: prefill + jitted decode loop.
+
+Replaces HF `model.generate` + KeywordsStoppingCriteria as used by the
+reference (video_chatgpt/inference.py:105-112, model/utils.py:6-26) with
+a TPU-native design:
+
+  * the whole decode loop is ONE jitted `lax.while_loop` — no per-step
+    host round trip;
+  * sampling (temperature / top-p) happens on device with a threaded
+    PRNG key;
+  * stop-token-id checks run on device; decoded-substring keyword stops
+    are checked host-side every `keyword_check_every` tokens by slicing
+    the already-materialized output buffer (chunked generation), so a
+    multi-token keyword costs at most one chunk of extra decode.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from video_llava_tpu.config import GenerationConfig, VideoLLaVAConfig
+from video_llava_tpu.models import llama, video_llava
+from video_llava_tpu.models.llama import KVCache
+
+
+def sample_token(
+    logits: jax.Array, rng: jax.Array, gen: GenerationConfig
+) -> jax.Array:
+    """logits: (b, vocab) fp32 -> (b,) int32."""
+    if not gen.do_sample or gen.temperature <= 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    scaled = logits / gen.temperature
+    if gen.top_p < 1.0:
+        sorted_logits = jnp.sort(scaled, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # Keep the smallest set with cumulative prob >= top_p.
+        cutoff_idx = jnp.sum((cum - probs) < gen.top_p, axis=-1) - 1
+        cutoff = jnp.take_along_axis(
+            sorted_logits, cutoff_idx[:, None], axis=-1
+        )
+        scaled = jnp.where(scaled < cutoff, -jnp.inf, scaled)
+    return jax.random.categorical(rng, scaled, axis=-1).astype(jnp.int32)
+
+
+class GenerateResult(NamedTuple):
+    tokens: jax.Array  # (b, max_new_tokens) int32, pad after stop
+    lengths: jax.Array  # (b,) int32 — generated tokens incl. the stop token
+    cache: KVCache
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "gen", "max_new_tokens")
+)
+def _decode_loop(
+    params,
+    cfg: VideoLLaVAConfig,
+    gen: GenerationConfig,
+    first_logits: jax.Array,
+    cache: KVCache,
+    rng: jax.Array,
+    max_new_tokens: int,
+) -> GenerateResult:
+    b = first_logits.shape[0]
+    stop_ids = jnp.asarray(
+        (gen.eos_token_id,) + tuple(gen.stop_token_ids), jnp.int32
+    )
+
+    rng, sub = jax.random.split(rng)
+    tok0 = sample_token(first_logits, sub, gen)
+    done0 = jnp.any(tok0[:, None] == stop_ids[None, :], axis=-1)
+    buf0 = jnp.full((b, max_new_tokens), gen.pad_token_id, jnp.int32)
+    buf0 = buf0.at[:, 0].set(tok0)
+    len0 = jnp.ones((b,), jnp.int32)
+
+    def cond(state):
+        step, _, _, _, done, _, _ = state
+        return (step < max_new_tokens) & ~jnp.all(done)
+
+    def body(state):
+        step, buf, tok, cache, done, lens, rng = state
+        logits, new_cache = llama.decode_step(params["llm"], cfg.llm, tok, cache)
+        rng, sub = jax.random.split(rng)
+        nxt = sample_token(logits, sub, gen)
+        nxt = jnp.where(done, gen.pad_token_id, nxt)
+        hit_stop = jnp.any(nxt[:, None] == stop_ids[None, :], axis=-1)
+        new_done = done | hit_stop
+        buf = jax.lax.dynamic_update_slice(buf, nxt[:, None], (0, step))
+        lens = lens + (~done).astype(jnp.int32)
+        # Rows already done must not advance their cache length.
+        new_cache = KVCache(
+            k=new_cache.k,
+            v=new_cache.v,
+            length=jnp.where(done, cache.length, new_cache.length),
+        )
+        return step + 1, buf, nxt, new_cache, new_done, lens, rng
+
+    state = (jnp.int32(1), buf0, tok0, cache, done0, len0, rng)
+    _, buf, _, cache, _, lens, _ = jax.lax.while_loop(cond, body, state)
+    return GenerateResult(tokens=buf, lengths=lens, cache=cache)
+
+
+def generate(
+    params,
+    cfg: VideoLLaVAConfig,
+    gen: GenerationConfig,
+    input_ids: jax.Array,
+    seq_lens: jax.Array,
+    video_features: Optional[jax.Array],
+    rng: jax.Array,
+    max_cache_len: Optional[int] = None,
+    cache_dtype=jnp.bfloat16,
+) -> GenerateResult:
+    """Prefill a right-padded batch and decode up to max_new_tokens."""
+    b, s = input_ids.shape
+    if max_cache_len is None:
+        max_cache_len = s + gen.max_new_tokens
+    res = video_llava.prefill(
+        params, cfg, input_ids, seq_lens, video_features, max_cache_len,
+        cache_dtype,
+    )
+    return _decode_loop(
+        params, cfg, gen, res.logits_last, res.cache, rng, gen.max_new_tokens
+    )
+
+
+def generate_with_keywords(
+    params,
+    cfg: VideoLLaVAConfig,
+    gen: GenerationConfig,
+    input_ids: jax.Array,
+    seq_lens: jax.Array,
+    video_features: Optional[jax.Array],
+    rng: jax.Array,
+    decode_fn: Callable[[Sequence[int]], str],
+    keywords: Sequence[str] = (),
+    keyword_check_every: int = 64,
+    max_cache_len: Optional[int] = None,
+    cache_dtype=jnp.bfloat16,
+) -> Tuple[str, GenerateResult]:
+    """Generation with reference keyword-stopping semantics
+    (model/utils.py:6-26): stop when a decoded keyword substring appears.
+
+    Decodes in device chunks of `keyword_check_every` tokens, checking
+    the decoded text host-side between chunks; the final text has the
+    keyword and anything after it stripped (inference.py:120-123).
+    Batch size 1 (matches reference usage).
+    """
+    assert input_ids.shape[0] == 1, "keyword stopping is per-conversation"
+    b, s = input_ids.shape
+    if max_cache_len is None:
+        max_cache_len = s + gen.max_new_tokens
+    pre = video_llava.prefill(
+        params, cfg, input_ids, seq_lens, video_features, max_cache_len,
+        cache_dtype,
+    )
+    logits, cache = pre.logits_last, pre.cache
+
+    pieces: list = []
+    text = ""
+    remaining = gen.max_new_tokens
+    while remaining > 0:
+        chunk = min(keyword_check_every, remaining)
+        rng, sub = jax.random.split(rng)
+        out = _decode_loop(params, cfg, gen, logits, cache, sub, chunk)
+        n = int(out.lengths[0])
+        toks = [int(t) for t in out.tokens[0, :n]]
+        pieces.extend(toks)
+        remaining -= chunk
+        text = decode_fn(pieces)
+        stopped_by_id = n < chunk or (
+            toks and toks[-1] in (gen.eos_token_id, *gen.stop_token_ids)
+        )
+        kw_hit = next((k for k in keywords if k and k in text), None)
+        if kw_hit is not None:
+            text = text.split(kw_hit)[0]
+            break
+        if stopped_by_id:
+            break
+        # Continue from the last token.
+        cache = out.cache
+        last = out.tokens[:, n - 1]
+        step_logits, cache = llama.decode_step(params["llm"], cfg.llm, last, cache)
+        logits = step_logits
+
+    return text.strip(), GenerateResult(
+        tokens=jnp.asarray([pieces], jnp.int32),
+        lengths=jnp.asarray([len(pieces)], jnp.int32),
+        cache=cache,
+    )

@@ -1,0 +1,148 @@
+"""Single-shot video-QA inference.
+
+Parity: reference `video_chatgpt_infer` (video_chatgpt/inference.py:
+47-125) — prompt assembly with <vid_start><vid_patch>*N<vid_end>,
+optional transcript suffix, conversation templating, CLIP encode +
+pooling, generate with keyword stopping, stop-string strip.
+
+TPU design: frames go to device once as uint8; preprocessing, CLIP,
+pooling, projection, prefill and the whole decode loop are jitted
+device programs. The only host round trips are tokenization and the
+chunked keyword check.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from video_llava_tpu.config import GenerationConfig, VideoLLaVAConfig
+from video_llava_tpu.constants import (
+    DEFAULT_TRANSCRIPT_START,
+    DEFAULT_VID_END_TOKEN,
+    DEFAULT_VID_START_TOKEN,
+    DEFAULT_VIDEO_PATCH_TOKEN,
+)
+from video_llava_tpu.engine.generate import generate_with_keywords
+from video_llava_tpu.models import video_llava
+from video_llava_tpu.ops.image import preprocess_frames
+from video_llava_tpu.runtime.conversation import conv_templates
+from video_llava_tpu.runtime.tokenizer import Tokenizer
+
+
+def build_video_question(
+    question: str,
+    video_token_len: int,
+    use_vid_start_end: bool,
+    transcript: Optional[str] = None,
+) -> str:
+    """The exact prompt-side string of the reference (inference.py:67-74)."""
+    if use_vid_start_end:
+        qs = (
+            question
+            + "\n"
+            + DEFAULT_VID_START_TOKEN
+            + DEFAULT_VIDEO_PATCH_TOKEN * video_token_len
+            + DEFAULT_VID_END_TOKEN
+        )
+    else:
+        qs = question + "\n" + DEFAULT_VIDEO_PATCH_TOKEN * video_token_len
+    if transcript:
+        qs = f'{qs}\n{DEFAULT_TRANSCRIPT_START}\n"{transcript}"'
+    return qs
+
+
+@dataclasses.dataclass
+class InferenceEngine:
+    """Holds params + config and serves single-video QA requests."""
+
+    params: dict
+    cfg: VideoLLaVAConfig
+    tokenizer: Tokenizer
+    gen: GenerationConfig = dataclasses.field(default_factory=GenerationConfig)
+    seq_pad_multiple: int = 128  # pad prompts to fixed buckets: fewer compiles
+    cache_dtype: jnp.dtype = jnp.bfloat16
+
+    def encode_video_frames(
+        self, frames: np.ndarray, num_valid_frames: Optional[int] = None
+    ) -> jax.Array:
+        """(t, h, w, 3) uint8 -> pooled features (video_token_len, c)."""
+        pixels = preprocess_frames(frames, self.cfg.vision.image_size)
+        return video_llava.encode_video(
+            self.params,
+            pixels,
+            self.cfg,
+            num_valid_frames=(
+                jnp.int32(num_valid_frames) if num_valid_frames is not None else None
+            ),
+        )
+
+    def infer(
+        self,
+        video_frames: Optional[np.ndarray],
+        question: str,
+        conv_mode: str = "pg-video-llava",
+        transcript: Optional[str] = None,
+        rng: Optional[jax.Array] = None,
+        num_valid_frames: Optional[int] = None,
+    ) -> str:
+        """The video_chatgpt_infer flow (inference.py:47-125)."""
+        cfg, tok = self.cfg, self.tokenizer
+        qs = build_video_question(
+            question, cfg.video_token_len, cfg.use_vid_start_end, transcript
+        )
+        conv = conv_templates[conv_mode].copy()
+        conv.append_message(conv.roles[0], qs)
+        conv.append_message(conv.roles[1], None)
+        prompt = conv.get_prompt()
+        stop_str = conv.stop_string()
+
+        ids = tok.encode(prompt)
+        s_real = len(ids)
+        pad = -s_real % self.seq_pad_multiple
+        input_ids = np.full((1, s_real + pad), tok.pad_token_id, np.int32)
+        input_ids[0, :s_real] = ids
+
+        feats = None
+        if video_frames is not None:
+            feats = self.encode_video_frames(video_frames, num_valid_frames)[None]
+
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        gen = dataclasses.replace(
+            self.gen,
+            eos_token_id=tok.eos_token_id,
+            pad_token_id=tok.pad_token_id,
+        )
+        text, _ = generate_with_keywords(
+            self.params,
+            cfg,
+            gen,
+            jnp.asarray(input_ids),
+            jnp.asarray([s_real], jnp.int32),
+            feats,
+            rng,
+            decode_fn=lambda t: tok.decode(t, skip_special_tokens=True),
+            keywords=(stop_str,) if stop_str and stop_str != "</s>" else (),
+            cache_dtype=self.cache_dtype,
+        )
+        # Reference post-processing: strip, rstrip(stop_str), strip.
+        out = text.strip()
+        if stop_str and out.endswith(stop_str):
+            out = out[: -len(stop_str)]
+        return out.strip()
+
+
+def video_chatgpt_infer(
+    engine: InferenceEngine,
+    video_frames: np.ndarray,
+    question: str,
+    conv_mode: str = "video-chatgpt_v1",
+    transcript: Optional[str] = None,
+) -> str:
+    """Reference-shaped convenience wrapper."""
+    return engine.infer(video_frames, question, conv_mode, transcript)
