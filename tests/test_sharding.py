@@ -1,0 +1,169 @@
+"""Multi-device SPMD tests on the 8-virtual-CPU mesh: sharded forward
+parity, TP/FSDP param layouts, and a full sharded training step."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from video_llava_tpu.config import LlamaConfig, VideoLLaVAConfig
+from video_llava_tpu.constants import IGNORE_INDEX
+from video_llava_tpu.models import video_llava
+from video_llava_tpu.parallel import (
+    cache_spec,
+    make_mesh,
+    shard_params,
+    videollava_param_specs,
+)
+from video_llava_tpu.parallel.sharding import batch_spec
+from video_llava_tpu.train.train_step import (
+    init_train_state,
+    make_optimizer,
+    make_train_step,
+    trainable_mask,
+)
+
+
+def _cfg():
+    return dataclasses.replace(
+        VideoLLaVAConfig.tiny(),
+        llm=LlamaConfig(
+            vocab_size=512,
+            hidden_size=64,
+            intermediate_size=128,
+            num_layers=2,
+            num_heads=8,
+            num_kv_heads=8,
+            head_dim=8,
+            max_position_embeddings=512,
+        ),
+        vid_patch_token_id=259,
+        vid_start_token_id=260,
+        vid_end_token_id=261,
+    )
+
+
+@pytest.fixture(scope="module")
+def setup():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    cfg = _cfg()
+    params = video_llava.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    return cfg, params
+
+
+def _batch(cfg, b=4, s=192):
+    rng = np.random.default_rng(0)
+    n = cfg.video_token_len
+    ids = rng.integers(0, 256, size=(b, s))
+    ids[:, 4 : 4 + n] = cfg.vid_patch_token_id
+    labels = np.full((b, s), IGNORE_INDEX, np.int64)
+    labels[:, -20:] = rng.integers(0, 256, size=(b, 20))
+    feats = rng.normal(size=(b, n, cfg.vision.hidden_size)).astype(np.float32)
+    return {
+        "input_ids": jnp.asarray(ids, jnp.int32),
+        "labels": jnp.asarray(labels, jnp.int32),
+        "video_features": jnp.asarray(feats),
+    }
+
+
+def test_tp_sharded_forward_matches_single_device(setup):
+    cfg, params = setup
+    mesh = make_mesh(1, 8)
+    specs = videollava_param_specs(params)
+    sharded = shard_params(params, specs, mesh)
+    batch = _batch(cfg, b=2, s=160)
+
+    logits_single, _, _ = video_llava.forward(
+        params, cfg, batch["input_ids"], batch["video_features"]
+    )
+    fwd = jax.jit(
+        lambda p, ids, vf: video_llava.forward(p, cfg, ids, vf)[0]
+    )
+    logits_sharded = fwd(sharded, batch["input_ids"], batch["video_features"])
+    np.testing.assert_allclose(
+        np.asarray(logits_sharded), np.asarray(logits_single), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_param_layouts(setup):
+    cfg, params = setup
+    mesh = make_mesh(2, 4)
+    specs = videollava_param_specs(params, fsdp=True)
+    sharded = shard_params(params, specs, mesh)
+    wq = sharded["llm"]["layers"]["wq"]["kernel"]
+    # TP: output dim sharded over 'model'(4); FSDP adds 'data'(2).
+    assert wq.sharding.spec == P(None, "data", "model")
+    emb = sharded["llm"]["embed_tokens"]["weight"]
+    assert emb.sharding.spec == P("model", "data")
+    norm = sharded["llm"]["final_norm"]["scale"]
+    assert norm.sharding.spec == P()
+
+
+def test_full_sharded_train_step(setup):
+    """DP(2) x TP(4) training step: projector+embed tuned, backbone
+    frozen, loss finite, gradients reduce over data axis."""
+    cfg, params = setup
+    mesh = make_mesh(2, 4)
+    specs = videollava_param_specs(params)
+    sharded = shard_params(params, specs, mesh)
+
+    mask = trainable_mask(sharded, "projector+embed")
+    tx = make_optimizer(1e-3, total_steps=10, warmup_steps=0, mask=mask)
+    opt_state = jax.jit(tx.init)(sharded)
+    state = init_train_state(sharded, tx)._replace(opt_state=opt_state)
+
+    batch = _batch(cfg, b=4, s=192)
+    batch = {
+        k: jax.device_put(v, NamedSharding(mesh, batch_spec(v.ndim)))
+        for k, v in batch.items()
+    }
+    step = make_train_step(cfg, tx, mask=mask, donate=False)
+    new_state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["grad_norm"]) > 0
+
+    # Projector moved; frozen backbone identical.
+    p0 = jax.tree.leaves(state.params["projector"])[0]
+    p1 = jax.tree.leaves(new_state.params["projector"])[0]
+    assert not np.allclose(np.asarray(p0), np.asarray(p1))
+    w0 = state.params["llm"]["layers"]["wq"]["kernel"]
+    w1 = new_state.params["llm"]["layers"]["wq"]["kernel"]
+    np.testing.assert_array_equal(np.asarray(w0), np.asarray(w1))
+
+    # Two data-shards saw different rows -> identical sharded params
+    # imply the grad psum happened (run a second step for stability).
+    new_state2, metrics2 = step(new_state, batch)
+    assert np.isfinite(float(metrics2["loss"]))
+
+
+def test_sharded_generation_cache(setup):
+    """Prefill+decode with a sharded cache on the mesh."""
+    from video_llava_tpu.config import GenerationConfig
+    from video_llava_tpu.engine import generate as gen_mod
+
+    cfg, params = setup
+    mesh = make_mesh(2, 4)
+    specs = videollava_param_specs(params)
+    sharded = shard_params(params, specs, mesh)
+    b, s = 2, 160
+    batch = _batch(cfg, b=b, s=s)
+    gen = GenerationConfig(
+        max_new_tokens=4, do_sample=False, eos_token_id=258, pad_token_id=256
+    )
+    res = gen_mod.generate(
+        sharded,
+        cfg,
+        gen,
+        jax.device_put(
+            batch["input_ids"], NamedSharding(mesh, batch_spec(2))
+        ),
+        jnp.full((b,), s, jnp.int32),
+        batch["video_features"],
+        jax.random.PRNGKey(0),
+        cache_dtype=jnp.float32,
+    )
+    assert res.tokens.shape == (b, 4)
+    assert np.isfinite(np.asarray(res.lengths)).all()

@@ -27,6 +27,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_MASK_VALUE = -1e30
 
+# Global attention implementation switch: "auto" = Pallas on TPU / XLA
+# elsewhere; "xla" forces the reference path (required today for
+# sharded pjit programs — the Pallas kernel is single-device until it is
+# wrapped in shard_map); "pallas" forces the kernel.
+_DEFAULT_IMPL = "auto"
+
+
+def set_default_impl(impl: str) -> None:
+    global _DEFAULT_IMPL
+    assert impl in ("auto", "xla", "pallas")
+    _DEFAULT_IMPL = impl
+
 
 def _repeat_kv(k: jax.Array, num_heads: int) -> jax.Array:
     """(b, s, h_kv, d) -> (b, s, h, d) by repeating each kv head."""
@@ -272,7 +284,12 @@ def multi_head_attention(
     when a KV validity mask / per-row offset is needed (prefill over
     padded batches uses causal + right padding, which needs no mask)."""
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        if _DEFAULT_IMPL == "pallas":
+            use_pallas = True
+        elif _DEFAULT_IMPL == "xla":
+            use_pallas = False
+        else:
+            use_pallas = jax.default_backend() == "tpu"
     d = q.shape[-1]
     if use_pallas and kv_valid_len is None and q_offset is None and d % 8 == 0:
         return flash_attention(q, k, v, causal, scale, interpret=interpret)

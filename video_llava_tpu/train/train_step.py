@@ -1,0 +1,122 @@
+"""The sharded training step.
+
+Reference semantics (video_chatgpt/train/train.py:477-562):
+  * loss = shifted CE with IGNORE_INDEX masking over conversation
+    labels, video features spliced into the prompt;
+  * `tune_mm_mlp_adapter` freezes everything except the projector
+    (and optionally the token embeddings) (:509-525);
+  * DDP/FSDP over devices -> here: pjit over a ('data','model') mesh;
+    gradients reduce over 'data' automatically via sharding propagation.
+
+Trainability is expressed as an optax-style boolean mask pytree so the
+optimizer state for frozen params is a lightweight placeholder.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from video_llava_tpu.config import VideoLLaVAConfig
+from video_llava_tpu.models import video_llava
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def trainable_mask(params, mode: str = "projector+embed"):
+    """Boolean pytree: True = trained.
+
+    modes: 'projector' | 'projector+embed' (reference default when
+    tune_mm_mlp_adapter, train.py:509-525) | 'full'.
+    """
+    flat = jax.tree_util.tree_map_with_path(
+        lambda path, _: _is_trainable(path, mode), params
+    )
+    return flat
+
+
+def _is_trainable(path, mode: str) -> bool:
+    keys = "/".join(
+        str(getattr(p, "key", getattr(p, "idx", p))) for p in path
+    )
+    if mode == "full":
+        return True
+    if keys.startswith("projector"):
+        return True
+    if mode == "projector+embed" and "embed_tokens" in keys:
+        return True
+    return False
+
+
+def make_optimizer(
+    learning_rate: float = 2e-3,
+    weight_decay: float = 0.0,
+    warmup_steps: int = 100,
+    total_steps: int = 10_000,
+    mask=None,
+) -> optax.GradientTransformation:
+    """AdamW + cosine schedule (the reference recipe uses HF Trainer's
+    cosine with warmup_ratio 0.03, docs/2-Training.md:42-67)."""
+    if warmup_steps > 0:
+        schedule = optax.warmup_cosine_decay_schedule(
+            0.0, learning_rate, warmup_steps, max(total_steps, warmup_steps + 1)
+        )
+    else:
+        schedule = optax.cosine_decay_schedule(learning_rate, max(total_steps, 1))
+    tx = optax.adamw(schedule, weight_decay=weight_decay)
+    if mask is not None:
+        tx = optax.chain(
+            optax.masked(tx, mask),
+        )
+    return tx
+
+
+def loss_fn(params, cfg: VideoLLaVAConfig, batch) -> jax.Array:
+    """batch: input_ids (b,s), labels (b,s), video_features
+    (b, video_token_len, mm_hidden) raw pooled CLIP features (the
+    reference trains on precomputed features, train.py:396-422)."""
+    _, loss, _ = video_llava.forward(
+        params,
+        cfg,
+        batch["input_ids"],
+        batch.get("video_features"),
+        labels=batch["labels"],
+    )
+    return loss
+
+
+def make_train_step(
+    cfg: VideoLLaVAConfig,
+    tx: optax.GradientTransformation,
+    mask=None,
+    donate: bool = True,
+):
+    """Returns jitted (state, batch) -> (state, metrics)."""
+
+    def step(state: TrainState, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, cfg, batch)
+        if mask is not None:
+            grads = jax.tree.map(
+                lambda g, m: g if m else jnp.zeros_like(g), grads, mask
+            )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        gnorm = optax.global_norm(grads)
+        return (
+            TrainState(new_params, new_opt, state.step + 1),
+            {"loss": loss, "grad_norm": gnorm},
+        )
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def init_train_state(params, tx) -> TrainState:
+    return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
