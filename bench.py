@@ -1,0 +1,140 @@
+"""End-to-end video-QA benchmark on real TPU hardware.
+
+Measures the reference's headline inference path (BASELINE.md config 2)
+as one device-resident pipeline on a single chip:
+  100 frames (224px, uint8) -> CLIP ViT-L/14 penultimate features
+  -> spatio-temporal pooling -> mm_projector -> Vicuna-7B prefill
+  (512-token prompt incl. 356 video tokens) -> 128-token greedy decode.
+
+Weights are randomly initialized (zero-egress environment) — latency is
+weight-value independent. Prints one JSON line; vs_baseline is measured
+against the 2s p50 north-star from BASELINE.md scaled to this slice
+(the target is defined on v5e-8; we run the whole model on ONE chip, so
+vs_baseline = 2.0 / p50 on the conservative single-chip number).
+"""
+
+import dataclasses
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from video_llava_tpu.config import (
+    GenerationConfig,
+    LlamaConfig,
+    VideoLLaVAConfig,
+)
+from video_llava_tpu.engine.generate import _decode_loop
+from video_llava_tpu.models import video_llava
+from video_llava_tpu.ops.image import normalize_clip
+
+NUM_FRAMES = 100
+PROMPT_LEN = 512
+NEW_TOKENS = 128
+CACHE_LEN = PROMPT_LEN + NEW_TOKENS
+
+
+def build():
+    cfg = VideoLLaVAConfig(llm=LlamaConfig.vicuna_7b())
+    # One compiled program for the whole init: eager init would compile
+    # dozens of tiny executables (very slow over a tunneled TPU).
+    params = jax.jit(
+        lambda k: video_llava.init_params(k, cfg, jnp.bfloat16)
+    )(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(
+        rng.integers(
+            0, 256, size=(NUM_FRAMES, cfg.vision.image_size, cfg.vision.image_size, 3)
+        ),
+        jnp.uint8,
+    )
+    ids = rng.integers(3, 30000, size=(1, PROMPT_LEN))
+    n = cfg.video_token_len
+    ids[0, 8] = cfg.vid_start_token_id
+    ids[0, 9 : 9 + n] = cfg.vid_patch_token_id
+    ids[0, 9 + n] = cfg.vid_end_token_id
+    input_ids = jnp.asarray(ids, jnp.int32)
+    seq_lens = jnp.asarray([PROMPT_LEN], jnp.int32)
+
+    gen = GenerationConfig(
+        max_new_tokens=NEW_TOKENS,
+        do_sample=False,
+        eos_token_id=-1,  # fixed-length workload: never stop early
+        pad_token_id=0,
+    )
+
+    def encode(params, frames):
+        pixels = normalize_clip(frames, dtype=jnp.bfloat16)
+        return video_llava.encode_video(params, pixels, cfg)
+
+    encode_jit = jax.jit(encode)
+
+    def prefill(params, input_ids, seq_lens, feats):
+        return video_llava.prefill(
+            params, cfg, input_ids, seq_lens, feats[None], CACHE_LEN
+        )
+
+    prefill_jit = jax.jit(prefill)
+
+    def e2e(params, frames, input_ids, seq_lens, rng):
+        feats = encode(params, frames)
+        res = prefill(params, input_ids, seq_lens, feats)
+        out = _decode_loop(params, cfg, gen, res.logits_last, res.cache, rng,
+                           NEW_TOKENS)
+        return out.tokens
+
+    e2e_jit = jax.jit(e2e)
+    decode_rng = jax.random.PRNGKey(0)
+    return cfg, params, frames, input_ids, seq_lens, decode_rng, (
+        encode_jit, prefill_jit, e2e_jit,
+    )
+
+
+def main():
+    from video_llava_tpu.utils.timing import measure
+
+    cfg, params, frames, input_ids, seq_lens, rng, fns = build()
+    encode_jit, prefill_jit, e2e_jit = fns
+
+    p50 = measure(
+        lambda i: e2e_jit(
+            params, frames, input_ids, seq_lens, jax.random.PRNGKey(i)
+        ),
+        iters=5,
+    )
+
+    # Stage breakdown (diagnostics, not the headline).
+    t_encode = measure(lambda i: encode_jit(params, frames), iters=5)
+    feats = encode_jit(params, frames)
+    t_prefill = measure(
+        lambda i: prefill_jit(params, input_ids, seq_lens, feats).logits_last,
+        iters=5,
+    )
+    t_decode = max(p50 - t_encode - t_prefill, 1e-9)
+
+    result = {
+        "metric": "e2e_video_qa_p50",
+        "value": round(p50, 4),
+        "unit": "s",
+        "vs_baseline": round(2.0 / p50, 3),
+        "detail": {
+            "clip_encode_s": round(t_encode, 4),
+            "clip_frames_per_s": round(NUM_FRAMES / t_encode, 1),
+            "prefill_s": round(t_prefill, 4),
+            "decode_s": round(t_decode, 4),
+            "decode_tok_per_s": round(NEW_TOKENS / t_decode, 1),
+            "model": "vicuna-7b + clip-vit-l/14-224, bf16, 1 chip",
+            "new_tokens": NEW_TOKENS,
+            "prompt_len": PROMPT_LEN,
+            "num_frames": NUM_FRAMES,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,71 @@
+"""Native media layer: encode -> decode round trip, frame sampling,
+and reader metadata (self-contained — no video assets needed)."""
+
+import numpy as np
+import pytest
+
+from video_llava_tpu.media.loader import (
+    VideoReader,
+    encode_video,
+    load_video,
+)
+
+
+def _synthetic_frames(n=48, h=72, w=96):
+    """Smooth gradient frames with a frame-index band (survives lossy
+    encoding well enough to verify ordering)."""
+    t = np.arange(n, dtype=np.float32)[:, None, None]
+    y = np.linspace(0, 255, h, dtype=np.float32)[None, :, None]
+    x = np.linspace(0, 255, w, dtype=np.float32)[None, None, :]
+    r = np.broadcast_to((t * 5) % 256, (n, h, w))
+    g = np.broadcast_to(y, (n, h, w))
+    b = np.broadcast_to(x, (n, h, w))
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+@pytest.fixture(scope="module")
+def video_file(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("vid") / "test.mp4")
+    frames = _synthetic_frames()
+    encode_video(path, frames, fps=12.0, codec="mpeg4")
+    return path, frames
+
+
+def test_reader_metadata(video_file):
+    path, frames = video_file
+    vr = VideoReader(path)
+    assert len(vr) == frames.shape[0]
+    assert (vr.height, vr.width) == frames.shape[1:3]
+    assert abs(vr.fps - 12.0) < 0.5
+    vr.close()
+
+
+def test_decode_indices_match_content(video_file):
+    path, frames = video_file
+    vr = VideoReader(path)
+    idx = [0, 7, 23, 47]
+    got = vr.get_batch(idx)
+    vr.close()
+    assert got.shape == (4, 72, 96, 3)
+    # Red channel encodes (frame_index*5)%256; lossy codec -> tolerance.
+    for row, i in enumerate(idx):
+        want_r = float((i * 5) % 256)
+        got_r = float(got[row, :, :, 0].mean())
+        assert abs(got_r - want_r) < 20, (i, want_r, got_r)
+
+
+def test_load_video_uniform_sampling(video_file):
+    path, _ = video_file
+    out = load_video(path, num_frm=10, shape=(64, 64))
+    assert out.shape == (10, 64, 64, 3)
+    # Short video: all frames kept.
+    out2 = load_video(path, num_frm=100)
+    assert out2.shape[0] == 48
+
+
+def test_encode_decode_roundtrip_resized(video_file):
+    path, frames = video_file
+    vr = VideoReader(path)
+    got = vr.get_batch([5], out_size=(36, 48))
+    vr.close()
+    assert got.shape == (1, 36, 48, 3)

@@ -102,11 +102,12 @@ def attention_reference(
 
 def _flash_fwd_kernel(
     q_ref, k_ref, v_ref, o_ref, *, causal: bool, scale: float, block_k: int,
-    kv_len: int, q_offset: int,
+    kv_len: int, kv_len_real: int, q_offset: int,
 ):
     """One (batch*head, q-block) program: online softmax over k blocks.
 
     q_ref: (1, block_q, d); k_ref/v_ref: (1, kv_len_pad, d).
+    kv_len_real < the padded length masks the padded key tail.
     """
     _, block_q, d = q_ref.shape
     qi = pl.program_id(1)
@@ -123,12 +124,14 @@ def _flash_fwd_kernel(
         q_end = q_offset + (qi + 1) * block_q
         num_kb = jnp.minimum(num_kb, pl.cdiv(q_end, block_k))
 
+    mask_tail = kv_len_real < num_kb * block_k if not causal else False
+
     def body(ki, carry):
         m, l, acc = carry
         k = k_ref[0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
         v = v_ref[0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
         s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # (bq, bk)
-        if causal:
+        if causal or mask_tail:
             qpos = (
                 q_offset
                 + qi * block_q
@@ -137,7 +140,10 @@ def _flash_fwd_kernel(
             kpos = ki * block_k + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 1
             )
-            s = jnp.where(qpos >= kpos, s, DEFAULT_MASK_VALUE)
+            valid = kpos < kv_len_real
+            if causal:
+                valid = valid & (qpos >= kpos)
+            s = jnp.where(valid, s, DEFAULT_MASK_VALUE)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
@@ -170,11 +176,6 @@ def _flash_forward(
     block_k = min(block_k, skv)
     sq_pad = pl.cdiv(sq, block_q) * block_q
     skv_pad = pl.cdiv(skv, block_k) * block_k
-    if skv_pad != skv and not causal:
-        raise ValueError(
-            "non-causal flash attention requires skv % block_k == 0 "
-            f"(got skv={skv}, block_k={block_k})"
-        )
 
     # BSHD -> (b*h, s, d); padded q rows are sliced off afterwards and,
     # under the causal mask, padded k columns are never attended.
@@ -198,6 +199,7 @@ def _flash_forward(
         scale=scale,
         block_k=block_k,
         kv_len=skv if causal else skv_pad,
+        kv_len_real=skv,
         q_offset=skv - sq,  # right-aligned causal convention
     )
 
