@@ -1,0 +1,54 @@
+"""Transcription pipeline: chunking, segment filter rule, end-to-end on
+synthetic audio with a tiny random Whisper."""
+
+import numpy as np
+import jax
+import pytest
+
+from video_llava_tpu.audio.transcribe import Segment, Transcriber, filter_segments
+from video_llava_tpu.models import whisper
+from video_llava_tpu.models.whisper import WhisperConfig
+from video_llava_tpu.ops.audio import N_SAMPLES
+
+
+def test_segment_filter_rule():
+    keep = Segment(0, 1, "hi", speech_logit=2.0, music_logit=0.5)
+    drop = Segment(0, 1, "la", speech_logit=1.0, music_logit=0.5)
+    no_music = Segment(0, 1, "x", speech_logit=-3.0)
+    assert keep.keep
+    assert not drop.keep  # speech - music = 0.5 <= 1.1
+    assert no_music.keep
+    assert [s.text for s in filter_segments([keep, drop, no_music])] == ["hi", "x"]
+
+
+@pytest.fixture(scope="module")
+def tiny_transcriber():
+    cfg = WhisperConfig.tiny_test()
+    params = whisper.init_params(jax.random.PRNGKey(0), cfg)
+    return Transcriber(
+        params,
+        cfg,
+        decode_text=lambda ids: " ".join(str(i) for i in ids),
+        start_tokens=(1,),
+        eot_token=2,
+        max_new_tokens=4,
+    )
+
+
+def test_chunking(tiny_transcriber):
+    audio = np.zeros((N_SAMPLES + 1600,), np.float32)
+    chunks = tiny_transcriber._chunk(audio)
+    assert chunks.shape == (2, N_SAMPLES)
+
+
+def test_transcribe_audio_end_to_end(tiny_transcriber):
+    rng = np.random.default_rng(0)
+    audio = (rng.normal(size=(16000 * 2,)) * 0.05).astype(np.float32)
+    segments = tiny_transcriber.transcribe_audio(audio)
+    assert len(segments) == 1
+    assert segments[0].end == pytest.approx(2.0)
+    assert isinstance(segments[0].text, str)
+
+
+def test_empty_audio(tiny_transcriber):
+    assert tiny_transcriber.transcribe_audio(np.zeros((0,), np.float32)) == []

