@@ -1,0 +1,50 @@
+"""Swin backbone parity vs HF SwinModel (random weights)."""
+
+import numpy as np
+import pytest
+import torch
+import jax.numpy as jnp
+
+import transformers
+
+from video_llava_tpu.models import swin
+from video_llava_tpu.models.swin import SwinConfig
+
+
+@pytest.fixture(scope="module")
+def swin_pair():
+    hf_cfg = transformers.SwinConfig(
+        image_size=64,
+        patch_size=4,
+        embed_dim=24,
+        depths=[2, 2],
+        num_heads=[2, 4],
+        window_size=4,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(0)
+    model = transformers.SwinModel(hf_cfg).eval()
+    cfg = SwinConfig.tiny_test()
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    params = swin.convert_hf_swin(sd, cfg)
+    return model, cfg, params
+
+
+def test_pooled_matches_hf(swin_pair):
+    model, cfg, params = swin_pair
+    rng = np.random.default_rng(0)
+    pixels = rng.normal(size=(2, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = model(
+            torch.from_numpy(pixels).permute(0, 3, 1, 2)
+        ).pooler_output.numpy()
+    got = np.asarray(swin.forward_pooled(params, jnp.asarray(pixels), cfg))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_multiscale_feature_shapes(swin_pair):
+    _, cfg, params = swin_pair
+    rng = np.random.default_rng(1)
+    pixels = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+    feats = swin.forward_features(params, pixels, cfg)
+    assert [f.shape for f in feats] == [(1, 16, 16, 24), (1, 8, 8, 48)]
