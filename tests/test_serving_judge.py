@@ -1,0 +1,112 @@
+"""Serving + judge harness integration: our OpenAI-compatible server
+over a tiny model, and the judge retry loop against a stub judge."""
+
+import dataclasses
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from video_llava_tpu.config import LlamaConfig, VideoLLaVAConfig
+from video_llava_tpu.eval.judge import aggregate, judge_messages, run_judge
+from video_llava_tpu.eval.openai_client import ChatCompletionClient
+from video_llava_tpu.models import video_llava
+from video_llava_tpu.runtime.tokenizer import ByteTokenizer
+from video_llava_tpu.serving.server import ChatModel, serve
+
+
+@pytest.fixture(scope="module")
+def tiny_server():
+    tok = ByteTokenizer()
+    cfg = dataclasses.replace(
+        VideoLLaVAConfig.tiny(),
+        llm=LlamaConfig.tiny(vocab_size=512),
+        vid_patch_token_id=tok.vid_patch_token_id,
+        vid_start_token_id=tok.vid_start_token_id,
+        vid_end_token_id=tok.vid_end_token_id,
+    )
+    params = video_llava.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    model = ChatModel(
+        params=params, cfg=cfg, tokenizer=tok, cache_dtype=jnp.float32,
+        seq_pad_multiple=64,
+    )
+    server = serve(model, host="127.0.0.1", port=0, block=False)
+    yield f"http://127.0.0.1:{server.server_address[1]}/v1"
+    server.shutdown()
+
+
+def test_chat_completions_endpoint(tiny_server):
+    client = ChatCompletionClient(api_base=tiny_server)
+    out = client.create(
+        "test-model",
+        [{"role": "user", "content": "Hello"}],
+        temperature=0.0,
+        max_tokens=4,
+    )
+    assert out["object"] == "chat.completion"
+    assert isinstance(out["choices"][0]["message"]["content"], str)
+
+
+def test_models_endpoint(tiny_server):
+    import requests
+
+    resp = requests.get(tiny_server + "/models", timeout=10)
+    assert resp.status_code == 200
+    assert resp.json()["data"][0]["id"]
+
+
+class _StubJudge(BaseHTTPRequestHandler):
+    def log_message(self, *a):
+        pass
+
+    def do_POST(self):
+        length = int(self.headers.get("Content-Length", 0))
+        _ = self.rfile.read(length)
+        body = json.dumps(
+            {
+                "choices": [
+                    {"message": {"role": "assistant",
+                                 "content": "{'pred': 'yes', 'score': 4}"}}
+                ]
+            }
+        ).encode()
+        self.send_response(200)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+
+def test_judge_harness_with_stub(tmp_path):
+    server = ThreadingHTTPServer(("127.0.0.1", 0), _StubJudge)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    api_base = f"http://127.0.0.1:{server.server_address[1]}/v1"
+
+    preds = {
+        f"vid_{i}": {"question": "q?", "answer": "a", "pred": "a"}
+        for i in range(3)
+    }
+    out_dir = str(tmp_path / "judge")
+    run_judge(preds, "activitynet_qa", out_dir, num_workers=2,
+              api_base=api_base)
+    results = aggregate(out_dir)
+    assert results["accuracy"] == 1.0
+    assert results["average_score"] == 4.0
+    server.shutdown()
+
+
+def test_judge_prompt_formats():
+    msgs = judge_messages(
+        "correctness", {"question": "Q", "answer": "A", "pred": "P"}
+    )
+    assert "factual accuracy" in msgs[0]["content"]
+    assert "Question: Q" in msgs[1]["content"]
+    msgs = judge_messages(
+        "consistency",
+        {"question1": "Q1", "question2": "Q2", "answer": "A",
+         "pred1": "P1", "pred2": "P2"},
+    )
+    assert "Question 2: Q2" in msgs[1]["content"]

@@ -1,0 +1,215 @@
+"""Zero-shot QA and generative-benchmark inference runners.
+
+Parity: the reference's per-dataset drivers, all of which delegate to
+video_chatgpt_infer with per-sample try/except-and-continue:
+  * ActivityNet-QA (run_inference_qa_activitynet.py:29-108): separate
+    question/answer JSONs, "v_{name}" video files;
+  * MSVD-QA (run_inference_qa_msvd.py), MSRVTT-QA with its video-name
+    mapping JSON (run_inference_qa_msrvtt.py);
+  * TGIF-QA with GIF loading at 8 frames (run_inference_qa_tgif.py:30-54);
+  * generic benchmark single-question (run_inference_benchmark_general
+    .py:28-97) and two-question consistency
+    (run_inference_benchmark_consistency.py:28-97).
+
+Run: python -m video_llava_tpu.eval.run_inference --dataset activitynet …
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+from video_llava_tpu.media.loader import load_video
+from video_llava_tpu.runtime.inference import InferenceEngine
+from video_llava_tpu.runtime.model_init import initialize_model
+
+VIDEO_FORMATS = [".mp4", ".avi", ".mov", ".mkv", ".webm", ".gif"]
+
+
+def find_video(video_dir: str, video_name: str, prefix: str = "") -> Optional[str]:
+    for fmt in VIDEO_FORMATS:
+        path = os.path.join(video_dir, f"{prefix}{video_name}{fmt}")
+        if os.path.exists(path):
+            return path
+    return None
+
+
+def _maybe_transcribe(transcriber, video_path: str) -> Optional[str]:
+    if transcriber is None:
+        return None
+    try:
+        text, _ = transcriber.transcribe_video(video_path)
+        return text
+    except Exception:
+        return None
+
+
+def run_qa(
+    engine: InferenceEngine,
+    samples: List[Dict],
+    video_dir: str,
+    conv_mode: str,
+    video_prefix: str = "",
+    num_frames: int = 100,
+    transcriber=None,
+    on_result: Optional[Callable[[Dict], None]] = None,
+) -> List[Dict]:
+    """Single-question loop (per-sample fault tolerance preserved)."""
+    out: List[Dict] = []
+    for sample in samples:
+        try:
+            video_path = find_video(video_dir, sample["video_name"], video_prefix)
+            if video_path is None:
+                raise FileNotFoundError(sample["video_name"])
+            frames = load_video(
+                video_path,
+                num_frm=num_frames,
+                shape=(engine.cfg.vision.image_size, engine.cfg.vision.image_size),
+            )
+            transcript = _maybe_transcribe(transcriber, video_path)
+            pred = engine.infer(
+                frames, sample["question"], conv_mode, transcript,
+                num_valid_frames=frames.shape[0],
+            )
+            result = dict(sample)
+            result["pred"] = pred
+            out.append(result)
+            if on_result:
+                on_result(result)
+        except Exception as e:  # noqa: BLE001 — reference behavior
+            print(f"Error processing video file '{sample.get('video_name')}': {e}")
+    return out
+
+
+def run_consistency(
+    engine: InferenceEngine,
+    samples: List[Dict],
+    video_dir: str,
+    conv_mode: str,
+    num_frames: int = 100,
+    transcriber=None,
+) -> List[Dict]:
+    """Two-question consistency loop
+    (run_inference_benchmark_consistency.py:28-97)."""
+    out: List[Dict] = []
+    for sample in samples:
+        try:
+            video_path = find_video(video_dir, sample["video_name"])
+            if video_path is None:
+                raise FileNotFoundError(sample["video_name"])
+            frames = load_video(
+                video_path,
+                num_frm=num_frames,
+                shape=(engine.cfg.vision.image_size, engine.cfg.vision.image_size),
+            )
+            transcript = _maybe_transcribe(transcriber, video_path)
+            result = dict(sample)
+            result["pred1"] = engine.infer(
+                frames, sample["Q1"], conv_mode, transcript,
+                num_valid_frames=frames.shape[0],
+            )
+            result["pred2"] = engine.infer(
+                frames, sample["Q2"], conv_mode, transcript,
+                num_valid_frames=frames.shape[0],
+            )
+            out.append(result)
+        except Exception as e:  # noqa: BLE001
+            print(f"Error processing video file '{sample.get('video_name')}': {e}")
+    return out
+
+
+def load_dataset(args) -> List[Dict]:
+    """Normalize the per-dataset JSON layouts to a flat sample list."""
+    if args.dataset == "activitynet":
+        with open(args.gt_file_question) as f:
+            questions = json.load(f)
+        with open(args.gt_file_answers) as f:
+            answers = json.load(f)
+        samples = []
+        for q, a in zip(questions, answers):
+            samples.append(
+                {
+                    "id": q["question_id"],
+                    "video_name": q["video_name"],
+                    "question": q["question"],
+                    "answer": a["answer"],
+                }
+            )
+        return samples
+    with open(args.gt_file) as f:
+        data = json.load(f)
+    if args.dataset == "msrvtt" and args.video_name_mapping:
+        with open(args.video_name_mapping) as f:
+            mapping = json.load(f)
+        for s in data:
+            s["video_name"] = mapping.get(s["video_name"], s["video_name"])
+    return data
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument(
+        "--dataset",
+        required=True,
+        choices=["activitynet", "msvd", "msrvtt", "tgif", "benchmark",
+                 "consistency"],
+    )
+    p.add_argument("--model_name", default=None)
+    p.add_argument("--projection_path", default=None)
+    p.add_argument("--clip_path", default=None)
+    p.add_argument("--model_size", default="7b")
+    p.add_argument("--video_dir", required=True)
+    p.add_argument("--gt_file", default=None)
+    p.add_argument("--gt_file_question", default=None)
+    p.add_argument("--gt_file_answers", default=None)
+    p.add_argument("--video_name_mapping", default=None)
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--output_name", required=True)
+    p.add_argument("--conv_mode", default="pg-video-llava")
+    p.add_argument("--use_asr", action="store_true")
+    p.add_argument("--mesh_model", type=int, default=None)
+    args = p.parse_args(argv)
+
+    engine = initialize_model(
+        args.model_name,
+        args.projection_path,
+        args.clip_path,
+        model_size=args.model_size,
+        mesh_model=args.mesh_model,
+    )
+
+    transcriber = None
+    if args.use_asr:
+        from video_llava_tpu.audio.builders import build_default_transcriber
+
+        transcriber = build_default_transcriber()
+
+    samples = load_dataset(args)
+    os.makedirs(args.output_dir, exist_ok=True)
+    # TGIF loads GIFs at 8 frames (run_inference_qa_tgif.py:30-54).
+    num_frames = 8 if args.dataset == "tgif" else 100
+    prefix = "v_" if args.dataset == "activitynet" else ""
+
+    if args.dataset == "consistency":
+        results = run_consistency(
+            engine, samples, args.video_dir, args.conv_mode,
+            transcriber=transcriber,
+        )
+    else:
+        results = run_qa(
+            engine, samples, args.video_dir, args.conv_mode,
+            video_prefix=prefix, num_frames=num_frames,
+            transcriber=transcriber,
+        )
+
+    with open(os.path.join(args.output_dir, f"{args.output_name}.json"), "w") as f:
+        json.dump(results, f)
+    print(f"wrote {len(results)} results")
+
+
+if __name__ == "__main__":
+    main()
