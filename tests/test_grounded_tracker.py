@@ -1,0 +1,84 @@
+"""Grounded tracker orchestration with stub detector/segmenter: online
+and semionline modes, id persistence, NMS + voting."""
+
+import numpy as np
+import pytest
+
+from video_llava_tpu.grounding.memory_tracker import TrackerConfig
+from video_llava_tpu.grounding.tracker import GroundedTracker
+
+
+def _make_video(n=10, H=64, W=64, size=16, step=4):
+    """Red square moving right by `step` px per frame."""
+    frames, gts = [], []
+    for i in range(n):
+        f = np.full((H, W, 3), 128, np.uint8)
+        x = 4 + i * step
+        f[24 : 24 + size, x : x + size] = (230, 40, 40)
+        frames.append(f)
+        gts.append((x, 24, x + size, 24 + size))
+    return frames, gts
+
+
+def _stub_detector(image, prompts):
+    """Perfect color detector for the red square."""
+    red = (image[..., 0] > 180) & (image[..., 1] < 100)
+    ys, xs = np.nonzero(red)
+    if len(xs) == 0:
+        return np.zeros((0, 4), np.float32), np.zeros((0,)), np.zeros((0,), int)
+    box = np.array(
+        [[xs.min(), ys.min(), xs.max() + 1, ys.max() + 1]], np.float32
+    )
+    return box, np.array([0.9], np.float32), np.array([0], int)
+
+
+def _stub_segmenter(image, boxes):
+    masks = np.zeros((len(boxes),) + image.shape[:2], np.float32)
+    for i, (x0, y0, x1, y1) in enumerate(boxes.astype(int)):
+        masks[i, y0:y1, x0:x1] = 1.0
+    return masks
+
+
+@pytest.mark.parametrize("setting", ["online", "semionline"])
+def test_tracks_square(setting):
+    frames, gts = _make_video()
+    tracker = GroundedTracker(
+        detector=_stub_detector,
+        segmenter=_stub_segmenter,
+        detection_every=5,
+        temporal_setting=setting,
+        num_voting_frames=3,
+        tracker_cfg=TrackerConfig(max_objects=4, patch=4, temperature=0.02),
+    )
+    results = tracker.run_on_list_of_images(frames, ["red square"])
+    assert len(results) == len(frames)
+    assert [r.frame_index for r in results] == list(range(len(frames)))
+    hits = 0
+    for r, (x0, y0, x1, y1) in zip(results, gts):
+        pred = r.masks[0] > 0.5
+        want = np.zeros_like(pred)
+        want[y0:y1, x0:x1] = True
+        inter = (pred & want).sum()
+        union = (pred | want).sum()
+        if union and inter / union > 0.4:
+            hits += 1
+    assert hits >= len(frames) * 0.7, hits
+    # one persistent object id
+    assert all(len(r.objects) == 1 for r in results if r.objects)
+
+
+def test_no_detections_yields_empty_masks():
+    frames = [np.full((32, 32, 3), 128, np.uint8) for _ in range(4)]
+
+    def empty_detector(image, prompts):
+        return np.zeros((0, 4), np.float32), np.zeros((0,)), np.zeros((0,), int)
+
+    tracker = GroundedTracker(
+        detector=empty_detector,
+        segmenter=_stub_segmenter,
+        detection_every=2,
+        tracker_cfg=TrackerConfig(max_objects=2, patch=4),
+    )
+    results = tracker.run_on_list_of_images(frames, ["thing"])
+    assert len(results) == 4
+    assert all((r.masks <= 0.5).all() for r in results)

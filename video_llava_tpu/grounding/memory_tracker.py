@@ -1,0 +1,192 @@
+"""Space-time memory mask propagation (XMem/DEVA-style) in JAX.
+
+Replaces the DEVA propagation tracker the reference wraps
+(grounding_evaluation/grounding_new_api.py:21-24, :285-286, :503-509):
+masks are carried across frames by attending from the query frame's
+pixel features to a memory bank of (key, per-object value) pairs.
+
+TPU design (the reference's pain points solved by construction):
+  * static shapes everywhere — object count padded to `max_objects`
+    (cfg grounding_new_api.py:95 pads the same way), memory is a
+    fixed-slot ring buffer, so propagation compiles exactly once;
+  * one jitted step per frame; no host sync inside the loop;
+  * the feature extractor is injectable: a handcrafted color+position
+    embedding works training-free (classical STM matching), a Swin
+    backbone slot s in when weights are available.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackerConfig:
+    max_objects: int = 8  # reference max_num_objects cfg
+    mem_slots: int = 8  # memory frames kept (ring buffer)
+    patch: int = 8  # feature grid stride in pixels
+    temperature: float = 0.05
+    top_k: int = 16  # top-k memory readout (XMem-style sparsity)
+    pos_weight: float = 0.4  # weight of spatial coords in the feature
+
+
+class TrackerState(NamedTuple):
+    keys: jax.Array  # (S, N, c) memory keys per slot
+    values: jax.Array  # (S, N, O) soft object assignments per slot
+    slot_valid: jax.Array  # (S,) bool
+    next_slot: jax.Array  # () int32 ring pointer
+    num_objects: jax.Array  # () int32
+
+
+def default_features(frame: jax.Array, cfg: TrackerConfig) -> jax.Array:
+    """Handcrafted pixel features: patch-mean RGB (unit-scaled) ++
+    spatial coordinates. frame: (H, W, 3) float in [0,1] ->
+    (N = (H/p)*(W/p), 5)."""
+    p = cfg.patch
+    H, W, _ = frame.shape
+    gh, gw = H // p, W // p
+    x = frame[: gh * p, : gw * p].reshape(gh, p, gw, p, 3).mean(axis=(1, 3))
+    ys = (jnp.arange(gh, dtype=jnp.float32) + 0.5) / gh
+    xs = (jnp.arange(gw, dtype=jnp.float32) + 0.5) / gw
+    pos = jnp.stack(jnp.meshgrid(ys, xs, indexing="ij"), axis=-1)
+    feats = jnp.concatenate([x, cfg.pos_weight * pos], axis=-1)
+    return feats.reshape(gh * gw, -1)
+
+
+def masks_to_grid(masks: jax.Array, cfg: TrackerConfig) -> jax.Array:
+    """(O, H, W) -> (N, O) per-patch object fractions."""
+    p = cfg.patch
+    o, H, W = masks.shape
+    gh, gw = H // p, W // p
+    m = masks[:, : gh * p, : gw * p].reshape(o, gh, p, gw, p)
+    m = m.astype(jnp.float32).mean(axis=(2, 4))
+    return m.reshape(o, gh * gw).T
+
+
+def grid_to_masks(grid: jax.Array, hw: Tuple[int, int],
+                  cfg: TrackerConfig) -> jax.Array:
+    """(N, O) -> (O, H, W) by nearest upsampling of the patch grid."""
+    H, W = hw
+    p = cfg.patch
+    gh, gw = H // p, W // p
+    g = grid.T.reshape(-1, gh, gw)
+    g = jnp.repeat(jnp.repeat(g, p, axis=1), p, axis=2)
+    return jnp.pad(g, ((0, 0), (0, H - gh * p), (0, W - gw * p)))
+
+
+def init_state(cfg: TrackerConfig, num_patches: int, feat_dim: int) -> TrackerState:
+    return TrackerState(
+        keys=jnp.zeros((cfg.mem_slots, num_patches, feat_dim), jnp.float32),
+        values=jnp.zeros((cfg.mem_slots, num_patches, cfg.max_objects),
+                         jnp.float32),
+        slot_valid=jnp.zeros((cfg.mem_slots,), bool),
+        next_slot=jnp.zeros((), jnp.int32),
+        num_objects=jnp.zeros((), jnp.int32),
+    )
+
+
+def write_memory(
+    state: TrackerState, feats: jax.Array, obj_grid: jax.Array,
+    num_objects: jax.Array,
+) -> TrackerState:
+    """Insert (feats, objects) into the ring buffer."""
+    s = state.next_slot % state.keys.shape[0]
+    return TrackerState(
+        keys=state.keys.at[s].set(feats),
+        values=state.values.at[s].set(obj_grid),
+        slot_valid=state.slot_valid.at[s].set(True),
+        next_slot=state.next_slot + 1,
+        num_objects=jnp.maximum(state.num_objects, num_objects),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def propagate_step(
+    state: TrackerState, feats: jax.Array, cfg: TrackerConfig
+) -> jax.Array:
+    """Read the memory with the query frame -> (N, O) object scores."""
+    S, N, c = state.keys.shape
+    mem_k = state.keys.reshape(S * N, c)
+    mem_v = state.values.reshape(S * N, cfg.max_objects)
+    valid = jnp.repeat(state.slot_valid, N)
+
+    # Negative squared L2 similarity (XMem's anisotropic similarity,
+    # simplified), masked to valid slots.
+    d2 = (
+        jnp.sum(feats**2, -1, keepdims=True)
+        - 2.0 * feats @ mem_k.T
+        + jnp.sum(mem_k**2, -1)[None, :]
+    )
+    sim = -d2 / cfg.temperature
+    sim = jnp.where(valid[None, :], sim, -jnp.inf)
+
+    # top-k sparse readout
+    k = min(cfg.top_k, S * N)
+    top_sim, top_idx = jax.lax.top_k(sim, k)
+    att = jax.nn.softmax(top_sim, axis=-1)
+    top_v = mem_v[top_idx]  # (N, k, O)
+    return jnp.einsum("nk,nko->no", att, top_v)
+
+
+class MemoryTracker:
+    """Host-side wrapper with the reference tracker's lifecycle
+    (init_tracker/clear_tracker, grounding_new_api.py:357-371,540-548)."""
+
+    def __init__(self, cfg: TrackerConfig = TrackerConfig(),
+                 feature_fn: Optional[Callable] = None):
+        self.cfg = cfg
+        self.feature_fn = feature_fn or (
+            lambda f: default_features(f, self.cfg)
+        )
+        self.state: Optional[TrackerState] = None
+        self._hw: Optional[Tuple[int, int]] = None
+
+    def clear(self):
+        self.state = None
+
+    def add_reference(self, frame: np.ndarray, masks: np.ndarray) -> None:
+        """frame: (H, W, 3) in [0,1]; masks: (O, H, W) binary. Pads
+        objects to max_objects."""
+        frame = jnp.asarray(frame, jnp.float32)
+        o = masks.shape[0]
+        pad = self.cfg.max_objects - o
+        if pad < 0:
+            masks = masks[: self.cfg.max_objects]
+            o, pad = self.cfg.max_objects, 0
+        masks = jnp.asarray(
+            np.pad(masks.astype(np.float32), ((0, pad), (0, 0), (0, 0)))
+        )
+        feats = self.feature_fn(frame)
+        if self.state is None or self._hw != frame.shape[:2]:
+            self.state = init_state(self.cfg, feats.shape[0], feats.shape[1])
+            self._hw = tuple(frame.shape[:2])
+        grid = masks_to_grid(masks, self.cfg)
+        self.state = write_memory(
+            self.state, feats, grid, jnp.int32(o)
+        )
+
+    def step(self, frame: np.ndarray, update_memory: bool = True) -> np.ndarray:
+        """Propagate to a new frame -> (max_objects, H, W) soft masks."""
+        assert self.state is not None, "add_reference first"
+        frame = jnp.asarray(frame, jnp.float32)
+        feats = self.feature_fn(frame)
+        grid = propagate_step(self.state, feats, self.cfg)
+        if update_memory:
+            # only write confident assignments back
+            conf = jnp.where(grid > 0.5, grid, 0.0)
+            self.state = write_memory(
+                self.state, feats, conf, self.state.num_objects
+            )
+        masks = grid_to_masks(grid, self._hw, self.cfg)
+        return np.asarray(masks)
+
+    @property
+    def num_objects(self) -> int:
+        return int(self.state.num_objects) if self.state is not None else 0

@@ -1,0 +1,240 @@
+"""Grounded tracking orchestrator: detect + segment + propagate.
+
+Parity: reference Tracker_with_GroundingDINO
+(grounding_evaluation/grounding_new_api.py:242-598):
+  * `detect_and_segment_on_frame` (:373-445): text-prompted detection ->
+    NMS -> SAM box masks -> CLIP zero-shot crop filtering -> an id mask
+    built in descending-area order so the smallest object survives;
+  * `process_frame` (:448-521): 'online' (detect every N frames,
+    propagate otherwise) and 'semionline' (buffer num_voting_frames,
+    vote, incorporate) temporal settings;
+  * `run_on_video` / `run_on_list_of_images` (:574-598).
+
+The detector / segmenter / crop-filter are injected callables so the
+orchestrator composes our JAX GroundingDINO, SAM and CLIP — or test
+stubs — without code changes. Propagation is the JAX memory tracker.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, List, NamedTuple, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from video_llava_tpu.grounding.memory_tracker import MemoryTracker, TrackerConfig
+from video_llava_tpu.ops.box_ops import box_iou, masks_to_boxes, nms
+
+Detector = Callable[[np.ndarray, Sequence[str]], Tuple[np.ndarray, np.ndarray, np.ndarray]]
+Segmenter = Callable[[np.ndarray, np.ndarray], np.ndarray]
+CropFilter = Callable[[np.ndarray, np.ndarray, np.ndarray, Sequence[str]], np.ndarray]
+
+
+class ObjectInfo(NamedTuple):
+    id: int
+    category_id: int
+    score: float
+
+
+class FrameResult(NamedTuple):
+    frame_index: int
+    masks: np.ndarray  # (max_objects, H, W) soft masks
+    objects: List[ObjectInfo]
+
+
+@dataclasses.dataclass
+class GroundedTracker:
+    detector: Detector
+    segmenter: Segmenter
+    crop_filter: Optional[CropFilter] = None
+    classes: Sequence[str] = ()
+    detection_every: int = 5
+    temporal_setting: str = "online"  # or 'semionline'
+    num_voting_frames: int = 3
+    box_threshold: float = 0.35
+    nms_threshold: float = 0.5
+    iou_match_threshold: float = 0.5
+    tracker_cfg: TrackerConfig = dataclasses.field(default_factory=TrackerConfig)
+
+    def __post_init__(self):
+        self.tracker = MemoryTracker(self.tracker_cfg)
+        self._objects: List[ObjectInfo] = []
+        self._buffer: List[Tuple[int, np.ndarray, np.ndarray, List[ObjectInfo]]] = []
+
+    # -- lifecycle (reference init_tracker/clear_tracker) --------------------
+
+    def clear(self):
+        self.tracker.clear()
+        self._objects = []
+        self._buffer = []
+
+    # -- detection ------------------------------------------------------------
+
+    def detect_and_segment(
+        self, image: np.ndarray, prompts: Sequence[str]
+    ) -> Tuple[np.ndarray, List[ObjectInfo]]:
+        """-> (masks (n, H, W) float in {0,1} sorted by descending area,
+        object infos). Mirrors grounding_new_api.py:373-445."""
+        boxes, conf, class_ids = self.detector(image, prompts)
+        if len(boxes) == 0:
+            return np.zeros((0,) + image.shape[:2], np.float32), []
+        keep = conf >= self.box_threshold
+        boxes, conf, class_ids = boxes[keep], conf[keep], class_ids[keep]
+        if len(boxes) == 0:
+            return np.zeros((0,) + image.shape[:2], np.float32), []
+        keep = np.asarray(
+            nms(jnp.asarray(boxes), jnp.asarray(conf), self.nms_threshold)
+        )
+        boxes, conf, class_ids = boxes[keep], conf[keep], class_ids[keep]
+
+        masks = self.segmenter(image, boxes)  # (n, H, W)
+        if self.crop_filter is not None and len(boxes):
+            keep = self.crop_filter(image, boxes, class_ids, prompts)
+            boxes, conf, class_ids, masks = (
+                boxes[keep], conf[keep], class_ids[keep], masks[keep],
+            )
+
+        # descending area so the smallest object is painted last
+        areas = masks.reshape(len(masks), -1).sum(axis=1)
+        order = np.argsort(-areas)
+        infos = [
+            ObjectInfo(id=i + 1, category_id=int(class_ids[j]),
+                       score=float(conf[j]))
+            for i, j in enumerate(order)
+        ]
+        return masks[order].astype(np.float32), infos
+
+    # -- detection <-> propagation association --------------------------------
+
+    def _incorporate(
+        self, frame01: np.ndarray, det_masks: np.ndarray,
+        det_infos: List[ObjectInfo],
+    ) -> np.ndarray:
+        """Match detections to tracked objects by mask IoU; matched
+        detections refresh their object's mask, unmatched spawn new ids
+        (DEVA incorporate_detection semantics)."""
+        max_o = self.tracker_cfg.max_objects
+        H, W = frame01.shape[:2]
+        if self.tracker.state is None or not self._objects:
+            n = min(len(det_masks), max_o)
+            self._objects = [
+                ObjectInfo(i + 1, det_infos[i].category_id, det_infos[i].score)
+                for i in range(n)
+            ]
+            slots = np.zeros((max_o, H, W), np.float32)
+            slots[:n] = det_masks[:n]
+            self.tracker.clear()
+            if n:
+                self.tracker.add_reference(frame01, slots)
+            return slots
+
+        prev = self.tracker.step(frame01, update_memory=False)  # (max_o, H, W)
+        slots = prev.copy()
+        used = set()
+        if len(det_masks):
+            det_boxes = np.asarray(masks_to_boxes(jnp.asarray(det_masks)))
+            prev_boxes = np.asarray(masks_to_boxes(jnp.asarray(prev > 0.5)))
+            iou = np.asarray(
+                box_iou(jnp.asarray(det_boxes), jnp.asarray(prev_boxes))[0]
+            )
+            for d in range(len(det_masks)):
+                j = int(np.argmax(iou[d])) if iou.shape[1] else -1
+                if j >= 0 and iou[d, j] >= self.iou_match_threshold and (
+                    j < len(self._objects) and j not in used
+                ):
+                    slots[j] = det_masks[d]
+                    used.add(j)
+                elif len(self._objects) < self.tracker_cfg.max_objects:
+                    new_id = len(self._objects)
+                    self._objects.append(
+                        ObjectInfo(new_id + 1, det_infos[d].category_id,
+                                   det_infos[d].score)
+                    )
+                    slots[new_id] = det_masks[d]
+        self.tracker.add_reference(frame01, slots)
+        return slots
+
+    # -- per-frame processing ---------------------------------------------------
+
+    def process_frame(self, ti: int, image: np.ndarray) -> Optional[List[FrameResult]]:
+        """image: (H, W, 3) uint8 RGB. Returns results ready at this
+        step (semionline buffers frames; online returns one result)."""
+        frame01 = image.astype(np.float32) / 255.0
+        prompts = list(self.classes)
+
+        if self.temporal_setting == "online":
+            if ti % self.detection_every == 0:
+                det_masks, infos = self.detect_and_segment(image, prompts)
+                slots = self._incorporate(frame01, det_masks, infos)
+            else:
+                slots = self.tracker.step(frame01) if self.tracker.state is not None else np.zeros(
+                    (self.tracker_cfg.max_objects,) + image.shape[:2], np.float32
+                )
+            return [FrameResult(ti, slots, list(self._objects))]
+
+        # semionline: collect detections for num_voting_frames, vote.
+        det_masks, infos = self.detect_and_segment(image, prompts)
+        self._buffer.append((ti, frame01, det_masks, infos))
+        if len(self._buffer) < self.num_voting_frames:
+            return None
+        results: List[FrameResult] = []
+        # keyframe = first buffered frame; majority-vote its detections
+        t0, f0, m0, i0 = self._buffer[0]
+        voted_masks, voted_infos = self._vote()
+        slots = self._incorporate(f0, voted_masks, voted_infos)
+        results.append(FrameResult(t0, slots, list(self._objects)))
+        for tj, fj, _, _ in self._buffer[1:]:
+            slots = self.tracker.step(fj)
+            results.append(FrameResult(tj, slots, list(self._objects)))
+        self._buffer = []
+        return results
+
+    def _vote(self) -> Tuple[np.ndarray, List[ObjectInfo]]:
+        """Keep keyframe detections confirmed (IoU>=0.5) in a majority
+        of the buffered frames (DEVA's spatio-temporal voting)."""
+        t0, f0, m0, i0 = self._buffer[0]
+        if len(m0) == 0:
+            return m0, i0
+        votes = np.zeros(len(m0), np.int32)
+        b0 = np.asarray(masks_to_boxes(jnp.asarray(m0)))
+        for _, _, mj, _ in self._buffer[1:]:
+            if len(mj) == 0:
+                continue
+            bj = np.asarray(masks_to_boxes(jnp.asarray(mj)))
+            iou = np.asarray(box_iou(jnp.asarray(b0), jnp.asarray(bj))[0])
+            votes += (iou.max(axis=1) >= 0.5).astype(np.int32)
+        need = (len(self._buffer) - 1 + 1) // 2
+        keep = votes >= need
+        return m0[keep], [info for k, info in zip(keep, i0) if k]
+
+    # -- public APIs (reference :574-598) ----------------------------------------
+
+    def run_on_list_of_images(
+        self, frames: Sequence[np.ndarray], classes: Sequence[str]
+    ) -> List[FrameResult]:
+        self.classes = list(classes)
+        self.clear()
+        results: List[FrameResult] = []
+        for ti, frame in enumerate(frames):
+            out = self.process_frame(ti, frame)
+            if out:
+                results.extend(out)
+        # flush semionline remainder by propagation
+        for tj, fj, _, _ in self._buffer:
+            if self.tracker.state is not None:
+                results.append(
+                    FrameResult(tj, self.tracker.step(fj), list(self._objects))
+                )
+        self._buffer = []
+        results.sort(key=lambda r: r.frame_index)
+        return results
+
+    def run_on_video(
+        self, video_path: str, classes: Sequence[str], num_frames: int = 100
+    ) -> List[FrameResult]:
+        from video_llava_tpu.media.loader import load_video_native_size
+
+        frames = load_video_native_size(video_path, num_frm=num_frames)
+        return self.run_on_list_of_images(list(frames), classes)
