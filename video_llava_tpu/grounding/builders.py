@@ -1,0 +1,210 @@
+"""Assembly of the grounding stack (detector + SAM + CLIP filter +
+tagger + tracker + entity matching).
+
+Checkpoint dirs are optional everywhere: absent weights fall back to
+random init so the full pipeline stays runnable (and testable) in
+air-gapped environments; real checkpoints drop in via the same HF
+converters used in the parity tests.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from video_llava_tpu.config import CLIPTextConfig, CLIPVisionConfig
+from video_llava_tpu.grounding.clip_filter import ClipCropFilter
+from video_llava_tpu.grounding.entity_matching import EntityMatchingModule
+from video_llava_tpu.grounding.memory_tracker import TrackerConfig
+from video_llava_tpu.grounding.tagging import TaggingModule, init_tag_head
+from video_llava_tpu.grounding.tracker import GroundedTracker
+from video_llava_tpu.models import clip as clip_mod
+from video_llava_tpu.models import sam as sam_mod
+from video_llava_tpu.models import swin as swin_mod
+from video_llava_tpu.models.sam import SamConfig
+from video_llava_tpu.models.swin import SwinConfig
+from video_llava_tpu.ops.image import normalize_clip, resize_bicubic
+
+# A small default tag vocabulary (the RAM checkpoint ships its own
+# 4,585-tag list; loaded from file when available).
+DEFAULT_TAG_LIST = [
+    "person", "man", "woman", "child", "dog", "cat", "car", "bicycle",
+    "tree", "building", "table", "chair", "food", "water", "road",
+    "grass", "sky", "ball", "phone", "guitar",
+]
+
+
+class SamSegmenter:
+    """segmenter(image, boxes) -> (n, H, W) masks: best-of-3 multimask
+    by predicted IoU (reference grounding_new_api.py:410-418)."""
+
+    def __init__(self, params, cfg: SamConfig):
+        self.params = params
+        self.cfg = cfg
+        self._predict = jax.jit(
+            lambda p, px, bx: sam_mod.predict_boxes(p, px, bx, cfg)
+        )
+
+    def __call__(self, image: np.ndarray, boxes: np.ndarray) -> np.ndarray:
+        H, W = image.shape[:2]
+        size = self.cfg.vision.image_size
+        pixels = normalize_clip(
+            jnp.clip(
+                jnp.round(
+                    resize_bicubic(jnp.asarray(image.astype(np.float32)), size, size)
+                ),
+                0,
+                255,
+            )
+        )[None]
+        scale_x, scale_y = size / W, size / H
+        scaled = boxes.astype(np.float32) * np.array(
+            [scale_x, scale_y, scale_x, scale_y], np.float32
+        )
+        masks, iou = self._predict(
+            self.params, pixels, jnp.asarray(scaled)[None]
+        )
+        masks, iou = np.asarray(masks[0]), np.asarray(iou[0])  # (n, 3, g, g)
+        best = iou.argmax(axis=1)
+        out = np.zeros((len(boxes), H, W), np.float32)
+        for i, b in enumerate(best):
+            m = masks[i, b] > 0
+            # nearest upsample from mask grid to frame size
+            g = m.shape[0]
+            ys = (np.arange(H) * g // H).clip(0, g - 1)
+            xs = (np.arange(W) * g // W).clip(0, g - 1)
+            out[i] = m[np.ix_(ys, xs)].astype(np.float32)
+        return out
+
+
+def build_sam(checkpoint_dir: Optional[str] = None,
+              cfg: Optional[SamConfig] = None) -> SamSegmenter:
+    cfg = cfg or SamConfig()
+    if checkpoint_dir:
+        from video_llava_tpu.engine.weights import load_checkpoint_dir
+
+        sd = load_checkpoint_dir(checkpoint_dir)
+        params = sam_mod.convert_hf_sam(sd, cfg)
+    else:
+        # random init keeps the pipeline runnable without weights
+        import warnings
+
+        warnings.warn("SAM weights not provided; using random init")
+        params = _random_sam_params(cfg)
+    return SamSegmenter(params, cfg)
+
+
+def _random_sam_params(cfg: SamConfig):
+    """Random SAM params with the converter's layout."""
+    import torch
+    import transformers
+
+    hf = transformers.SamModel(
+        transformers.SamConfig(
+            vision_config=dict(
+                hidden_size=cfg.vision.hidden_size,
+                num_hidden_layers=cfg.vision.num_layers,
+                num_attention_heads=cfg.vision.num_heads,
+                image_size=cfg.vision.image_size,
+                patch_size=cfg.vision.patch_size,
+                global_attn_indexes=list(cfg.vision.global_attn_indexes),
+                window_size=cfg.vision.window_size,
+                mlp_dim=cfg.vision.mlp_dim,
+                output_channels=cfg.vision.output_channels,
+                num_pos_feats=cfg.prompt_hidden // 2,
+            ),
+            prompt_encoder_config=dict(
+                hidden_size=cfg.prompt_hidden,
+                image_size=cfg.vision.image_size,
+                patch_size=cfg.vision.patch_size,
+            ),
+            mask_decoder_config=dict(
+                hidden_size=cfg.prompt_hidden,
+                num_attention_heads=cfg.decoder_heads,
+                mlp_dim=cfg.decoder_mlp_dim,
+            ),
+        )
+    )
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+    return sam_mod.convert_hf_sam(sd, cfg)
+
+
+def build_tagger(
+    swin_checkpoint: Optional[str] = None,
+    tag_list: Sequence[str] = DEFAULT_TAG_LIST,
+    cfg: Optional[SwinConfig] = None,
+) -> TaggingModule:
+    cfg = cfg or SwinConfig.swin_l()
+    if swin_checkpoint:
+        from video_llava_tpu.engine.weights import load_checkpoint_dir
+
+        sd = load_checkpoint_dir(swin_checkpoint)
+        backbone = swin_mod.convert_hf_swin(sd, cfg)
+    else:
+        backbone = swin_mod.init_params(jax.random.PRNGKey(0), cfg)
+    head = init_tag_head(jax.random.PRNGKey(1), cfg.num_features, len(tag_list))
+    return TaggingModule(backbone, head, cfg, tag_list)
+
+
+def build_clip_filter(
+    clip_checkpoint: Optional[str] = None,
+) -> Optional[ClipCropFilter]:
+    """CLIP zero-shot crop filter; None without weights or a real
+    tokenizer (scores from random towers would be noise)."""
+    if not clip_checkpoint:
+        return None
+    from transformers import AutoTokenizer
+
+    from video_llava_tpu.engine.weights import (
+        convert_clip_text,
+        convert_clip_vision,
+        load_checkpoint_dir,
+    )
+
+    sd = load_checkpoint_dir(clip_checkpoint)
+    vcfg = CLIPVisionConfig()
+    tcfg = CLIPTextConfig()
+    vparams = convert_clip_vision(sd, vcfg)
+    tparams = convert_clip_text(sd, tcfg)
+    import numpy as _np
+
+    vproj = {"kernel": _np.ascontiguousarray(sd["visual_projection.weight"].T)}
+    tok = AutoTokenizer.from_pretrained(clip_checkpoint)
+    return ClipCropFilter(
+        vparams, vcfg, tparams, tcfg,
+        tokenize=lambda s: tok(s).input_ids,
+        visual_projection={"kernel": jnp.asarray(vproj["kernel"])},
+    )
+
+
+def build_grounding_stack(
+    dino_checkpoint: Optional[str] = None,
+    sam_checkpoint: Optional[str] = None,
+    swin_checkpoint: Optional[str] = None,
+    clip_checkpoint: Optional[str] = None,
+    detection_every: int = 5,
+    temporal_setting: str = "online",
+    max_objects: int = 5,
+) -> Tuple[GroundedTracker, TaggingModule, EntityMatchingModule]:
+    """Wire the full PGVideoLLaVA grounding stack
+    (reference chat.py:243-252)."""
+    from video_llava_tpu.models import grounding_dino as gdino_mod
+
+    detector = gdino_mod.build_detector(dino_checkpoint)
+    segmenter = build_sam(sam_checkpoint)
+    crop_filter = build_clip_filter(clip_checkpoint)
+    tracker = GroundedTracker(
+        detector=detector,
+        segmenter=segmenter,
+        crop_filter=crop_filter,
+        detection_every=detection_every,
+        temporal_setting=temporal_setting,
+        tracker_cfg=TrackerConfig(max_objects=max_objects),
+    )
+    tagger = build_tagger(swin_checkpoint)
+    matcher = EntityMatchingModule()
+    return tracker, tagger, matcher
