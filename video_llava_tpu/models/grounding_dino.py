@@ -1,0 +1,875 @@
+"""Grounding DINO (open-vocabulary detector) in pure-functional JAX.
+
+Replaces the reference's GroundingDINO dependency — the text-prompted
+detector inside the grounding tracker (grounding_evaluation/
+grounding_new_api.py:25,288,393-398) whose multi-scale deformable
+attention is a CUDA kernel there and ops/deformable.py here.
+
+Architecture (matching HF GroundingDinoForObjectDetection so official
+checkpoints convert 1:1):
+  Swin backbone (3 stages + 1 extra stride-2 conv level)  ─┐
+  BERT text backbone + projection                          ├─ encoder
+  (6 x [bi-attention fusion, text enhancer, deformable])  ─┘
+  two-stage query selection (top-900 proposals)  →  decoder
+  (6 x [self-attn, text cross-attn, deformable cross-attn])
+  contrastive class head (query·text) + box-refinement MLP.
+
+Simplification vs HF: batches are same-size unpadded images (our video
+pipeline resizes frames), so pixel masks / valid ratios are identity.
+Text masks (special-token block-diagonal self-attention, padding) are
+implemented in full.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from video_llava_tpu.models import bert as bert_mod
+from video_llava_tpu.models import swin as swin_mod
+from video_llava_tpu.models.bert import BertConfig
+from video_llava_tpu.models.layers import layer_norm, linear
+from video_llava_tpu.models.swin import SwinConfig
+from video_llava_tpu.ops.deformable import multi_scale_deformable_attention
+
+# BERT ids for [CLS], [SEP], '.', '?' (prompt phrase separators).
+SPECIAL_TOKENS = (101, 102, 1012, 1029)
+
+
+@dataclasses.dataclass(frozen=True)
+class GroundingDinoConfig:
+    d_model: int = 256
+    num_queries: int = 900
+    encoder_layers: int = 6
+    decoder_layers: int = 6
+    encoder_attention_heads: int = 8
+    decoder_attention_heads: int = 8
+    encoder_ffn_dim: int = 2048
+    decoder_ffn_dim: int = 2048
+    encoder_n_points: int = 4
+    decoder_n_points: int = 4
+    num_feature_levels: int = 4
+    max_text_len: int = 256
+    layer_norm_eps: float = 1e-5
+    positional_embedding_temperature: float = 20.0
+    swin: SwinConfig = dataclasses.field(default_factory=SwinConfig.swin_t)
+    text: BertConfig = dataclasses.field(default_factory=BertConfig)
+    # Swin stages used as feature maps (HF out_indices [2, 3, 4]).
+    backbone_stage_indices: Tuple[int, ...] = (1, 2, 3)
+
+    @classmethod
+    def tiny_test(cls):
+        return cls(
+            d_model=32,
+            num_queries=20,
+            encoder_layers=2,
+            decoder_layers=2,
+            encoder_attention_heads=4,
+            decoder_attention_heads=4,
+            encoder_ffn_dim=64,
+            decoder_ffn_dim=64,
+            num_feature_levels=3,
+            max_text_len=32,
+            swin=SwinConfig.tiny_test(),
+            text=BertConfig.tiny_test(),
+            backbone_stage_indices=(0, 1),
+        )
+
+
+# -- host-side text mask construction ------------------------------------------
+
+
+def generate_text_masks(input_ids: np.ndarray):
+    """Block-diagonal self-attention between special tokens + restarted
+    position ids (HF generate_masks_with_special_tokens_and_transfer_map)."""
+    b, n = input_ids.shape
+    special = np.isin(input_ids, SPECIAL_TOKENS)
+    attention_mask = np.eye(n, dtype=bool)[None].repeat(b, axis=0)
+    position_ids = np.zeros((b, n), np.int64)
+    for row in range(b):
+        previous_col = 0
+        for col in np.nonzero(special[row])[0]:
+            if col == 0 or col == n - 1:
+                attention_mask[row, col, col] = True
+                position_ids[row, col] = 0
+            else:
+                attention_mask[
+                    row, previous_col + 1 : col + 1, previous_col + 1 : col + 1
+                ] = True
+                position_ids[row, previous_col + 1 : col + 1] = np.arange(
+                    0, col - previous_col
+                )
+            previous_col = col
+    return attention_mask, position_ids
+
+
+# -- positional encodings --------------------------------------------------------
+
+
+def sine_position_2d(h: int, w: int, d_model: int, temperature: float) -> jnp.ndarray:
+    """DETR-style sine pos embedding for an unpadded (h, w) map ->
+    (h*w, d_model)."""
+    half = d_model // 2
+    scale = 2 * math.pi
+    eps = 1e-6
+    y = (jnp.arange(h, dtype=jnp.float32) + 1.0) / (h + eps) * scale
+    x = (jnp.arange(w, dtype=jnp.float32) + 1.0) / (w + eps) * scale
+    dim_t = jnp.arange(half, dtype=jnp.float32)
+    dim_t = temperature ** (2 * jnp.floor(dim_t / 2) / half)
+    pos_x = x[:, None] / dim_t  # (w, half)
+    pos_y = y[:, None] / dim_t
+    pos_x = jnp.stack([jnp.sin(pos_x[:, 0::2]), jnp.cos(pos_x[:, 1::2])], axis=2
+                      ).reshape(w, -1)
+    pos_y = jnp.stack([jnp.sin(pos_y[:, 0::2]), jnp.cos(pos_y[:, 1::2])], axis=2
+                      ).reshape(h, -1)
+    pos = jnp.concatenate(
+        [
+            jnp.broadcast_to(pos_y[:, None, :], (h, w, half)),
+            jnp.broadcast_to(pos_x[None, :, :], (h, w, half)),
+        ],
+        axis=-1,
+    )
+    return pos.reshape(h * w, d_model)
+
+
+def get_sine_pos_embed(
+    pos: jnp.ndarray, num_pos_feats: int = 128, temperature: float = 10000.0,
+    exchange_xy: bool = True,
+) -> jnp.ndarray:
+    """HF get_sine_pos_embed: (..., n) -> (..., n * num_pos_feats)."""
+    scale = 2 * math.pi
+    dim_t = jnp.arange(num_pos_feats, dtype=jnp.float32)
+    dim_t = temperature ** (2 * jnp.floor(dim_t / 2) / num_pos_feats)
+
+    def sine(x):  # x: (..., 1)
+        s = x * scale / dim_t
+        return jnp.stack([jnp.sin(s[..., 0::2]), jnp.cos(s[..., 1::2])],
+                         axis=-1).reshape(*x.shape[:-1], -1)
+
+    parts = [sine(pos[..., i : i + 1]) for i in range(pos.shape[-1])]
+    if exchange_xy and len(parts) >= 2:
+        parts[0], parts[1] = parts[1], parts[0]
+    return jnp.concatenate(parts, axis=-1)
+
+
+# -- small modules ---------------------------------------------------------------
+
+
+def group_norm(p, x, num_groups: int = 32, eps: float = 1e-5):
+    """x: (b, h, w, c) channel-last GroupNorm with torch semantics:
+    statistics per (batch, group) over spatial dims AND the group's
+    channels."""
+    b, h, w, c = x.shape
+    g = min(num_groups, c)
+    xs = x.reshape(b, h * w, g, c // g).astype(jnp.float32)
+    mean = xs.mean(axis=(1, 3), keepdims=True)
+    var = xs.var(axis=(1, 3), keepdims=True)
+    xs = (xs - mean) * jax.lax.rsqrt(var + eps)
+    xs = xs.reshape(b, h, w, c)
+    return (xs * p["scale"] + p["bias"]).astype(x.dtype)
+
+
+def _mha(p, q, k, v, num_heads: int, bias=None):
+    """Standard MHA with separate projections; bias: additive (b,h,q,k)."""
+    b, nq, d = q.shape
+    nk = k.shape[1]
+    hd = d // num_heads
+    qh = linear(p["q"], q).reshape(b, nq, num_heads, hd)
+    kh = linear(p["k"], k).reshape(b, nk, num_heads, hd)
+    vh = linear(p["v"], v).reshape(b, nk, num_heads, hd)
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", qh, kh, preferred_element_type=jnp.float32
+    ) / math.sqrt(hd)
+    if bias is not None:
+        logits = logits + bias
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd", probs.astype(vh.dtype), vh,
+        preferred_element_type=jnp.float32,
+    ).astype(q.dtype)
+    return linear(p["o"], out.reshape(b, nq, d))
+
+
+def _deformable_attention(
+    p,
+    hidden: jnp.ndarray,  # queries (b, nq, d)
+    value_states: jnp.ndarray,  # (b, sum_hw, d)
+    pos: Optional[jnp.ndarray],
+    reference_points: jnp.ndarray,  # (b, nq, levels, 2 or 4)
+    spatial_shapes: Sequence[Tuple[int, int]],
+    num_heads: int,
+    n_points: int,
+):
+    d = hidden.shape[-1]
+    n_levels = len(spatial_shapes)
+    if pos is not None:
+        hidden = hidden + pos
+    b, nq, _ = hidden.shape
+    value = linear(p["value_proj"], value_states)
+    value = value.reshape(b, -1, num_heads, d // num_heads)
+    offsets = linear(p["sampling_offsets"], hidden).reshape(
+        b, nq, num_heads, n_levels, n_points, 2
+    )
+    weights = linear(p["attention_weights"], hidden).reshape(
+        b, nq, num_heads, n_levels * n_points
+    )
+    weights = jax.nn.softmax(weights, axis=-1).reshape(
+        b, nq, num_heads, n_levels, n_points
+    )
+    nc = reference_points.shape[-1]
+    if nc == 2:
+        normalizer = jnp.asarray(
+            [[w, h] for (h, w) in spatial_shapes], jnp.float32
+        )  # (levels, 2) as (w, h)
+        locs = (
+            reference_points[:, :, None, :, None, :]
+            + offsets / normalizer[None, None, None, :, None, :]
+        )
+    else:
+        locs = (
+            reference_points[:, :, None, :, None, :2]
+            + offsets / n_points * reference_points[:, :, None, :, None, 2:] * 0.5
+        )
+    out = multi_scale_deformable_attention(value, spatial_shapes, locs, weights)
+    return linear(p["output_proj"], out)
+
+
+# -- encoder/decoder layers --------------------------------------------------------
+
+
+def _bi_attention(p, vision, text, text_pad_mask, num_heads: int, head_dim: int):
+    """Bidirectional vision<->text cross attention (HF
+    GroundingDinoBiMultiHeadAttention). Returns (delta_v, delta_t)."""
+    b, nv, _ = vision.shape
+    nt = text.shape[1]
+    embed_dim = num_heads * head_dim
+    scale = head_dim**-0.5
+
+    vq = (linear(p["vision_proj"], vision) * scale).reshape(
+        b, nv, num_heads, head_dim
+    )
+    tk = linear(p["text_proj"], text).reshape(b, nt, num_heads, head_dim)
+    vv = linear(p["values_vision_proj"], vision).reshape(
+        b, nv, num_heads, head_dim
+    )
+    tv = linear(p["values_text_proj"], text).reshape(b, nt, num_heads, head_dim)
+
+    attn = jnp.einsum(
+        "bvhd,bthd->bhvt", vq, tk, preferred_element_type=jnp.float32
+    )
+    attn = attn - jnp.max(attn)
+    attn = jnp.clip(attn, -50000, 50000)
+    attn_t = jnp.swapaxes(attn, 2, 3)  # (b, h, t, v)
+    attn_t = attn_t - jnp.max(attn_t, axis=-1, keepdims=True)
+    attn_t = jnp.clip(attn_t, -50000, 50000)
+
+    # mask text (padding) for vision->text attention
+    if text_pad_mask is not None:
+        attn = jnp.where(text_pad_mask[:, None, None, :], -jnp.inf, attn)
+    v_probs = jax.nn.softmax(attn, axis=-1)
+    t_probs = jax.nn.softmax(attn_t, axis=-1)
+
+    delta_v = jnp.einsum(
+        "bhvt,bthd->bvhd", v_probs.astype(tv.dtype), tv,
+        preferred_element_type=jnp.float32,
+    ).astype(vision.dtype).reshape(b, nv, embed_dim)
+    delta_t = jnp.einsum(
+        "bhtv,bvhd->bthd", t_probs.astype(vv.dtype), vv,
+        preferred_element_type=jnp.float32,
+    ).astype(text.dtype).reshape(b, nt, embed_dim)
+    return linear(p["out_vision_proj"], delta_v), linear(p["out_text_proj"], delta_t)
+
+
+def _encoder_layer(
+    p,
+    cfg: GroundingDinoConfig,
+    vision, text, vision_pos, reference_points, spatial_shapes,
+    text_pad_mask, text_self_mask, text_position_ids,
+):
+    eps = cfg.layer_norm_eps
+    # fusion (pre-LN + gated residual)
+    vn = layer_norm(p["fusion"]["ln_vision"], vision, eps)
+    tn = layer_norm(p["fusion"]["ln_text"], text, eps)
+    fusion_heads = cfg.encoder_attention_heads // 2
+    fusion_dim = cfg.encoder_ffn_dim // 2
+    delta_v, delta_t = _bi_attention(
+        p["fusion"], vn, tn, text_pad_mask, fusion_heads,
+        fusion_dim // fusion_heads,
+    )
+    vision = vn + p["fusion"]["vision_param"] * delta_v
+    text = tn + p["fusion"]["text_param"] * delta_t
+
+    # text enhancer (self-attn with sine pos from restarted position ids)
+    text_pos = get_sine_pos_embed(
+        text_position_ids[..., None].astype(jnp.float32),
+        num_pos_feats=cfg.d_model, exchange_xy=False,
+    ).astype(text.dtype)
+    q = text + text_pos
+    bias = jnp.where(text_self_mask[:, None], 0.0, -jnp.inf)  # (b,1,s,s)
+    attn = _mha(
+        p["text_enhancer"]["attn"], q, q, text,
+        cfg.encoder_attention_heads // 2, bias=bias,
+    )
+    text = layer_norm(p["text_enhancer"]["ln1"], text + attn, eps)
+    h = jax.nn.relu(linear(p["text_enhancer"]["fc1"], text))
+    text = layer_norm(
+        p["text_enhancer"]["ln2"], text + linear(p["text_enhancer"]["fc2"], h), eps
+    )
+
+    # deformable self-attention on vision
+    residual = vision
+    attn = _deformable_attention(
+        p["deformable"], vision, vision, vision_pos, reference_points,
+        spatial_shapes, cfg.encoder_attention_heads, cfg.encoder_n_points,
+    )
+    vision = layer_norm(p["deformable"]["ln1"], residual + attn, eps)
+    h = jax.nn.relu(linear(p["deformable"]["fc1"], vision))
+    vision = layer_norm(
+        p["deformable"]["ln2"], vision + linear(p["deformable"]["fc2"], h), eps
+    )
+    return vision, text
+
+
+def _decoder_layer(
+    p,
+    cfg: GroundingDinoConfig,
+    hidden, query_pos, reference_points_input, spatial_shapes,
+    vision_states, text_states, text_pad_mask,
+):
+    eps = cfg.layer_norm_eps
+    heads = cfg.decoder_attention_heads
+    # self attention
+    q = hidden + query_pos
+    attn = _mha(p["self_attn"], q, q, hidden, heads)
+    hidden = layer_norm(p["self_attn_ln"], hidden + attn, eps)
+    # text cross attention
+    q = hidden + query_pos
+    bias = None
+    if text_pad_mask is not None:
+        bias = jnp.where(text_pad_mask[:, None, None, :], -1e9, 0.0)
+    attn = _mha(p["text_cross_attn"], q, text_states, text_states, heads,
+                bias=bias)
+    hidden = layer_norm(p["text_cross_attn_ln"], hidden + attn, eps)
+    # deformable cross attention
+    attn = _deformable_attention(
+        p["deform_cross_attn"], hidden, vision_states, query_pos,
+        reference_points_input, spatial_shapes, heads, cfg.decoder_n_points,
+    )
+    hidden = layer_norm(p["deform_cross_attn_ln"], hidden + attn, eps)
+    # ffn
+    h = jax.nn.relu(linear(p["fc1"], hidden))
+    hidden = layer_norm(p["final_ln"], hidden + linear(p["fc2"], h), eps)
+    return hidden
+
+
+def _mlp_head(p, x, num_layers: int = 3):
+    for i in range(num_layers - 1):
+        x = jax.nn.relu(linear(p[f"layer{i}"], x))
+    return linear(p[f"layer{num_layers - 1}"], x)
+
+
+def _inverse_sigmoid(x, eps=1e-5):
+    x = jnp.clip(x, eps, 1 - eps)
+    return jnp.log(x / (1 - x))
+
+
+# -- full model ---------------------------------------------------------------------
+
+
+def forward(
+    params,
+    cfg: GroundingDinoConfig,
+    pixels: jnp.ndarray,  # (b, H, W, 3) normalized
+    input_ids: np.ndarray,  # (b, text_len) BERT ids (host array)
+    text_attention_mask: Optional[np.ndarray] = None,  # (b, text_len) 1=real
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """-> (logits (b, num_queries, max_text_len), boxes cxcywh in [0,1]
+    (b, num_queries, 4))."""
+    b = pixels.shape[0]
+    d = cfg.d_model
+    eps = cfg.layer_norm_eps
+
+    input_ids = np.asarray(input_ids)
+    if text_attention_mask is None:
+        text_attention_mask = np.ones_like(input_ids)
+    text_self_mask_np, position_ids_np = generate_text_masks(input_ids)
+    text_pad_mask = jnp.asarray(text_attention_mask == 0)  # True = pad
+    text_self_mask = jnp.asarray(text_self_mask_np)
+    position_ids = jnp.asarray(position_ids_np)
+
+    # text backbone (block-diagonal self-attention + restarted position
+    # ids) + projection
+    bert_bias = jnp.where(text_self_mask[:, None], 0.0, -1e9)
+    text_features = bert_mod.forward(
+        params["text_backbone"],
+        jnp.asarray(input_ids),
+        None,
+        cfg.text,
+        attention_bias=bert_bias,
+        position_ids=position_ids,
+    )
+    text_features = linear(params["text_projection"], text_features)
+
+    # vision backbone: selected Swin stages (+ stage norms) + extra level
+    stages = swin_mod.forward_features(params["swin"], pixels, cfg.swin)
+    feature_maps = []
+    for i, si in enumerate(cfg.backbone_stage_indices):
+        f = stages[si]
+        bb, hh, ww, cc = f.shape
+        f = layer_norm(params["backbone_norms"][i], f, eps)
+        feature_maps.append(f)
+    # input projections (1x1 conv + GN) to d_model
+    projected = []
+    spatial_shapes: List[Tuple[int, int]] = []
+    for i, f in enumerate(feature_maps):
+        p = params["input_proj"][i]
+        g = jnp.einsum("bhwc,co->bhwo", f, p["conv"]["kernel"]) + p["conv"]["bias"]
+        g = group_norm(p["gn"], g)
+        projected.append(g)
+        spatial_shapes.append((g.shape[1], g.shape[2]))
+    # extra levels: 3x3 stride-2 conv on the last backbone map
+    src = feature_maps[-1]
+    for i in range(len(cfg.backbone_stage_indices), cfg.num_feature_levels):
+        p = params["input_proj"][i]
+        src = jax.lax.conv_general_dilated(
+            src, p["conv"]["kernel"], (2, 2), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + p["conv"]["bias"]
+        src = group_norm(p["gn"], src)
+        projected.append(src)
+        spatial_shapes.append((src.shape[1], src.shape[2]))
+
+    # flatten + level embed + sine positions
+    sources, pos_embeds = [], []
+    for lvl, f in enumerate(projected):
+        bb, hh, ww, cc = f.shape
+        sources.append(f.reshape(bb, hh * ww, cc))
+        pos = sine_position_2d(
+            hh, ww, d, cfg.positional_embedding_temperature
+        ).astype(f.dtype)
+        pos_embeds.append(pos[None] + params["level_embed"][lvl][None, None])
+    source_flatten = jnp.concatenate(sources, axis=1)
+    pos_flatten = jnp.concatenate(
+        [jnp.broadcast_to(p, (b,) + p.shape[1:]) for p in pos_embeds], axis=1
+    )
+
+    # encoder reference points: normalized grid centers per level,
+    # replicated across levels (valid ratios = 1)
+    refs = []
+    for (hh, ww) in spatial_shapes:
+        ys = (jnp.arange(hh, dtype=jnp.float32) + 0.5) / hh
+        xs = (jnp.arange(ww, dtype=jnp.float32) + 0.5) / ww
+        gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+        refs.append(jnp.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1))
+    reference_points = jnp.concatenate(refs, axis=0)  # (sum_hw, 2)
+    reference_points = jnp.broadcast_to(
+        reference_points[None, :, None, :],
+        (b, reference_points.shape[0], len(spatial_shapes), 2),
+    )
+
+    vision, text = source_flatten, text_features
+    for lp in params["encoder_layers"]:
+        vision, text = _encoder_layer(
+            lp, cfg, vision, text, pos_flatten, reference_points,
+            spatial_shapes, text_pad_mask, text_self_mask, position_ids,
+        )
+
+    # two-stage proposal generation
+    proposals = []
+    for lvl, (hh, ww) in enumerate(spatial_shapes):
+        gy, gx = jnp.meshgrid(
+            jnp.arange(hh, dtype=jnp.float32), jnp.arange(ww, dtype=jnp.float32),
+            indexing="ij",
+        )
+        grid = jnp.stack([gx, gy], axis=-1)  # (h, w, 2) as (x, y)
+        scale = jnp.asarray([ww, hh], jnp.float32)
+        center = (grid + 0.5) / scale
+        wh = jnp.full_like(center, 0.05 * (2.0**lvl))
+        proposals.append(
+            jnp.concatenate([center, wh], axis=-1).reshape(hh * ww, 4)
+        )
+    output_proposals = jnp.concatenate(proposals, axis=0)[None]  # (1, sum, 4)
+    valid = jnp.all(
+        (output_proposals > 0.01) & (output_proposals < 0.99), axis=-1,
+        keepdims=True,
+    )
+    output_proposals = jnp.where(
+        valid, _inverse_sigmoid(output_proposals), jnp.inf
+    )
+    object_query = jnp.where(valid, vision, 0.0)
+    object_query = layer_norm(
+        params["enc_output_norm"], linear(params["enc_output"], object_query),
+        eps,
+    )
+
+    text_token_mask = jnp.asarray(text_attention_mask == 1)
+    enc_logits = _contrastive(
+        object_query, text, text_token_mask, cfg.max_text_len
+    )
+    delta = _mlp_head(params["encoder_bbox_head"], object_query)
+    enc_coord_logits = delta + output_proposals
+
+    topk = cfg.num_queries
+    topk_scores = jnp.max(enc_logits, axis=-1)  # (b, sum)
+    _, topk_idx = jax.lax.top_k(topk_scores, topk)
+    topk_coords = jnp.take_along_axis(
+        enc_coord_logits, topk_idx[:, :, None], axis=1
+    )
+    reference = jax.nn.sigmoid(topk_coords)  # (b, nq, 4)
+
+    target = jnp.broadcast_to(
+        params["query_embeds"][None], (b, topk, d)
+    ).astype(vision.dtype)
+
+    # decoder with iterative box refinement
+    hidden = target
+    for li, lp in enumerate(params["decoder_layers"]):
+        ref_input = jnp.broadcast_to(
+            reference[:, :, None, :], (b, topk, len(spatial_shapes), 4)
+        )
+        query_sine = get_sine_pos_embed(
+            reference, num_pos_feats=d // 2
+        )  # (b, nq, 2*d)
+        query_pos = _mlp_head(
+            params["ref_point_head"], query_sine, num_layers=2
+        ).astype(hidden.dtype)
+        hidden = _decoder_layer(
+            lp, cfg, hidden, query_pos, ref_input, spatial_shapes, vision,
+            text, text_pad_mask,
+        )
+        delta = _mlp_head(params["bbox_heads"][li], hidden)
+        reference = jax.nn.sigmoid(delta + _inverse_sigmoid(reference))
+
+    hidden = layer_norm(params["decoder_norm"], hidden, eps)
+    logits = _contrastive(hidden, text, text_token_mask, cfg.max_text_len)
+    return logits, reference
+
+
+def _contrastive(queries, text, text_token_mask, max_text_len: int):
+    out = jnp.einsum(
+        "bqd,btd->bqt", queries, text, preferred_element_type=jnp.float32
+    )
+    out = jnp.where(text_token_mask[:, None, :], out, -jnp.inf)
+    pad = max_text_len - out.shape[-1]
+    if pad > 0:
+        out = jnp.pad(out, ((0, 0), (0, 0), (0, pad)),
+                      constant_values=-jnp.inf)
+    return out[..., :max_text_len]
+
+
+# -- HF conversion --------------------------------------------------------------
+
+
+def convert_hf_grounding_dino(sd, cfg: GroundingDinoConfig, dtype=jnp.float32):
+    """transformers GroundingDinoForObjectDetection state dict -> params."""
+
+    def t(w):
+        return np.ascontiguousarray(w.T)
+
+    def ln(prefix):
+        return {"scale": sd[prefix + "weight"], "bias": sd[prefix + "bias"]}
+
+    def lin(prefix):
+        out = {"kernel": t(sd[prefix + "weight"])}
+        if prefix + "bias" in sd:
+            out["bias"] = sd[prefix + "bias"]
+        return out
+
+    def mha(prefix):
+        # HF GroundingDinoMultiheadAttention uses query/key/value/out_proj
+        names = (
+            ("q", "query."), ("k", "key."), ("v", "value."), ("o", "out_proj.")
+        ) if prefix + "query.weight" in sd else (
+            ("q", "q_proj."), ("k", "k_proj."), ("v", "v_proj."),
+            ("o", "out_proj."),
+        )
+        return {ours: lin(prefix + theirs) for ours, theirs in names}
+
+    def deform(prefix):
+        return {
+            "sampling_offsets": lin(prefix + "sampling_offsets."),
+            "attention_weights": lin(prefix + "attention_weights."),
+            "value_proj": lin(prefix + "value_proj."),
+            "output_proj": lin(prefix + "output_proj."),
+        }
+
+    def mlp_head(prefix, n=3):
+        return {
+            f"layer{i}": lin(prefix + f"layers.{i}.") for i in range(n)
+        }
+
+    m = "model."
+    enc_layers = []
+    for i in range(cfg.encoder_layers):
+        p = f"{m}encoder.layers.{i}."
+        enc_layers.append(
+            {
+                "fusion": {
+                    "ln_vision": ln(p + "fusion_layer.layer_norm_vision."),
+                    "ln_text": ln(p + "fusion_layer.layer_norm_text."),
+                    "vision_param": sd[p + "fusion_layer.vision_param"],
+                    "text_param": sd[p + "fusion_layer.text_param"],
+                    "vision_proj": lin(p + "fusion_layer.attn.vision_proj."),
+                    "text_proj": lin(p + "fusion_layer.attn.text_proj."),
+                    "values_vision_proj": lin(
+                        p + "fusion_layer.attn.values_vision_proj."
+                    ),
+                    "values_text_proj": lin(
+                        p + "fusion_layer.attn.values_text_proj."
+                    ),
+                    "out_vision_proj": lin(
+                        p + "fusion_layer.attn.out_vision_proj."
+                    ),
+                    "out_text_proj": lin(p + "fusion_layer.attn.out_text_proj."),
+                },
+                "text_enhancer": {
+                    "attn": mha(p + "text_enhancer_layer.self_attn."),
+                    "fc1": lin(p + "text_enhancer_layer.fc1."),
+                    "fc2": lin(p + "text_enhancer_layer.fc2."),
+                    "ln1": ln(p + "text_enhancer_layer.layer_norm_before."),
+                    "ln2": ln(p + "text_enhancer_layer.layer_norm_after."),
+                },
+                "deformable": {
+                    **deform(p + "deformable_layer.self_attn."),
+                    "ln1": ln(p + "deformable_layer.self_attn_layer_norm."),
+                    "fc1": lin(p + "deformable_layer.fc1."),
+                    "fc2": lin(p + "deformable_layer.fc2."),
+                    "ln2": ln(p + "deformable_layer.final_layer_norm."),
+                },
+            }
+        )
+
+    dec_layers = []
+    for i in range(cfg.decoder_layers):
+        p = f"{m}decoder.layers.{i}."
+        dec_layers.append(
+            {
+                "self_attn": mha(p + "self_attn."),
+                "self_attn_ln": ln(p + "self_attn_layer_norm."),
+                "text_cross_attn": mha(p + "encoder_attn_text."),
+                "text_cross_attn_ln": ln(p + "encoder_attn_text_layer_norm."),
+                "deform_cross_attn": deform(p + "encoder_attn."),
+                "deform_cross_attn_ln": ln(p + "encoder_attn_layer_norm."),
+                "fc1": lin(p + "fc1."),
+                "fc2": lin(p + "fc2."),
+                "final_ln": ln(p + "final_layer_norm."),
+            }
+        )
+
+    n_backbone = len(cfg.backbone_stage_indices)
+    input_proj = []
+    for i in range(cfg.num_feature_levels):
+        cp = f"{m}input_proj_vision.{i}."
+        w = sd[cp + "0.weight"]  # conv
+        if w.ndim == 4 and w.shape[-1] == 1:  # 1x1
+            kernel = w[:, :, 0, 0].T
+        else:  # 3x3 -> HWIO
+            kernel = w.transpose(2, 3, 1, 0)
+        input_proj.append(
+            {
+                "conv": {"kernel": kernel, "bias": sd[cp + "0.bias"]},
+                "gn": {"scale": sd[cp + "1.weight"], "bias": sd[cp + "1.bias"]},
+            }
+        )
+
+    # Swin backbone + per-stage norms
+    swin_prefix = f"{m}backbone.conv_encoder.model."
+    swin_params = swin_mod.convert_hf_swin(
+        sd, cfg.swin, dtype, prefix=swin_prefix + ""
+    )
+    backbone_norms = []
+    for i, si in enumerate(cfg.backbone_stage_indices):
+        key = f"{swin_prefix}hidden_states_norms.stage{si + 1}."
+        backbone_norms.append(ln(key))
+
+    params = {
+        "swin": swin_params,
+        "backbone_norms": backbone_norms,
+        "input_proj": input_proj,
+        "text_backbone": bert_mod.convert_hf_bert(
+            sd, cfg.text, dtype, prefix=f"{m}text_backbone."
+        ),
+        "text_projection": lin(m + "text_projection."),
+        "level_embed": sd[m + "level_embed"],
+        "encoder_layers": enc_layers,
+        "decoder_layers": dec_layers,
+        "enc_output": lin(m + "enc_output."),
+        "enc_output_norm": ln(m + "enc_output_norm."),
+        "encoder_bbox_head": mlp_head(m + "encoder_output_bbox_embed."),
+        "query_embeds": sd[m + "query_position_embeddings.weight"],
+        "ref_point_head": mlp_head(m + "decoder.reference_points_head.", n=2),
+        "decoder_norm": ln(m + "decoder.layer_norm."),
+        "bbox_heads": [
+            mlp_head(f"bbox_embed.{i}.") for i in range(cfg.decoder_layers)
+        ],
+    }
+    out = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
+    # swin params already converted (avoid double-cast issues)
+    out["swin"] = swin_params
+    return out
+
+
+# -- detector adapter ---------------------------------------------------------------
+
+
+class GroundingDinoDetector:
+    """detector(image, prompts) -> (boxes xyxy, scores, class_ids).
+
+    Prompts are joined as 'a. b. c.' (the groundingdino convention the
+    reference uses via predict_with_classes); per-query class = argmax
+    over prompt token spans, score = max sigmoid logit.
+    """
+
+    def __init__(self, params, cfg: GroundingDinoConfig, tokenize,
+                 image_size: int = 800, box_threshold: float = 0.35):
+        self.params = params
+        self.cfg = cfg
+        self.tokenize = tokenize  # str -> List[int] (BERT ids, with specials)
+        self.image_size = image_size
+        self.box_threshold = box_threshold
+        self._fwd = jax.jit(
+            lambda p, px, ids, mask: forward(p, cfg, px, ids, mask),
+            static_argnums=(),
+        ) if False else None  # input_ids is host-side; jit inside forward ops
+
+    def __call__(self, image: np.ndarray, prompts: Sequence[str]):
+        from video_llava_tpu.ops.image import normalize_clip, resize_bicubic
+
+        caption = " . ".join(p.strip().lower() for p in prompts) + " ."
+        ids = np.asarray([self.tokenize(caption)], np.int64)
+
+        H, W = image.shape[:2]
+        size = self.image_size
+        pixels = normalize_clip(
+            jnp.clip(
+                jnp.round(
+                    resize_bicubic(
+                        jnp.asarray(image.astype(np.float32)), size, size
+                    )
+                ),
+                0, 255,
+            )
+        )[None]
+        logits, boxes = forward(self.params, self.cfg, pixels, ids)
+        probs = np.asarray(jax.nn.sigmoid(logits[0]))  # (nq, text_len)
+        boxes = np.asarray(boxes[0])  # cxcywh normalized
+
+        # per-prompt token spans for class assignment
+        spans = self._prompt_spans(ids[0], len(prompts))
+        scores = probs.max(axis=-1)
+        keep = scores > self.box_threshold
+        if not keep.any():
+            return (
+                np.zeros((0, 4), np.float32),
+                np.zeros((0,), np.float32),
+                np.zeros((0,), np.int64),
+            )
+        kept_boxes = boxes[keep]
+        kept_scores = scores[keep]
+        kept_probs = probs[keep]
+        class_ids = np.array(
+            [
+                int(np.argmax([kept_probs[i, s:e].max() if e > s else -1
+                               for (s, e) in spans]))
+                for i in range(len(kept_boxes))
+            ],
+            np.int64,
+        )
+        cx, cy, w, h = kept_boxes.T
+        xyxy = np.stack(
+            [
+                (cx - w / 2) * W,
+                (cy - h / 2) * H,
+                (cx + w / 2) * W,
+                (cy + h / 2) * H,
+            ],
+            axis=1,
+        ).astype(np.float32)
+        return xyxy, kept_scores.astype(np.float32), class_ids
+
+    def _prompt_spans(self, ids: np.ndarray, num_prompts: int):
+        """Token index ranges of each prompt between separators."""
+        spans = []
+        start = 1  # skip [CLS]
+        for i, tok in enumerate(ids):
+            if tok in SPECIAL_TOKENS and i > 0:
+                if i > start:
+                    spans.append((start, i))
+                start = i + 1
+        return spans[:num_prompts] if spans else [(0, len(ids))]
+
+
+def build_detector(
+    checkpoint_dir: Optional[str] = None,
+    cfg: Optional[GroundingDinoConfig] = None,
+    box_threshold: float = 0.35,
+):
+    """GroundingDinoDetector from an HF checkpoint dir; random init
+    fallback keeps the pipeline runnable without weights."""
+    cfg = cfg or GroundingDinoConfig()
+    if checkpoint_dir:
+        from transformers import AutoTokenizer
+
+        from video_llava_tpu.engine.weights import load_checkpoint_dir
+
+        sd = load_checkpoint_dir(checkpoint_dir)
+        params = convert_hf_grounding_dino(sd, cfg)
+        tok = AutoTokenizer.from_pretrained(checkpoint_dir)
+        tokenize = lambda s: tok(s).input_ids
+    else:
+        import warnings
+
+        warnings.warn("GroundingDINO weights not provided; random init")
+        params = _random_params(cfg)
+        tokenize = lambda s: (
+            [101] + [max(1, min(ord(c), 900)) for c in s][:30] + [102]
+        )
+    return GroundingDinoDetector(params, cfg, tokenize,
+                                 box_threshold=box_threshold)
+
+
+def _random_params(cfg: GroundingDinoConfig):
+    """Random params via a tiny HF model + the converter (guarantees
+    layout agreement)."""
+    import torch
+    import transformers
+
+    hf_cfg = transformers.GroundingDinoConfig(
+        d_model=cfg.d_model,
+        num_queries=cfg.num_queries,
+        encoder_layers=cfg.encoder_layers,
+        decoder_layers=cfg.decoder_layers,
+        encoder_attention_heads=cfg.encoder_attention_heads,
+        decoder_attention_heads=cfg.decoder_attention_heads,
+        encoder_ffn_dim=cfg.encoder_ffn_dim,
+        decoder_ffn_dim=cfg.decoder_ffn_dim,
+        num_feature_levels=cfg.num_feature_levels,
+        max_text_len=cfg.max_text_len,
+        backbone_config=transformers.SwinConfig(
+            image_size=cfg.swin.image_size,
+            patch_size=cfg.swin.patch_size,
+            embed_dim=cfg.swin.embed_dim,
+            depths=list(cfg.swin.depths),
+            num_heads=list(cfg.swin.num_heads),
+            window_size=cfg.swin.window_size,
+            out_indices=[i + 1 for i in cfg.backbone_stage_indices],
+        ),
+        text_config=transformers.BertConfig(
+            vocab_size=cfg.text.vocab_size,
+            hidden_size=cfg.text.hidden_size,
+            num_hidden_layers=cfg.text.num_layers,
+            num_attention_heads=cfg.text.num_heads,
+            intermediate_size=cfg.text.intermediate_size,
+            max_position_embeddings=cfg.text.max_position_embeddings,
+        ),
+    )
+    torch.manual_seed(0)
+    model = transformers.GroundingDinoForObjectDetection(hf_cfg)
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    return convert_hf_grounding_dino(sd, cfg)

@@ -310,9 +310,15 @@ def convert_hf_swin(sd, cfg: SwinConfig, dtype=jnp.float32, prefix: str = ""):
             "bias": g("embeddings.norm.bias"),
         },
         "stages": [],
+        # SwinBackbone (used by GroundingDINO) has no final layernorm.
         "final_norm": {
             "scale": g("layernorm.weight"),
             "bias": g("layernorm.bias"),
+        }
+        if prefix + "layernorm.weight" in sd
+        else {
+            "scale": np.ones((cfg.num_features,), np.float32),
+            "bias": np.zeros((cfg.num_features,), np.float32),
         },
     }
     for s in range(cfg.num_stages):
