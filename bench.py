@@ -37,6 +37,14 @@ NEW_TOKENS = 128
 CACHE_LEN = PROMPT_LEN + NEW_TOKENS
 
 
+import os
+
+# LLM weight format: int8 (weights-only, per-channel) halves HBM bytes
+# per decode step — decode is bandwidth-bound. BENCH_LLM_DTYPE=bf16
+# benchmarks the unquantized path.
+LLM_DTYPE = os.environ.get("BENCH_LLM_DTYPE", "int8")
+
+
 def build():
     cfg = VideoLLaVAConfig(llm=LlamaConfig.vicuna_7b())
     # One compiled program for the whole init: eager init would compile
@@ -44,6 +52,13 @@ def build():
     params = jax.jit(
         lambda k: video_llava.init_params(k, cfg, jnp.bfloat16)
     )(jax.random.PRNGKey(0))
+    if LLM_DTYPE == "int8":
+        from video_llava_tpu.ops.quant import quantize_params
+
+        # donate: each bf16 buffer frees as its int8 twin materializes
+        params["llm"] = jax.jit(quantize_params, donate_argnums=0)(
+            params["llm"]
+        )
 
     rng = np.random.default_rng(0)
     frames = jnp.asarray(
@@ -127,7 +142,10 @@ def main():
             "prefill_s": round(t_prefill, 4),
             "decode_s": round(t_decode, 4),
             "decode_tok_per_s": round(NEW_TOKENS / t_decode, 1),
-            "model": "vicuna-7b + clip-vit-l/14-224, bf16, 1 chip",
+            "model": (
+                "vicuna-7b + clip-vit-l/14-224, 1 chip, clip bf16, llm "
+                + ("int8 weights-only" if LLM_DTYPE == "int8" else "bf16")
+            ),
             "new_tokens": NEW_TOKENS,
             "prompt_len": PROMPT_LEN,
             "num_frames": NUM_FRAMES,

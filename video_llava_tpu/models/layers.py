@@ -29,7 +29,15 @@ def linear_init(key, in_dim: int, out_dim: int, use_bias: bool = True,
 
 
 def linear(p, x):
-    y = jnp.dot(x, p["kernel"], preferred_element_type=jnp.float32)
+    kernel = p["kernel"]
+    if isinstance(kernel, dict) and "qvalues" in kernel:  # int8 weights
+        from video_llava_tpu.ops.quant import quantized_matmul
+
+        y = quantized_matmul(x, kernel["qvalues"], kernel["scales"]).astype(
+            jnp.float32
+        )
+    else:
+        y = jnp.dot(x, kernel, preferred_element_type=jnp.float32)
     if "bias" in p:
         y = y + p["bias"].astype(jnp.float32)
     return y.astype(x.dtype)
@@ -87,7 +95,12 @@ def embedding_init(key, vocab: int, dim: int, dtype=DEFAULT_PARAM_DTYPE):
 
 
 def embed(p, ids):
-    return jnp.take(p["weight"], ids, axis=0)
+    w = p["weight"]
+    if isinstance(w, dict) and "qvalues" in w:  # int8 table
+        rows = jnp.take(w["qvalues"], ids, axis=0).astype(jnp.float32)
+        scales = jnp.take(w["scales"], ids, axis=0)
+        return (rows * scales).astype(jnp.bfloat16)
+    return jnp.take(w, ids, axis=0)
 
 
 # -- rotary position embedding (LLaMA) ---------------------------------------

@@ -240,9 +240,15 @@ def forward(
     hidden, new_cache = forward_hidden(
         params, inputs_embeds, positions, cfg, cache, new_length
     )
-    logits = jnp.dot(
-        hidden, params["lm_head"]["kernel"], preferred_element_type=jnp.float32
-    )
+    kernel = params["lm_head"]["kernel"]
+    if isinstance(kernel, dict) and "qvalues" in kernel:
+        from video_llava_tpu.ops.quant import quantized_matmul
+
+        logits = quantized_matmul(
+            hidden, kernel["qvalues"], kernel["scales"]
+        ).astype(jnp.float32)
+    else:
+        logits = jnp.dot(hidden, kernel, preferred_element_type=jnp.float32)
     return logits, new_cache
 
 

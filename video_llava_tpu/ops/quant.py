@@ -1,0 +1,71 @@
+"""Weights-only int8 quantization for the decode path.
+
+Single-chip autoregressive decode is HBM-bandwidth bound (each step
+streams every weight once): int8 weights halve the bytes per step and
+roughly double tokens/sec. Quantization is symmetric per-output-channel
+(absmax / 127); matmuls dequantize on the fly — XLA fuses the
+convert+scale into the MXU feed.
+
+Applies to any params pytree built from models/layers.py conventions:
+2D 'kernel' leaves and embedding tables become {'qvalues': int8,
+'scales': f32}; layers.linear dispatches on the quantized layout.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def quantize_tensor(w: jax.Array, axis: int = 0):
+    """Symmetric per-channel int8: scales over `axis` (the contraction
+    axis is reduced; scales broadcast over the kept axes)."""
+    absmax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=axis, keepdims=True)
+    scales = jnp.maximum(absmax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(w.astype(jnp.float32) / scales), -127, 127)
+    return q.astype(jnp.int8), scales.astype(jnp.float32)
+
+
+def dequantize(q: jax.Array, scales: jax.Array, dtype=jnp.bfloat16):
+    return (q.astype(jnp.float32) * scales).astype(dtype)
+
+
+def quantized_matmul(x: jax.Array, qvalues: jax.Array, scales: jax.Array):
+    """x: (..., in); qvalues: (in, out) int8; scales: (1, out)."""
+    y = jnp.dot(
+        x, qvalues.astype(x.dtype), preferred_element_type=jnp.float32
+    )
+    return (y * scales.astype(jnp.float32)[0]).astype(x.dtype)
+
+
+def is_quantized(p: Any) -> bool:
+    return isinstance(p, dict) and "qvalues" in p
+
+
+def quantize_params(
+    params,
+    min_size: int = 1 << 16,
+    skip_keys: Sequence[str] = ("class_embedding", "position_embedding"),
+):
+    """Quantize every 2D kernel / embedding table leaf >= min_size
+    elements. Norms, biases and small tensors stay as-is."""
+
+    def visit(path, leaf):
+        keys = [str(getattr(p, "key", getattr(p, "idx", p))) for p in path]
+        name = keys[-1] if keys else ""
+        if leaf.ndim < 2 or leaf.size < min_size:
+            return leaf
+        if any(k in "/".join(keys) for k in skip_keys):
+            return leaf
+        if name == "kernel":
+            # contraction axis: -2 (supports stacked (L, in, out) kernels)
+            q, s = quantize_tensor(leaf, axis=-2)
+            return {"qvalues": q, "scales": s}
+        if name == "weight" and leaf.ndim == 2:  # embedding table
+            q, s = quantize_tensor(leaf, axis=1)  # per-row scales
+            return {"qvalues": q, "scales": s}
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(visit, params)
