@@ -45,20 +45,50 @@ import os
 LLM_DTYPE = os.environ.get("BENCH_LLM_DTYPE", "int8")
 
 
+def _init_quantized_direct(key, cfg):
+    """Random params with the LLM directly in int8 layout (no bf16
+    intermediate — a 7B bf16 + int8 copy would exceed single-chip HBM).
+    Weight values don't affect latency; real checkpoints quantize
+    host-side via ops.quant.quantize_params."""
+    from video_llava_tpu.ops.quant import quantize_params
+
+    shapes = jax.eval_shape(
+        lambda k: video_llava.init_params(k, cfg, jnp.bfloat16), key
+    )
+    qshapes = jax.eval_shape(
+        lambda t: quantize_params(t["llm"]), shapes
+    )
+
+    def make(leaf):
+        if leaf.dtype == jnp.int8:
+            return jnp.ones(leaf.shape, jnp.int8) * 3
+        return jnp.full(leaf.shape, 0.01, leaf.dtype)
+
+    llm = jax.jit(lambda: jax.tree.map(make, qshapes))()
+
+    import video_llava_tpu.models.clip as clip_mod
+    import video_llava_tpu.models.projector as proj_mod
+
+    k1, k2 = jax.random.split(key)
+    return {
+        "vision": jax.jit(
+            lambda k: clip_mod.init_vision_params(k, cfg.vision, jnp.bfloat16)
+        )(k1),
+        "projector": proj_mod.init_params(k2, cfg.projector, jnp.bfloat16),
+        "llm": llm,
+    }
+
+
 def build():
     cfg = VideoLLaVAConfig(llm=LlamaConfig.vicuna_7b())
     # One compiled program for the whole init: eager init would compile
     # dozens of tiny executables (very slow over a tunneled TPU).
-    params = jax.jit(
-        lambda k: video_llava.init_params(k, cfg, jnp.bfloat16)
-    )(jax.random.PRNGKey(0))
     if LLM_DTYPE == "int8":
-        from video_llava_tpu.ops.quant import quantize_params
-
-        # donate: each bf16 buffer frees as its int8 twin materializes
-        params["llm"] = jax.jit(quantize_params, donate_argnums=0)(
-            params["llm"]
-        )
+        params = _init_quantized_direct(jax.random.PRNGKey(0), cfg)
+    else:
+        params = jax.jit(
+            lambda k: video_llava.init_params(k, cfg, jnp.bfloat16)
+        )(jax.random.PRNGKey(0))
 
     rng = np.random.default_rng(0)
     frames = jnp.asarray(
