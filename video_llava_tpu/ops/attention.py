@@ -300,7 +300,12 @@ def multi_head_attention(
         elif _DEFAULT_IMPL == "xla":
             use_pallas = False
         else:
-            use_pallas = jax.default_backend() == "tpu"
+            # auto: Pallas on a single TPU chip; the XLA path on
+            # multi-device programs (the kernel is single-device until
+            # it gets a shard_map wrapper) and on CPU/GPU.
+            use_pallas = (
+                jax.default_backend() == "tpu" and jax.device_count() == 1
+            )
     d = q.shape[-1]
     if use_pallas and kv_valid_len is None and q_offset is None and d % 8 == 0:
         return flash_attention(q, k, v, causal, scale, interpret=interpret)
