@@ -1,0 +1,114 @@
+"""Checkpoint-dir loading: synthetic HF llama dir (sharded torch .bin +
+index), projector overlay, and initialize_model wiring."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+import torch
+import jax.numpy as jnp
+
+import transformers
+
+from video_llava_tpu.config import LlamaConfig, ProjectorConfig
+from video_llava_tpu.engine import weights as W
+from video_llava_tpu.engine.checkpoint import export_projector
+from video_llava_tpu.models import llama
+
+
+@pytest.fixture(scope="module")
+def hf_llama_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("llama_ckpt")
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=172,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+    )
+    torch.manual_seed(0)
+    model = transformers.LlamaForCausalLM(hf_cfg)
+    sd = model.state_dict()
+    # write two shards + index
+    keys = sorted(sd)
+    half = len(keys) // 2
+    shards = {
+        "pytorch_model-00001-of-00002.bin": {k: sd[k] for k in keys[:half]},
+        "pytorch_model-00002-of-00002.bin": {k: sd[k] for k in keys[half:]},
+    }
+    weight_map = {}
+    for name, shard in shards.items():
+        torch.save(shard, os.path.join(d, name))
+        for k in shard:
+            weight_map[k] = name
+    with open(os.path.join(d, "pytorch_model.bin.index.json"), "w") as f:
+        json.dump({"weight_map": weight_map}, f)
+    return str(d), model
+
+
+def test_sharded_bin_dir_loads_and_matches(hf_llama_dir):
+    d, model = hf_llama_dir
+    sd = W.load_checkpoint_dir(d)
+    cfg = LlamaConfig(
+        vocab_size=131,  # +3 video tokens, mean-init rows
+        hidden_size=64, intermediate_size=172, num_layers=2,
+        num_heads=4, num_kv_heads=4, head_dim=16,
+    )
+    params = W.convert_llama(sd, cfg, dtype=jnp.float32)
+    assert params["embed_tokens"]["weight"].shape == (131, 64)
+    # mean-init rows
+    emb = np.asarray(params["embed_tokens"]["weight"])
+    np.testing.assert_allclose(emb[128], emb[:128].mean(axis=0), rtol=1e-5)
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 128, size=(1, 9))
+    with torch.no_grad():
+        want = model(torch.from_numpy(ids)).logits.numpy()
+    got, _ = llama.forward(params, cfg, input_ids=jnp.asarray(ids))
+    np.testing.assert_allclose(
+        np.asarray(got)[..., :128], want, rtol=2e-4, atol=2e-4
+    )
+
+
+def test_projector_export_reimport_roundtrip(tmp_path, hf_llama_dir):
+    """export_projector writes a reference-compatible .bin that our
+    overlay loader reads back identically."""
+    import jax
+
+    from video_llava_tpu.models import projector as proj_mod
+
+    pcfg = ProjectorConfig(projector_type="linear", mm_hidden_size=16,
+                           hidden_size=32)
+    proj = proj_mod.init_params(jax.random.PRNGKey(0), pcfg, jnp.float32)
+    params = {
+        "projector": proj,
+        "llm": {
+            "embed_tokens": {
+                "weight": jnp.asarray(
+                    np.random.default_rng(0).normal(size=(20, 32)),
+                    jnp.float32,
+                )
+            }
+        },
+    }
+    path = str(tmp_path / "mm_projector.bin")
+    export_projector(params, path)
+
+    sd = W.load_torch_bin(path)
+    assert "model.mm_projector.weight" in sd
+    new_params, report = W.apply_projector_overlay(
+        {"projector": {}, "llm": params["llm"]}, sd, pcfg
+    )
+    assert "mm_projector" in report["applied"]
+    np.testing.assert_allclose(
+        np.asarray(new_params["projector"]["layers"][0]["kernel"]),
+        np.asarray(proj["layers"][0]["kernel"]),
+        rtol=1e-6,
+    )
+
+
+def test_initialize_model_with_checkpoints(hf_llama_dir, tmp_path):
+    """initialize_model consumes the HF dir + projector bin (tiny cfg)."""
+    from video_llava_tpu.runtime.model_init import initialize_model
+
+    engine = initialize_model(model_size="tiny")
+    assert engine.cfg.video_token_len == 116  # 16 patches + 100
+    assert engine.tokenizer.vid_patch_token_id == 259

@@ -110,7 +110,7 @@ class Transcriber:
         start = jnp.asarray(
             [list(self.start_tokens)] * len(chunks), jnp.int32
         )
-        toks, lens = whisper_mod.greedy_decode(
+        toks, lens = whisper_mod.greedy_decode_cached(
             self.params, enc, self.cfg, start, self.max_new_tokens,
             self.eot_token,
         )

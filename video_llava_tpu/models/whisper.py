@@ -254,6 +254,124 @@ def audio_tag_logits(params, enc_states: jax.Array) -> jax.Array:
     return linear(params["at_head"]["proj"], pooled)
 
 
+def _decoder_step_cached(
+    params,
+    tokens: jax.Array,  # (b, s) chunk to process
+    positions: jax.Array,  # (b, s)
+    cache: DecoderCache,
+    cfg: WhisperConfig,
+) -> Tuple[jax.Array, DecoderCache]:
+    """Decoder forward over a token chunk with self-attn KV caching and
+    precomputed cross-attn K/V. Returns (logits (b, s, vocab), cache)."""
+    from video_llava_tpu.ops.attention import (
+        attention_reference,
+        decode_attention,
+    )
+
+    dec = params["decoder"]
+    b, s = tokens.shape
+    d = cfg.d_model
+    hd = d // cfg.num_heads
+    x = embed(dec["token_embedding"], tokens)
+    x = x + jnp.take(dec["position_embedding"], positions, axis=0).astype(
+        x.dtype
+    )
+
+    new_k, new_v = [], []
+    for li in range(cfg.decoder_layers):
+        lp = jax.tree.map(lambda a: a[li], dec["layers"])
+        hn = layer_norm(lp["ln1"], x)
+        q = linear(lp["self_attn"]["q"], hn).reshape(b, s, cfg.num_heads, hd)
+        k = linear(lp["self_attn"]["k"], hn).reshape(b, s, cfg.num_heads, hd)
+        v = linear(lp["self_attn"]["v"], hn).reshape(b, s, cfg.num_heads, hd)
+        lk = jax.vmap(
+            lambda c, n, p: jax.lax.dynamic_update_slice(c, n, (p, 0, 0))
+        )(cache.k[li], k.astype(cache.k.dtype), cache.length)
+        lv = jax.vmap(
+            lambda c, n, p: jax.lax.dynamic_update_slice(c, n, (p, 0, 0))
+        )(cache.v[li], v.astype(cache.v.dtype), cache.length)
+        new_k.append(lk)
+        new_v.append(lv)
+        attn = attention_reference(
+            q, lk, lv, causal=True, kv_valid_len=cache.length + s,
+            q_offset=cache.length,
+        )
+        x = x + linear(lp["self_attn"]["o"], attn.reshape(b, s, d))
+        # cross attention against precomputed encoder K/V
+        hn = layer_norm(lp["ln2"], x)
+        q = linear(lp["cross_attn"]["q"], hn).reshape(b, s, cfg.num_heads, hd)
+        attn = attention_reference(q, cache.xk[li], cache.xv[li])
+        x = x + linear(lp["cross_attn"]["o"], attn.reshape(b, s, d))
+        x = x + linear(
+            lp["fc2"], jax.nn.gelu(linear(lp["fc1"], layer_norm(lp["ln3"], x)))
+        )
+
+    x = layer_norm(dec["ln_post"], x)
+    logits = jnp.einsum(
+        "bsd,vd->bsv", x, dec["token_embedding"]["weight"],
+        preferred_element_type=jnp.float32,
+    )
+    new_cache = DecoderCache(
+        k=jnp.stack(new_k), v=jnp.stack(new_v), xk=cache.xk, xv=cache.xv,
+        length=cache.length + s,
+    )
+    return logits, new_cache
+
+
+def greedy_decode_cached(
+    params,
+    enc_states: jax.Array,
+    cfg: WhisperConfig,
+    start_tokens: jax.Array,
+    max_new_tokens: int,
+    eot_token: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """KV-cached greedy decode: prefill the start tokens, then one
+    jitted while_loop step per token (O(n) instead of the re-forward
+    loop's O(n^2))."""
+    b, s0 = start_tokens.shape
+    total = s0 + max_new_tokens
+    hd = cfg.d_model // cfg.num_heads
+    xk, xv = precompute_cross_kv(params, enc_states, cfg)
+    cache = DecoderCache(
+        k=jnp.zeros((cfg.decoder_layers, b, total, cfg.num_heads, hd)),
+        v=jnp.zeros((cfg.decoder_layers, b, total, cfg.num_heads, hd)),
+        xk=xk,
+        xv=xv,
+        length=jnp.zeros((b,), jnp.int32),
+    )
+    positions = jnp.broadcast_to(jnp.arange(s0), (b, s0))
+    logits, cache = _decoder_step_cached(
+        params, start_tokens, positions, cache, cfg
+    )
+    tok0 = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+
+    buf0 = jnp.full((b, max_new_tokens), eot_token, jnp.int32)
+    buf0 = buf0.at[:, 0].set(tok0)
+    done0 = tok0 == eot_token
+
+    def cond(state):
+        i, _, _, done, _ = state
+        return (i < max_new_tokens) & ~jnp.all(done)
+
+    def body(state):
+        i, buf, cache, done, tok = state
+        logits, cache = _decoder_step_cached(
+            params, tok[:, None], cache.length[:, None], cache, cfg
+        )
+        nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+        nxt = jnp.where(done, eot_token, nxt)
+        buf = jax.lax.dynamic_update_slice(buf, nxt[:, None], (0, i))
+        done = done | (nxt == eot_token)
+        return i + 1, buf, cache, done, nxt
+
+    _, buf, _, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(1), buf0, cache, done0, tok0)
+    )
+    lengths = jnp.sum(buf != eot_token, axis=1)
+    return buf, lengths
+
+
 def greedy_decode(
     params,
     enc_states: jax.Array,
@@ -263,8 +381,8 @@ def greedy_decode(
     eot_token: int,
 ) -> Tuple[jax.Array, jax.Array]:
     """Greedy decoding via repeated teacher-forced forward on a fixed
-    buffer (simple and compile-once; a KV-cached loop is the next
-    optimization step). Returns (tokens (b, max_new), lengths)."""
+    buffer (reference oracle for greedy_decode_cached).
+    Returns (tokens (b, max_new), lengths)."""
     b, s0 = start_tokens.shape
     total = s0 + max_new_tokens
     buf = jnp.full((b, total), eot_token, jnp.int32)
