@@ -85,6 +85,104 @@ def run_qa(
     return out
 
 
+def run_qa_batched(
+    engine: InferenceEngine,
+    samples: List[Dict],
+    video_dir: str,
+    conv_mode: str,
+    batch_size: int = 8,
+    video_prefix: str = "",
+    num_frames: int = 100,
+    max_new_tokens: int = 128,
+) -> List[Dict]:
+    """Batched QA: B videos encode, prefill and decode together — the
+    TPU-native throughput path for large benchmark sweeps (the
+    reference runs strictly one video at a time). Samples whose video
+    fails to load are skipped (per-sample fault tolerance preserved).
+    """
+    import dataclasses
+
+    import jax
+
+    from video_llava_tpu.constants import IGNORE_INDEX  # noqa: F401
+    from video_llava_tpu.engine.generate import generate
+    from video_llava_tpu.models import video_llava
+    from video_llava_tpu.ops.image import preprocess_frames
+    from video_llava_tpu.runtime.conversation import conv_templates
+    from video_llava_tpu.runtime.inference import build_video_question
+
+    import jax.numpy as jnp
+
+    cfg, tok = engine.cfg, engine.tokenizer
+    size = cfg.vision.image_size
+    out: List[Dict] = []
+
+    for start in range(0, len(samples), batch_size):
+        chunk = samples[start : start + batch_size]
+        loaded, frames_list, nvalid = [], [], []
+        for sample in chunk:
+            try:
+                path = find_video(video_dir, sample["video_name"], video_prefix)
+                if path is None:
+                    raise FileNotFoundError(sample["video_name"])
+                f = load_video(path, num_frm=num_frames, shape=(size, size))
+                t = f.shape[0]
+                if t < num_frames:
+                    f = np.pad(f, ((0, num_frames - t), (0, 0), (0, 0), (0, 0)))
+                frames_list.append(f)
+                nvalid.append(t)
+                loaded.append(sample)
+            except Exception as e:  # noqa: BLE001
+                print(f"Error loading '{sample.get('video_name')}': {e}")
+        if not loaded:
+            continue
+
+        pixels = preprocess_frames(np.stack(frames_list), size)
+        feats = jax.vmap(
+            lambda px, n: video_llava.encode_video(
+                engine.params, px, cfg, num_valid_frames=n
+            )
+        )(pixels, jnp.asarray(nvalid, jnp.int32))
+
+        # tokenize prompts, right-pad to one bucket
+        ids_list = []
+        for sample in loaded:
+            qs = build_video_question(
+                sample["question"], cfg.video_token_len, cfg.use_vid_start_end
+            )
+            conv = conv_templates[conv_mode].copy()
+            conv.append_message(conv.roles[0], qs)
+            conv.append_message(conv.roles[1], None)
+            ids_list.append(tok.encode(conv.get_prompt()))
+        lens = [len(i) for i in ids_list]
+        bucket = -(-max(lens) // engine.seq_pad_multiple) * engine.seq_pad_multiple
+        input_ids = np.full((len(loaded), bucket), tok.pad_token_id, np.int32)
+        for r, ids in enumerate(ids_list):
+            input_ids[r, : len(ids)] = ids
+
+        gen = dataclasses.replace(
+            engine.gen,
+            max_new_tokens=max_new_tokens,
+            eos_token_id=tok.eos_token_id,
+            pad_token_id=tok.pad_token_id,
+        )
+        res = generate(
+            engine.params, cfg, gen,
+            jnp.asarray(input_ids), jnp.asarray(lens, jnp.int32), feats,
+            jax.random.PRNGKey(start), cache_dtype=engine.cache_dtype,
+        )
+        toks = np.asarray(res.tokens)
+        lengths = np.asarray(res.lengths)
+        for r, sample in enumerate(loaded):
+            text = tok.decode(
+                [int(t) for t in toks[r, : lengths[r]]], skip_special_tokens=True
+            )
+            result = dict(sample)
+            result["pred"] = text.strip()
+            out.append(result)
+    return out
+
+
 def run_consistency(
     engine: InferenceEngine,
     samples: List[Dict],

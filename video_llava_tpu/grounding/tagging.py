@@ -54,6 +54,7 @@ class TaggingModule:
         cfg: SwinConfig,
         tag_list: Sequence[str],
         threshold: float = 0.95,  # reference delete_tag_index-free default
+        logits_fn=None,
     ):
         self.backbone_params = backbone_params
         self.head_params = head_params
@@ -61,7 +62,33 @@ class TaggingModule:
         self.tag_list = list(tag_list)
         self.threshold = threshold
         self._fwd = jax.jit(
-            lambda bp, hp, px: tag_logits(bp, hp, px, cfg)
+            logits_fn if logits_fn is not None
+            else (lambda bp, hp, px: tag_logits(bp, hp, px, cfg))
+        )
+
+    @classmethod
+    def with_ram_decoder(
+        cls,
+        backbone_params,
+        ram_params,
+        swin_cfg: SwinConfig,
+        ram_cfg,
+        tag_list: Sequence[str],
+        threshold: float = 0.95,
+    ):
+        """RAM-architecture tagger: label-query cross-attention decoder
+        (models/ram.py) instead of the pooled classifier head."""
+        from video_llava_tpu.models import ram as ram_mod
+
+        return cls(
+            backbone_params,
+            ram_params,
+            swin_cfg,
+            tag_list,
+            threshold,
+            logits_fn=lambda bp, hp, px: ram_mod.tag_logits(
+                bp, hp, px, swin_cfg, ram_cfg
+            ),
         )
 
     def run_on_frames(self, frames: np.ndarray) -> List[List[str]]:
