@@ -101,8 +101,8 @@ def attention_reference(
 
 
 def _flash_fwd_kernel(
-    q_ref, k_ref, v_ref, o_ref, *, causal: bool, scale: float, block_k: int,
-    kv_len: int, kv_len_real: int, q_offset: int,
+    q_ref, k_ref, v_ref, o_ref, lse_ref, *, causal: bool, scale: float,
+    block_k: int, kv_len: int, kv_len_real: int, q_offset: int,
 ):
     """One (batch*head, q-block) program: online softmax over k blocks.
 
@@ -155,6 +155,10 @@ def _flash_fwd_kernel(
 
     m, l, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    # logsumexp per row (saved for the backward pass); padded rows get a
+    # huge sentinel so exp(s - lse) underflows to 0 there.
+    lse = m + jnp.log(jnp.maximum(l, 1e-30))
+    lse_ref[0] = jnp.where(jnp.isfinite(lse), lse, 1e30)[:, 0]
 
 
 def _flash_forward(
@@ -215,7 +219,7 @@ def _flash_forward(
     def kv_index(bh, qi, _g=group, _h=h):
         return ((bh // _h) * (_h // _g) + (bh % _h) // _g, 0, 0)
 
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -226,11 +230,20 @@ def _flash_forward(
             pl.BlockSpec((1, skv_pad, d), kv_index, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, skv_pad, d), kv_index, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, block_q, d), lambda bh, qi: (bh, qi, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((b * h, sq_pad, d), q.dtype),
+        out_specs=[
+            pl.BlockSpec(
+                (1, block_q, d), lambda bh, qi: (bh, qi, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, block_q), lambda bh, qi: (bh, qi),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, sq_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, sq_pad), jnp.float32),
+        ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * sq_pad * skv_pad * d,
@@ -238,7 +251,237 @@ def _flash_forward(
             transcendentals=b * h * sq_pad * skv_pad,
         ),
     )(qf, kf, vf)
-    return out.reshape(b, h, sq_pad, d)[:, :, :sq].transpose(0, 2, 1, 3)
+    out = out.reshape(b, h, sq_pad, d)[:, :, :sq].transpose(0, 2, 1, 3)
+    return out, lse
+
+
+# ---------------------------------------------------------------------------
+# Pallas flash attention (backward)
+# ---------------------------------------------------------------------------
+
+
+def _flash_bwd_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, dD_ref, dq_ref, *,
+    causal: bool, scale: float, block_k: int, kv_len: int, kv_len_real: int,
+    q_offset: int,
+):
+    """dq for one (batch*head, q-block): loop over k blocks, recompute
+    p = exp(s - lse), ds = p*(dO.v^T - D), dq += ds.k * scale."""
+    _, block_q, d = q_ref.shape
+    qi = pl.program_id(1)
+    q = q_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0][:, None]
+    dD = dD_ref[0][:, None]
+
+    num_kb = pl.cdiv(kv_len, block_k)
+    if causal:
+        q_end = q_offset + (qi + 1) * block_q
+        num_kb = jnp.minimum(num_kb, pl.cdiv(q_end, block_k))
+
+    def body(ki, dq):
+        k = k_ref[0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        p = jnp.exp(s - lse)
+        qpos = (
+            q_offset + qi * block_q
+            + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+        )
+        kpos = ki * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1
+        )
+        valid = kpos < kv_len_real
+        if causal:
+            valid = valid & (qpos >= kpos)
+        p = jnp.where(valid, p, 0.0)
+        dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - dD)
+        return dq + jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+
+    dq = jax.lax.fori_loop(
+        0, num_kb, body, jnp.zeros((block_q, d), jnp.float32)
+    )
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, dD_ref, dk_ref, dv_ref, *,
+    causal: bool, scale: float, block_q: int, q_len: int, kv_len_real: int,
+    q_offset: int,
+):
+    """dk/dv for one (batch*head, k-block): loop over q blocks."""
+    _, block_k, d = k_ref.shape
+    ki = pl.program_id(1)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+
+    num_qb = pl.cdiv(q_len, block_q)
+    start_qb = jnp.int32(0)
+    if causal:
+        # first q row that can see this k block:
+        # qpos >= kpos  =>  q_offset + qi_row >= ki*block_k
+        first_row = jnp.maximum(ki * block_k - q_offset, 0)
+        start_qb = first_row // block_q
+
+    def loop_body(qi, carry):
+        dk, dv = carry
+        qb = _load_q(qi)
+        dob = _load_do(qi)
+        lse = _load_lse(qi)[:, None]
+        dD = _load_dD(qi)[:, None]
+        s = jnp.dot(qb, k.T, preferred_element_type=jnp.float32) * scale
+        p = jnp.exp(s - lse)  # (block_q, block_k)
+        qpos = (
+            q_offset + qi * block_q
+            + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+        )
+        kpos = ki * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1
+        )
+        valid = kpos < kv_len_real
+        if causal:
+            valid = valid & (qpos >= kpos)
+        p = jnp.where(valid, p, 0.0)
+        dv = dv + jnp.dot(p.T, dob, preferred_element_type=jnp.float32)
+        dp = jnp.dot(dob, v.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - dD)
+        dk = dk + jnp.dot(ds.T, qb, preferred_element_type=jnp.float32) * scale
+        return dk, dv
+
+    def _load_q(qi):
+        return q_ref[0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
+
+    def _load_do(qi):
+        return do_ref[0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
+
+    def _load_lse(qi):
+        return lse_ref[0, pl.ds(qi * block_q, block_q)]
+
+    def _load_dD(qi):
+        return dD_ref[0, pl.ds(qi * block_q, block_q)]
+
+    dk0 = jnp.zeros((block_k, d), jnp.float32)
+    dv0 = jnp.zeros((block_k, d), jnp.float32)
+    dk, dv = jax.lax.fori_loop(start_qb, num_qb, loop_body, (dk0, dv0))
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _flash_backward(
+    q, k, v, out, lse, g, causal, scale, block_q, block_k, interpret
+):
+    b, sq, h, d = q.shape
+    skv, h_kv = k.shape[1], k.shape[2]
+    scale = scale if scale is not None else 1.0 / (d**0.5)
+    group = h // h_kv
+
+    def _fit(block, s):
+        tight = pl.cdiv(s, 16) * 16
+        if tight <= 512:
+            return tight
+        return max(16, min(block, tight))
+
+    block_q = _fit(block_q, sq)
+    block_k = _fit(block_k, skv)
+    sq_pad = pl.cdiv(sq, block_q) * block_q
+    skv_pad = pl.cdiv(skv, block_k) * block_k
+
+    def flat_q(x, hh):
+        xx = x.transpose(0, 2, 1, 3).reshape(b * hh, x.shape[1], d)
+        return jnp.pad(xx, ((0, 0), (0, sq_pad - x.shape[1]), (0, 0)))
+
+    qf = flat_q(q, h)
+    gf = flat_q(g, h)
+    kf = jnp.pad(
+        k.transpose(0, 2, 1, 3).reshape(b * h_kv, skv, d),
+        ((0, 0), (0, skv_pad - skv), (0, 0)),
+    )
+    vf = jnp.pad(
+        v.transpose(0, 2, 1, 3).reshape(b * h_kv, skv, d),
+        ((0, 0), (0, skv_pad - skv), (0, 0)),
+    )
+    # D = rowsum(dO * O) (fp32), padded rows -> 0
+    of = flat_q(out, h)
+    dD = jnp.sum(gf.astype(jnp.float32) * of.astype(jnp.float32), axis=-1)
+
+    q_offset = skv - sq
+    common = dict(causal=causal, scale=scale, kv_len_real=skv,
+                  q_offset=q_offset)
+
+    def kv_index(bh, i, _g=group, _h=h):
+        return ((bh // _h) * (_h // _g) + (bh % _h) // _g, 0, 0)
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_dq_kernel, block_k=block_k,
+            kv_len=skv if causal else skv_pad, **common,
+        ),
+        grid=(b * h, sq_pad // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, skv_pad, d), kv_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, skv_pad, d), kv_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q), lambda bh, qi: (bh, qi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q), lambda bh, qi: (bh, qi),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, sq_pad, d), jnp.float32),
+        interpret=interpret,
+    )(qf, kf, vf, gf, lse, dD)
+
+    dkv = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_dkv_kernel, block_q=block_q, q_len=sq_pad, **common,
+        ),
+        grid=(b * h, skv_pad // block_k),
+        in_specs=[
+            pl.BlockSpec((1, sq_pad, d), lambda bh, ki: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d),
+                         lambda bh, ki, _g=group, _h=h: (
+                             (bh // _h) * (_h // _g) + (bh % _h) // _g, ki, 0
+                         ),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d),
+                         lambda bh, ki, _g=group, _h=h: (
+                             (bh // _h) * (_h // _g) + (bh % _h) // _g, ki, 0
+                         ),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sq_pad, d), lambda bh, ki: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sq_pad), lambda bh, ki: (bh, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sq_pad), lambda bh, ki: (bh, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, d), lambda bh, ki: (bh, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda bh, ki: (bh, ki, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, skv_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, skv_pad, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qf, kf, vf, gf, lse, dD)
+    dk_per_head, dv_per_head = dkv
+
+    dq = dq.reshape(b, h, sq_pad, d)[:, :, :sq].transpose(0, 2, 1, 3)
+    # GQA: sum gradients over the query heads sharing each kv head.
+    dk = dk_per_head.reshape(b, h_kv, group, skv_pad, d).sum(axis=2)
+    dv = dv_per_head.reshape(b, h_kv, group, skv_pad, d).sum(axis=2)
+    dk = dk[:, :, :skv].transpose(0, 2, 1, 3)
+    dv = dv[:, :, :skv].transpose(0, 2, 1, 3)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
@@ -252,28 +495,29 @@ def flash_attention(
     block_k: int = 256,
     interpret: bool = False,
 ) -> jax.Array:
-    """Flash attention forward. q: (b, sq, h, d); k/v: (b, skv, h_kv, d).
+    """Flash attention. q: (b, sq, h, d); k/v: (b, skv, h_kv, d).
 
-    Backward pass recomputes attention with the XLA reference path
-    (flash recompute strategy: O(s) memory, no stored probs).
+    Forward and backward are both Pallas kernels (the backward
+    recomputes p from the saved logsumexp — O(s) memory, no stored
+    probability matrix), replacing the reference's flash-attn CUDA
+    fwd+bwd (train/llama_flash_attn_monkey_patch.py).
     """
-    return _flash_forward(q, k, v, causal, scale, block_q, block_k, interpret)
+    out, _ = _flash_forward(q, k, v, causal, scale, block_q, block_k,
+                            interpret)
+    return out
 
 
 def _flash_fwd_rule(q, k, v, causal, scale, block_q, block_k, interpret):
-    out = _flash_forward(q, k, v, causal, scale, block_q, block_k, interpret)
-    return out, (q, k, v)
+    out, lse = _flash_forward(q, k, v, causal, scale, block_q, block_k,
+                              interpret)
+    return out, (q, k, v, out, lse)
 
 
 def _flash_bwd_rule(causal, scale, block_q, block_k, interpret, res, g):
-    q, k, v = res
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_: attention_reference(
-            q_, k_, v_, causal=causal, scale=scale
-        ),
-        q, k, v,
+    q, k, v, out, lse = res
+    return _flash_backward(
+        q, k, v, out, lse, g, causal, scale, block_q, block_k, interpret
     )
-    return vjp(g)
 
 
 flash_attention.defvjp(_flash_fwd_rule, _flash_bwd_rule)
