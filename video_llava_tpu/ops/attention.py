@@ -158,7 +158,7 @@ def _flash_fwd_kernel(
     # logsumexp per row (saved for the backward pass); padded rows get a
     # huge sentinel so exp(s - lse) underflows to 0 there.
     lse = m + jnp.log(jnp.maximum(l, 1e-30))
-    lse_ref[0] = jnp.where(jnp.isfinite(lse), lse, 1e30)[:, 0]
+    lse_ref[0] = jnp.where(jnp.isfinite(lse), lse, 1e30)
 
 
 def _flash_forward(
@@ -236,13 +236,13 @@ def _flash_forward(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, block_q), lambda bh, qi: (bh, qi),
+                (1, block_q, 1), lambda bh, qi: (bh, qi, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b * h, sq_pad, d), q.dtype),
-            jax.ShapeDtypeStruct((b * h, sq_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, sq_pad, 1), jnp.float32),
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
@@ -271,8 +271,8 @@ def _flash_bwd_dq_kernel(
     qi = pl.program_id(1)
     q = q_ref[0].astype(jnp.float32)
     do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0][:, None]
-    dD = dD_ref[0][:, None]
+    lse = lse_ref[0]  # (block_q, 1)
+    dD = dD_ref[0]
 
     num_kb = pl.cdiv(kv_len, block_k)
     if causal:
@@ -328,8 +328,8 @@ def _flash_bwd_dkv_kernel(
         dk, dv = carry
         qb = _load_q(qi)
         dob = _load_do(qi)
-        lse = _load_lse(qi)[:, None]
-        dD = _load_dD(qi)[:, None]
+        lse = _load_lse(qi)  # (block_q, 1)
+        dD = _load_dD(qi)
         s = jnp.dot(qb, k.T, preferred_element_type=jnp.float32) * scale
         p = jnp.exp(s - lse)  # (block_q, block_k)
         qpos = (
@@ -356,10 +356,10 @@ def _flash_bwd_dkv_kernel(
         return do_ref[0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
 
     def _load_lse(qi):
-        return lse_ref[0, pl.ds(qi * block_q, block_q)]
+        return lse_ref[0, pl.ds(qi * block_q, block_q), :]
 
     def _load_dD(qi):
-        return dD_ref[0, pl.ds(qi * block_q, block_q)]
+        return dD_ref[0, pl.ds(qi * block_q, block_q), :]
 
     dk0 = jnp.zeros((block_k, d), jnp.float32)
     dv0 = jnp.zeros((block_k, d), jnp.float32)
@@ -403,7 +403,9 @@ def _flash_backward(
     )
     # D = rowsum(dO * O) (fp32), padded rows -> 0
     of = flat_q(out, h)
-    dD = jnp.sum(gf.astype(jnp.float32) * of.astype(jnp.float32), axis=-1)
+    dD = jnp.sum(
+        gf.astype(jnp.float32) * of.astype(jnp.float32), axis=-1, keepdims=True
+    )  # (b*h, sq_pad, 1)
 
     q_offset = skv - sq
     common = dict(causal=causal, scale=scale, kv_len_real=skv,
@@ -425,9 +427,9 @@ def _flash_backward(
             pl.BlockSpec((1, skv_pad, d), kv_index, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda bh, qi: (bh, qi),
+            pl.BlockSpec((1, block_q, 1), lambda bh, qi: (bh, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda bh, qi: (bh, qi),
+            pl.BlockSpec((1, block_q, 1), lambda bh, qi: (bh, qi, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0),
@@ -456,9 +458,9 @@ def _flash_backward(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, sq_pad, d), lambda bh, ki: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sq_pad), lambda bh, ki: (bh, 0),
+            pl.BlockSpec((1, sq_pad, 1), lambda bh, ki: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sq_pad), lambda bh, ki: (bh, 0),
+            pl.BlockSpec((1, sq_pad, 1), lambda bh, ki: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
