@@ -111,9 +111,8 @@ def test_full_sharded_train_step(setup):
     sharded = shard_params(params, specs, mesh)
 
     mask = trainable_mask(sharded, "projector+embed")
-    tx = make_optimizer(1e-3, total_steps=10, warmup_steps=0, mask=mask)
-    opt_state = jax.jit(tx.init)(sharded)
-    state = init_train_state(sharded, tx)._replace(opt_state=opt_state)
+    tx = make_optimizer(1e-3, total_steps=10, warmup_steps=0)
+    state = init_train_state(sharded, tx, mask)
 
     batch = _batch(cfg, b=4, s=192)
     batch = {

@@ -154,11 +154,14 @@ def forward_hidden(
     cfg: LlamaConfig,
     cache: Optional[KVCache] = None,
     new_length: Optional[jax.Array] = None,
+    remat: bool = False,
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Core decoder: embeds (b, s, d) + positions (b, s) -> hidden (b, s, d).
 
     With a cache, writes k/v at positions `cache.length` onward and
     returns the updated cache with length = new_length.
+    remat=True rematerializes each layer in the backward pass (training:
+    O(layers) activation memory instead of O(layers * seq * ffn)).
     """
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
 
@@ -183,6 +186,11 @@ def forward_hidden(
             )
             return h, None
 
+        if remat:
+            body_no_cache = jax.checkpoint(
+                body_no_cache,
+                policy=jax.checkpoint_policies.nothing_saveable,
+            )
         x, _ = jax.lax.scan(body_no_cache, x, params["layers"])
         new_cache = None
     else:
@@ -228,6 +236,7 @@ def forward(
     positions: Optional[jax.Array] = None,
     cache: Optional[KVCache] = None,
     new_length: Optional[jax.Array] = None,
+    remat: bool = False,
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Full LM forward -> (logits (b, s, vocab) fp32, updated cache)."""
     if inputs_embeds is None:
@@ -238,7 +247,7 @@ def forward(
         positions = jnp.arange(s, dtype=jnp.int32)[None, :] + base
         positions = jnp.broadcast_to(positions, (b, s))
     hidden, new_cache = forward_hidden(
-        params, inputs_embeds, positions, cfg, cache, new_length
+        params, inputs_embeds, positions, cfg, cache, new_length, remat
     )
     kernel = params["lm_head"]["kernel"]
     if isinstance(kernel, dict) and "qvalues" in kernel:

@@ -110,6 +110,7 @@ def forward(
     labels: Optional[jax.Array] = None,
     cache: Optional[KVCache] = None,
     new_length: Optional[jax.Array] = None,
+    remat: bool = False,
 ) -> Tuple[jax.Array, Optional[jax.Array], Optional[KVCache]]:
     """Multimodal LM forward.
 
@@ -120,7 +121,7 @@ def forward(
     embeds = build_inputs_embeds(params, input_ids, video_features, cfg)
     logits, new_cache = llama.forward(
         params["llm"], cfg.llm, inputs_embeds=embeds, cache=cache,
-        new_length=new_length,
+        new_length=new_length, remat=remat,
     )
     loss = None
     if labels is not None:

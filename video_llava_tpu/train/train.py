@@ -138,10 +138,8 @@ def main(argv=None):
         args.weight_decay,
         warmup_steps=int(total_steps * args.warmup_ratio),
         total_steps=total_steps,
-        mask=mask,
     )
-    state = init_train_state(params, tx)
-    state = state._replace(opt_state=jax.jit(tx.init)(params))
+    state = init_train_state(params, tx, mask)
 
     start_step = 0
     resume = latest_checkpoint(args.output_dir)

@@ -61,7 +61,9 @@ def make_optimizer(
     weight_decay: float = 0.0,
     warmup_steps: int = 100,
     total_steps: int = 10_000,
-    mask=None,
+    mask=None,  # unused: the step runs the optimizer on the trainable
+    # subtree only (None-placeholder pytree), so no masking wrapper and
+    # no optimizer state for frozen params.
 ) -> optax.GradientTransformation:
     """AdamW + cosine schedule (the reference recipe uses HF Trainer's
     cosine with warmup_ratio 0.03, docs/2-Training.md:42-67)."""
@@ -71,12 +73,7 @@ def make_optimizer(
         )
     else:
         schedule = optax.cosine_decay_schedule(learning_rate, max(total_steps, 1))
-    tx = optax.adamw(schedule, weight_decay=weight_decay)
-    if mask is not None:
-        tx = optax.chain(
-            optax.masked(tx, mask),
-        )
-    return tx
+    return optax.adamw(schedule, weight_decay=weight_decay)
 
 
 def loss_fn(params, cfg: VideoLLaVAConfig, batch) -> jax.Array:
@@ -89,8 +86,26 @@ def loss_fn(params, cfg: VideoLLaVAConfig, batch) -> jax.Array:
         batch["input_ids"],
         batch.get("video_features"),
         labels=batch["labels"],
+        remat=True,  # O(layers) activation memory for 7B/13B training
     )
     return loss
+
+
+def _split_by_mask(params, mask):
+    """-> (trainable, frozen) trees with None placeholders (so the
+    structures recombine exactly)."""
+    trainable = jax.tree.map(lambda p, m: p if m else None, params, mask)
+    frozen = jax.tree.map(lambda p, m: None if m else p, params, mask)
+    return trainable, frozen
+
+
+def _merge(trainable, frozen):
+    return jax.tree.map(
+        lambda t, f: t if f is None else f,
+        trainable,
+        frozen,
+        is_leaf=lambda x: x is None,
+    )
 
 
 def make_train_step(
@@ -99,16 +114,32 @@ def make_train_step(
     mask=None,
     donate: bool = True,
 ):
-    """Returns jitted (state, batch) -> (state, metrics)."""
+    """Returns jitted (state, batch) -> (state, metrics).
+
+    With a trainability mask, only the trainable subtree is
+    differentiated — at 7B scale, gradients for the frozen backbone
+    would otherwise cost ~4 bytes/param of HBM for nothing (the
+    reference relies on requires_grad=False for the same reason,
+    train.py:509-518).
+    """
 
     def step(state: TrainState, batch):
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, cfg, batch)
-        if mask is not None:
-            grads = jax.tree.map(
-                lambda g, m: g if m else jnp.zeros_like(g), grads, mask
-            )
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
+        if mask is None:
+            loss, grads = jax.value_and_grad(loss_fn)(state.params, cfg, batch)
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+        else:
+            trainable, frozen = _split_by_mask(state.params, mask)
+
+            def masked_loss(trainable):
+                return loss_fn(_merge(trainable, frozen), cfg, batch)
+
+            loss, grads = jax.value_and_grad(masked_loss)(trainable)
+            # optimizer runs on the trainable subtree only (None
+            # placeholders are empty pytree nodes — zero extra memory)
+            updates, new_opt = tx.update(grads, state.opt_state, trainable)
+            new_trainable = optax.apply_updates(trainable, updates)
+            new_params = _merge(new_trainable, frozen)
         gnorm = optax.global_norm(grads)
         return (
             TrainState(new_params, new_opt, state.step + 1),
@@ -118,5 +149,9 @@ def make_train_step(
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
-def init_train_state(params, tx) -> TrainState:
-    return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+def init_train_state(params, tx, mask=None) -> TrainState:
+    """opt_state covers only the trainable subtree when a mask is given."""
+    target = params if mask is None else _split_by_mask(params, mask)[0]
+    return TrainState(
+        params, jax.jit(tx.init)(target), jnp.zeros((), jnp.int32)
+    )
