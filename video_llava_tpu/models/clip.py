@@ -193,10 +193,13 @@ def init_text_params(key, cfg: CLIPTextConfig, dtype=jnp.float32):
     }
 
 
-def text_forward(params, token_ids: jax.Array, cfg: CLIPTextConfig):
+def text_forward(params, token_ids: jax.Array, cfg: CLIPTextConfig,
+                 eot_token_id: Optional[int] = None):
     """token_ids: (b, 77) -> pooled, projected text embedding (b, proj).
 
-    Pooling: features at the EOT token (highest token id), HF semantics.
+    Pooling: features at the EOT token — the first `eot_token_id`
+    occurrence when given (HF eos_token_id semantics), else the highest
+    token id (OpenAI CLIP convention, where EOT is the max vocab id).
     """
     x = embed(params["token_embedding"], token_ids)
     x = x + params["position_embedding"][: x.shape[1]].astype(x.dtype)
@@ -210,7 +213,10 @@ def text_forward(params, token_ids: jax.Array, cfg: CLIPTextConfig):
         causal=True,
     )
     x = layer_norm(params["final_layernorm"], x, cfg.layer_norm_eps)
-    eot = jnp.argmax(token_ids, axis=-1)
+    if eot_token_id is not None:
+        eot = jnp.argmax((token_ids == eot_token_id).astype(jnp.int32), axis=-1)
+    else:
+        eot = jnp.argmax(token_ids, axis=-1)
     pooled = jnp.take_along_axis(x, eot[:, None, None], axis=1)[:, 0]
     return linear(params["text_projection"], pooled)
 

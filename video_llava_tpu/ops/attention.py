@@ -27,17 +27,66 @@ from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_MASK_VALUE = -1e30
 
-# Global attention implementation switch: "auto" = Pallas on TPU / XLA
-# elsewhere; "xla" forces the reference path (required today for
-# sharded pjit programs — the Pallas kernel is single-device until it is
-# wrapped in shard_map); "pallas" forces the kernel.
+# Global attention implementation switch: "auto" = Pallas on a single
+# TPU chip, shard_map-wrapped Pallas on a registered multi-chip mesh,
+# XLA elsewhere; "xla"/"pallas" force a path.
 _DEFAULT_IMPL = "auto"
+
+# Mesh registered by the engine for sharded programs: attention is
+# embarrassingly parallel over (batch, heads), so the Pallas kernel runs
+# per-shard under shard_map with no collectives.
+_GLOBAL_MESH = None
 
 
 def set_default_impl(impl: str) -> None:
     global _DEFAULT_IMPL
     assert impl in ("auto", "xla", "pallas")
     _DEFAULT_IMPL = impl
+
+
+def set_attention_mesh(mesh) -> None:
+    """Register the ('data','model') mesh so auto dispatch can use the
+    shard_map-wrapped Pallas kernel inside pjit programs."""
+    global _GLOBAL_MESH
+    _GLOBAL_MESH = mesh
+
+
+def sharded_flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mesh,
+    causal: bool = False,
+    scale: Optional[float] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Flash attention under shard_map: batch shards on 'data', heads on
+    'model'; each shard runs the single-device kernel locally."""
+    from jax.sharding import PartitionSpec as P
+
+    spec = P("data", None, "model", None)
+    fn = jax.shard_map(
+        lambda q_, k_, v_: flash_attention(
+            q_, k_, v_, causal, scale, interpret=interpret
+        ),
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+        check_vma=False,
+    )
+    return fn(q, k, v)
+
+
+def _sharded_dispatch_ok(q, k, mesh) -> bool:
+    if mesh is None:
+        return False
+    axes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    data, model = axes.get("data", 1), axes.get("model", 1)
+    return (
+        q.shape[0] % data == 0
+        and q.shape[2] % model == 0
+        and k.shape[2] % model == 0
+    )
 
 
 def _repeat_kv(k: jax.Array, num_heads: int) -> jax.Array:
@@ -540,20 +589,29 @@ def multi_head_attention(
     """Dispatch: Pallas flash kernel on TPU, XLA reference elsewhere or
     when a KV validity mask / per-row offset is needed (prefill over
     padded batches uses causal + right padding, which needs no mask)."""
+    d = q.shape[-1]
+    plain = kv_valid_len is None and q_offset is None and d % 8 == 0
     if use_pallas is None:
         if _DEFAULT_IMPL == "pallas":
             use_pallas = True
         elif _DEFAULT_IMPL == "xla":
             use_pallas = False
         else:
-            # auto: Pallas on a single TPU chip; the XLA path on
-            # multi-device programs (the kernel is single-device until
-            # it gets a shard_map wrapper) and on CPU/GPU.
+            # auto: Pallas on a single TPU chip; shard_map-wrapped
+            # Pallas on a registered multi-chip mesh; XLA otherwise.
+            if (
+                jax.default_backend() == "tpu"
+                and jax.device_count() > 1
+                and plain
+                and _sharded_dispatch_ok(q, k, _GLOBAL_MESH)
+            ):
+                return sharded_flash_attention(
+                    q, k, v, _GLOBAL_MESH, causal, scale, interpret
+                )
             use_pallas = (
                 jax.default_backend() == "tpu" and jax.device_count() == 1
             )
-    d = q.shape[-1]
-    if use_pallas and kv_valid_len is None and q_offset is None and d % 8 == 0:
+    if use_pallas and plain:
         return flash_attention(q, k, v, causal, scale, interpret=interpret)
     return attention_reference(
         q, k, v, causal=causal, kv_valid_len=kv_valid_len, q_offset=q_offset,

@@ -116,6 +116,10 @@ def main(argv=None):
 
     specs = videollava_param_specs(params, fsdp=(args.tune_mode == "full"))
     params = shard_params(params, specs, mesh)
+    if len(jax.devices()) > 1:
+        from video_llava_tpu.ops.attention import set_attention_mesh
+
+        set_attention_mesh(mesh)
 
     dataset = LazySupervisedDataset(
         args.data_path,
