@@ -158,6 +158,20 @@ int vlt_decode_indices(void* h, const int64_t* indices, int n, uint8_t* out,
   const size_t frame_bytes = static_cast<size_t>(out_h) * out_w * 3;
   bool draining = false;
 
+  // libswscale writes SIMD-width chunks and can spill past unaligned
+  // row ends: scale into an aligned scratch, then copy packed rows into
+  // the caller's buffer.
+  const int scratch_linesize = FFALIGN(out_w * 3, 64);
+  uint8_t* scratch =
+      static_cast<uint8_t*>(av_malloc(static_cast<size_t>(scratch_linesize) *
+                                      out_h + 64));
+  if (!scratch) {
+    av_packet_free(&pkt);
+    av_frame_free(&frame);
+    set_error(r, "scratch alloc failed");
+    return 0;
+  }
+
   while (written < n) {
     if (!draining) {
       int ret = av_read_frame(r->fmt, pkt);
@@ -176,21 +190,28 @@ int vlt_decode_indices(void* h, const int64_t* indices, int n, uint8_t* out,
       int ret = avcodec_receive_frame(r->dec, frame);
       if (ret == AVERROR(EAGAIN)) break;
       if (ret == AVERROR_EOF) {
+        av_free(scratch);
         av_packet_free(&pkt);
         av_frame_free(&frame);
         return written;
       }
       if (ret < 0) {
         set_error(r, "decode error", ret);
+        av_free(scratch);
         av_packet_free(&pkt);
         av_frame_free(&frame);
         return written;
       }
       while (want < n && indices[want] == decoded) {
-        uint8_t* dst[1] = {out + frame_bytes * want};
-        int dst_linesize[1] = {out_w * 3};
+        uint8_t* dst[4] = {scratch, nullptr, nullptr, nullptr};
+        int dst_linesize[4] = {scratch_linesize, 0, 0, 0};
         sws_scale(r->sws, frame->data, frame->linesize, 0, r->dec->height,
                   dst, dst_linesize);
+        uint8_t* row_out = out + frame_bytes * want;
+        for (int y = 0; y < out_h; ++y)
+          std::memcpy(row_out + static_cast<size_t>(y) * out_w * 3,
+                      scratch + static_cast<size_t>(y) * scratch_linesize,
+                      static_cast<size_t>(out_w) * 3);
         ++want;
         ++written;
       }
@@ -206,6 +227,7 @@ int vlt_decode_indices(void* h, const int64_t* indices, int n, uint8_t* out,
       if (ret >= 0) av_frame_unref(frame);
     }
   }
+  av_free(scratch);
   av_packet_free(&pkt);
   av_frame_free(&frame);
   return written;
@@ -264,8 +286,9 @@ int vlt_encode_video(const char* path, const uint8_t* frames, int n, int h,
   for (int i = 0; i <= n; ++i) {
     AVFrame* to_send = nullptr;
     if (i < n) {
-      const uint8_t* src[1] = {frames + static_cast<size_t>(i) * h * w * 3};
-      int src_linesize[1] = {w * 3};
+      const uint8_t* src[4] = {frames + static_cast<size_t>(i) * h * w * 3,
+                               nullptr, nullptr, nullptr};
+      int src_linesize[4] = {w * 3, 0, 0, 0};
       av_frame_make_writable(yuv);
       sws_scale(sws, src, src_linesize, 0, h, yuv->data, yuv->linesize);
       yuv->pts = i;
