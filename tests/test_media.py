@@ -69,3 +69,47 @@ def test_encode_decode_roundtrip_resized(video_file):
     got = vr.get_batch([5], out_size=(36, 48))
     vr.close()
     assert got.shape == (1, 36, 48, 3)
+
+
+def test_unaligned_dimensions_roundtrip():
+    """Regression: libswscale SIMD row spill corrupted the heap for
+    widths not a multiple of 64/3 alignment (e.g. 120)."""
+    rng = np.random.default_rng(7)
+    for h, w in [(90, 120), (96, 120), (45, 67), (90, 127)]:
+        path = f"/tmp/dim_{h}_{w}.mp4"
+        frames = rng.integers(0, 255, size=(6, h, w, 3), dtype=np.uint8)
+        encode_video(path, frames, fps=3, codec="mpeg4")
+        vr = VideoReader(path)
+        out = vr.get_batch([0, 3, 5])
+        small = vr.get_batch([1], out_size=(33, 47))
+        vr.close()
+        assert out.shape == (3, h, w, 3)
+        assert small.shape == (1, 33, 47, 3)
+
+
+def test_audio_decode_wav(tmp_path):
+    """Native audio decode: 440 Hz sine WAV @ 44.1 kHz stereo -> mono
+    16 kHz PCM via libswresample."""
+    import struct
+    import wave
+
+    from video_llava_tpu.media.audio import load_audio
+
+    sr, dur = 44100, 2.0
+    t = np.arange(int(sr * dur)) / sr
+    tone = (0.5 * np.sin(2 * np.pi * 440 * t) * 32767).astype(np.int16)
+    stereo = np.stack([tone, tone], axis=1).reshape(-1)
+    path = str(tmp_path / "tone.wav")
+    with wave.open(path, "wb") as f:
+        f.setnchannels(2)
+        f.setsampwidth(2)
+        f.setframerate(sr)
+        f.writeframes(stereo.tobytes())
+
+    pcm = load_audio(path, sample_rate=16000)
+    assert abs(len(pcm) - 32000) < 200  # ~2 s at 16 kHz
+    # dominant frequency ~440 Hz
+    spec = np.abs(np.fft.rfft(pcm[:16000]))
+    freq = np.fft.rfftfreq(16000, 1 / 16000)
+    assert abs(freq[np.argmax(spec)] - 440.0) < 5.0
+    assert np.abs(pcm).max() <= 1.0
