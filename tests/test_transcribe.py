@@ -52,3 +52,21 @@ def test_transcribe_audio_end_to_end(tiny_transcriber):
 
 def test_empty_audio(tiny_transcriber):
     assert tiny_transcriber.transcribe_audio(np.zeros((0,), np.float32)) == []
+
+
+def test_transcribe_video_from_wav(tiny_transcriber, tmp_path):
+    """transcribe_video end to end over a real (WAV) media file."""
+    import wave
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    tone = (0.3 * np.sin(2 * np.pi * 220 * t) * 32767).astype(np.int16)
+    path = str(tmp_path / "a.wav")
+    with wave.open(path, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(sr)
+        f.writeframes(tone.tobytes())
+    text, segments = tiny_transcriber.transcribe_video(path)
+    assert len(segments) == 1
+    assert isinstance(text, str)
