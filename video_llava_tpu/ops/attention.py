@@ -153,15 +153,37 @@ def _flash_fwd_kernel(
     q_ref, k_ref, v_ref, o_ref, lse_ref, *, causal: bool, scale: float,
     block_k: int, kv_len: int, kv_len_real: int, q_offset: int,
 ):
-    """One (batch*head, q-block) program: online softmax over k blocks.
+    """One (batch*head-group, q-block) program: online softmax over k
+    blocks, unrolled over the G heads of the group (grouping amortizes
+    per-program overhead when there are many small-sequence heads, e.g.
+    CLIP's 1600 (frame, head) pairs).
 
-    q_ref: (1, block_q, d); k_ref/v_ref: (1, kv_len_pad, d).
+    q_ref: (G, block_q, d); k_ref/v_ref: (G, kv_len_pad, d).
     kv_len_real < the padded length masks the padded key tail.
     """
-    _, block_q, d = q_ref.shape
+    G, block_q, d = q_ref.shape
     qi = pl.program_id(1)
 
-    q = q_ref[0].astype(jnp.float32) * scale
+    def per_head(g, _):
+        _flash_fwd_one(
+            q_ref, k_ref, v_ref, o_ref, lse_ref, g, qi,
+            causal=causal, scale=scale, block_k=block_k, kv_len=kv_len,
+            kv_len_real=kv_len_real, q_offset=q_offset,
+        )
+        return 0
+
+    # fori_loop (not a Python loop) so the compiler keeps ONE head's
+    # fp32 temporaries alive at a time.
+    jax.lax.fori_loop(0, G, per_head, 0)
+
+
+def _flash_fwd_one(
+    q_ref, k_ref, v_ref, o_ref, lse_ref, g, qi, *, causal: bool,
+    scale: float, block_k: int, kv_len: int, kv_len_real: int, q_offset: int,
+):
+    _, block_q, d = q_ref.shape
+
+    q = q_ref[g].astype(jnp.float32) * scale
 
     m0 = jnp.full((block_q, 1), -jnp.inf, jnp.float32)
     l0 = jnp.zeros((block_q, 1), jnp.float32)
@@ -177,8 +199,8 @@ def _flash_fwd_kernel(
 
     def body(ki, carry):
         m, l, acc = carry
-        k = k_ref[0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
+        k = k_ref[g, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[g, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
         s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # (bq, bk)
         if causal or mask_tail:
             qpos = (
@@ -203,11 +225,11 @@ def _flash_fwd_kernel(
         return m_new, l_new, acc_new
 
     m, l, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
-    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    o_ref[g] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
     # logsumexp per row (saved for the backward pass); padded rows get a
     # huge sentinel so exp(s - lse) underflows to 0 there.
     lse = m + jnp.log(jnp.maximum(l, 1e-30))
-    lse_ref[0] = jnp.where(jnp.isfinite(lse), lse, 1e30)
+    lse_ref[g] = jnp.where(jnp.isfinite(lse), lse, 1e30)
 
 
 def _flash_forward(
@@ -254,7 +276,17 @@ def _flash_forward(
         ((0, 0), (0, skv_pad - skv), (0, 0)),
     )
 
-    grid = (b * h, sq_pad // block_q)
+    # Head grouping: many small-sequence heads (e.g. CLIP: 100 frames x
+    # 16 heads x 257 tokens) are per-program-overhead bound; pack G heads
+    # per program (G=1 under GQA, where kv rows don't tile with q rows).
+    G = 1
+    if group == 1 and sq <= 512:
+        per_head_bytes = (2 * skv_pad + 2 * block_q) * d * 2
+        G = max(1, min(h, (4 << 20) // max(per_head_bytes, 1)))
+        while h % G:
+            G -= 1
+
+    grid = (b * h // G, sq_pad // block_q)
     kernel = functools.partial(
         _flash_fwd_kernel,
         causal=causal,
@@ -268,24 +300,26 @@ def _flash_forward(
     def kv_index(bh, qi, _g=group, _h=h):
         return ((bh // _h) * (_h // _g) + (bh % _h) // _g, 0, 0)
 
+    kv_index_g = kv_index if G == 1 else (lambda i, qi: (i, 0, 0))
+
     out, lse = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (1, block_q, d), lambda bh, qi: (bh, qi, 0),
+                (G, block_q, d), lambda i, qi: (i, qi, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((1, skv_pad, d), kv_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, skv_pad, d), kv_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, skv_pad, d), kv_index_g, memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, skv_pad, d), kv_index_g, memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec(
-                (1, block_q, d), lambda bh, qi: (bh, qi, 0),
+                (G, block_q, d), lambda i, qi: (i, qi, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, block_q, 1), lambda bh, qi: (bh, qi, 0),
+                (G, block_q, 1), lambda i, qi: (i, qi, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
