@@ -172,8 +172,9 @@ class VidSTGDataset:
             if video["tube_start_frame"] <= img_id < video["tube_end_frame"]:
                 ann = trajectory[str(img_id)]
                 bbox = ann["bbox"] if isinstance(ann, dict) else ann
-                x, y, w, h = bbox
-                img2box[i_img] = [[x, y, x + w, y + h]]
+                # VidSTG preproc stores xyxy (reference preproc_vidstg.py
+                # stores xmax/ymax — the 'NOTE' override of the old ltwh).
+                img2box[i_img] = [list(bbox)]
                 inter_idx.append(i_img)
         frames = _decode_frames(
             os.path.join(self.vid_folder, "video", video["video_path"]),
