@@ -118,9 +118,12 @@ def build():
 
     encode_jit = jax.jit(encode)
 
+    cache_dtype = jnp.int8 if LLM_DTYPE == "int8" else jnp.bfloat16
+
     def prefill(params, input_ids, seq_lens, feats):
         return video_llava.prefill(
-            params, cfg, input_ids, seq_lens, feats[None], CACHE_LEN
+            params, cfg, input_ids, seq_lens, feats[None], CACHE_LEN,
+            cache_dtype,
         )
 
     prefill_jit = jax.jit(prefill)
@@ -174,7 +177,8 @@ def main():
             "decode_tok_per_s": round(NEW_TOKENS / t_decode, 1),
             "model": (
                 "vicuna-7b + clip-vit-l/14-224, 1 chip, clip bf16, llm "
-                + ("int8 weights-only" if LLM_DTYPE == "int8" else "bf16")
+                + ("int8 weights-only + int8 kv cache"
+                   if LLM_DTYPE == "int8" else "bf16")
             ),
             "new_tokens": NEW_TOKENS,
             "prompt_len": PROMPT_LEN,

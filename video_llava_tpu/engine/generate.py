@@ -92,10 +92,8 @@ def _decode_loop(
         buf = jax.lax.dynamic_update_slice(buf, nxt[:, None], (0, step))
         lens = lens + (~done).astype(jnp.int32)
         # Rows already done must not advance their cache length.
-        new_cache = KVCache(
-            k=new_cache.k,
-            v=new_cache.v,
-            length=jnp.where(done, cache.length, new_cache.length),
+        new_cache = new_cache._replace(
+            length=jnp.where(done, cache.length, new_cache.length)
         )
         return step + 1, buf, nxt, new_cache, new_done, lens, rng
 

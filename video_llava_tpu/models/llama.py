@@ -46,22 +46,48 @@ class KVCache(NamedTuple):
 
     k, v: (num_layers, batch, max_len, num_kv_heads, head_dim)
     length: (batch,) int32 — number of valid entries per sequence.
+    With dtype=jnp.int8 the cache stores symmetric per-(position, head)
+    quantized values plus fp32 scales — decode is HBM-bound and the
+    cache read halves.
     """
 
     k: jax.Array
     v: jax.Array
     length: jax.Array
+    k_scale: Optional[jax.Array] = None  # (L, b, max_len, h_kv, 1) f32
+    v_scale: Optional[jax.Array] = None
 
     @classmethod
     def create(
         cls, cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16
     ) -> "KVCache":
         shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+        if dtype == jnp.int8:
+            sshape = shape[:-1] + (1,)
+            return cls(
+                k=jnp.zeros(shape, jnp.int8),
+                v=jnp.zeros(shape, jnp.int8),
+                length=jnp.zeros((batch,), jnp.int32),
+                k_scale=jnp.zeros(sshape, jnp.float32),
+                v_scale=jnp.zeros(sshape, jnp.float32),
+            )
         return cls(
             k=jnp.zeros(shape, dtype),
             v=jnp.zeros(shape, dtype),
             length=jnp.zeros((batch,), jnp.int32),
         )
+
+
+def _quantize_kv(x: jax.Array):
+    """(b, s, h_kv, hd) -> (int8 values, (b, s, h_kv, 1) f32 scales)."""
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+    return q.astype(jnp.int8), scale
+
+
+def _dequantize_kv(q: jax.Array, scale: jax.Array, dtype=jnp.bfloat16):
+    return (q.astype(jnp.float32) * scale).astype(dtype)
 
 
 def _layer_init(key, cfg: LlamaConfig, dtype):
@@ -104,12 +130,16 @@ def _attention_block(
     layer_v: Optional[jax.Array],
     cache_len: Optional[jax.Array],
     write_pos: Optional[jax.Array],
-) -> Tuple[jax.Array, Optional[jax.Array], Optional[jax.Array]]:
+    layer_k_scale: Optional[jax.Array] = None,
+    layer_v_scale: Optional[jax.Array] = None,
+):
     """Self-attention with optional KV-cache read/write.
 
-    Returns (output, new_layer_k, new_layer_v). With a cache, new keys
-    are written at write_pos (per-batch offsets) and attention runs over
-    the cache masked to cache_len.
+    Returns (output, new_k, new_v, new_k_scale, new_v_scale). With a
+    cache, new keys are written at write_pos (per-batch offsets) and
+    attention runs over the cache masked to cache_len. int8 caches
+    quantize on write (per position/head) and dequantize fused into the
+    attention reads.
     """
     b, s, d = x.shape
     h, h_kv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -119,28 +149,40 @@ def _attention_block(
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
+    new_k = new_v = new_ks = new_vs = None
     if layer_k is None:
-        attn = multi_head_attention(q, k, v, causal=True)
-        new_k = new_v = None
-        out = attn
+        out = multi_head_attention(q, k, v, causal=True)
     else:
         # Write the new keys/values into the cache at write_pos.
         def write_one(cache, new, pos):
             return jax.lax.dynamic_update_slice(cache, new, (pos, 0, 0))
 
-        new_k = jax.vmap(write_one)(layer_k, k.astype(layer_k.dtype), write_pos)
-        new_v = jax.vmap(write_one)(layer_v, v.astype(layer_v.dtype), write_pos)
+        if layer_k_scale is not None:  # int8 cache
+            kq, ks = _quantize_kv(k)
+            vq, vs = _quantize_kv(v)
+            new_k = jax.vmap(write_one)(layer_k, kq, write_pos)
+            new_v = jax.vmap(write_one)(layer_v, vq, write_pos)
+            new_ks = jax.vmap(write_one)(layer_k_scale, ks, write_pos)
+            new_vs = jax.vmap(write_one)(layer_v_scale, vs, write_pos)
+            k_read = _dequantize_kv(new_k, new_ks, q.dtype)
+            v_read = _dequantize_kv(new_v, new_vs, q.dtype)
+        else:
+            new_k = jax.vmap(write_one)(layer_k, k.astype(layer_k.dtype),
+                                        write_pos)
+            new_v = jax.vmap(write_one)(layer_v, v.astype(layer_v.dtype),
+                                        write_pos)
+            k_read, v_read = new_k, new_v
         if s == 1:
-            out = decode_attention(q, new_k, new_v, cache_len)
+            out = decode_attention(q, k_read, v_read, cache_len)
         else:
             # (Chunked) prefill: row b's queries occupy cache positions
             # [write_pos_b, write_pos_b + s).
             out = multi_head_attention(
-                q, new_k, new_v, causal=True, kv_valid_len=cache_len,
+                q, k_read, v_read, causal=True, kv_valid_len=cache_len,
                 q_offset=write_pos,
             )
     out = linear(p["wo"], out.reshape(b, s, h * hd))
-    return out, new_k, new_v
+    return out, new_k, new_v, new_ks, new_vs
 
 
 def _mlp_block(p, x):
@@ -169,7 +211,7 @@ def forward_hidden(
     if cache is None:
 
         def body_no_cache(h, layer_params):
-            attn, _, _ = _attention_block(
+            attn, *_ = _attention_block(
                 layer_params,
                 rms_norm(layer_params["input_norm"], h, cfg.rms_norm_eps),
                 cos,
@@ -200,8 +242,8 @@ def forward_hidden(
         )
 
         def body(h, layer_in):
-            layer_params, layer_k, layer_v = layer_in
-            attn, nk, nv = _attention_block(
+            layer_params, layer_k, layer_v, layer_ks, layer_vs = layer_in
+            attn, nk, nv, nks, nvs = _attention_block(
                 layer_params,
                 rms_norm(layer_params["input_norm"], h, cfg.rms_norm_eps),
                 cos,
@@ -211,17 +253,22 @@ def forward_hidden(
                 layer_v,
                 cache_len,
                 write_pos,
+                layer_ks,
+                layer_vs,
             )
             h = h + attn
             h = h + _mlp_block(
                 layer_params, rms_norm(layer_params["post_norm"], h, cfg.rms_norm_eps)
             )
-            return h, (nk, nv)
+            return h, (nk, nv, nks, nvs)
 
-        x, (new_k, new_v) = jax.lax.scan(
-            body, x, (params["layers"], cache.k, cache.v)
+        x, (new_k, new_v, new_ks, new_vs) = jax.lax.scan(
+            body, x,
+            (params["layers"], cache.k, cache.v, cache.k_scale, cache.v_scale),
         )
-        new_cache = KVCache(k=new_k, v=new_v, length=cache_len)
+        new_cache = KVCache(
+            k=new_k, v=new_v, length=cache_len, k_scale=new_ks, v_scale=new_vs
+        )
 
     x = rms_norm(params["final_norm"], x, cfg.rms_norm_eps)
     return x, new_cache
