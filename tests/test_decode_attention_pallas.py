@@ -1,0 +1,50 @@
+"""Pallas decode-attention kernel vs the masked XLA reference, bf16 and
+int8 cache variants, GQA."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from video_llava_tpu.models.llama import _dequantize_kv, _quantize_kv
+from video_llava_tpu.ops.attention import (
+    attention_reference,
+    decode_attention_pallas,
+)
+
+
+def _data(rng, b, L, h, h_kv, d):
+    q = jnp.asarray(rng.normal(size=(b, 1, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, L, h_kv, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, L, h_kv, d)).astype(np.float32))
+    lens = jnp.asarray([L // 2, L], jnp.int32)[:b]
+    return q, k, v, lens
+
+
+def test_bf16_cache_matches_reference():
+    rng = np.random.default_rng(0)
+    q, k, v, lens = _data(rng, 2, 64, 8, 8, 32)
+    want = attention_reference(q, k, v, kv_valid_len=lens)
+    got = decode_attention_pallas(q, k, v, lens, block_l=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
+
+
+def test_gqa_cache():
+    rng = np.random.default_rng(1)
+    q, k, v, lens = _data(rng, 2, 64, 8, 2, 32)
+    want = attention_reference(q, k, v, kv_valid_len=lens)
+    got = decode_attention_pallas(q, k, v, lens, block_l=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
+
+
+def test_int8_cache_matches_dequantized_reference():
+    rng = np.random.default_rng(2)
+    q, k, v, lens = _data(rng, 2, 64, 4, 4, 32)
+    kq, ks = _quantize_kv(k)
+    vq, vs = _quantize_kv(v)
+    want = attention_reference(
+        q, _dequantize_kv(kq, ks, jnp.float32),
+        _dequantize_kv(vq, vs, jnp.float32), kv_valid_len=lens,
+    )
+    got = decode_attention_pallas(
+        q, kq, vq, lens, k_scale=ks, v_scale=vs, block_l=32, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)

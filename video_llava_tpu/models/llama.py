@@ -164,6 +164,12 @@ def _attention_block(
             new_v = jax.vmap(write_one)(layer_v, vq, write_pos)
             new_ks = jax.vmap(write_one)(layer_k_scale, ks, write_pos)
             new_vs = jax.vmap(write_one)(layer_v_scale, vs, write_pos)
+            if s == 1:
+                out = linear(p["wo"], decode_attention(
+                    q, new_k, new_v, cache_len, k_scale=new_ks,
+                    v_scale=new_vs,
+                ).reshape(b, s, h * hd))
+                return out, new_k, new_v, new_ks, new_vs
             k_read = _dequantize_kv(new_k, new_ks, q.dtype)
             v_read = _dequantize_kv(new_v, new_vs, q.dtype)
         else:

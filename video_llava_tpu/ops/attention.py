@@ -664,11 +664,197 @@ def decode_attention(
     v_cache: jax.Array,
     cache_len: jax.Array,
     *,
+    k_scale: Optional[jax.Array] = None,
+    v_scale: Optional[jax.Array] = None,
     scale: Optional[float] = None,
 ) -> jax.Array:
-    """Single decode step. q: (b, 1, h, d); caches: (b, L, h_kv, d);
-    cache_len: (b,) int32 number of valid cache entries (incl. the token
-    just written). Static shapes; masking by traced length."""
+    """Single decode step. q: (b, 1, h, d); caches: (b, L, h_kv, d)
+    (bf16, or int8 with per-position scales); cache_len: (b,) int32
+    valid entries (incl. the token just written).
+
+    The XLA path (default) fuses the int8 dequant into the attention
+    einsums and measures faster than the Pallas kernel here (the kernel
+    is VPU-reduction bound; force with set_default_impl('pallas'))."""
+    use_pallas = _DEFAULT_IMPL == "pallas"
+    L = k_cache.shape[1]
+    if use_pallas:
+        block_l = next((bl for bl in (256, 128, 64, 32, 16) if L % bl == 0),
+                       None)
+        if block_l is not None:
+            return decode_attention_pallas(
+                q, k_cache, v_cache, cache_len, k_scale=k_scale,
+                v_scale=v_scale, scale=scale, block_l=block_l,
+            )
+    k, v = k_cache, v_cache
+    if k_scale is not None:
+        k = (k.astype(jnp.float32) * k_scale).astype(q.dtype)
+        v = (v.astype(jnp.float32) * v_scale).astype(q.dtype)
     return attention_reference(
-        q, k_cache, v_cache, causal=False, kv_valid_len=cache_len, scale=scale
+        q, k, v, causal=False, kv_valid_len=cache_len, scale=scale
     )
+
+
+# ---------------------------------------------------------------------------
+# Pallas decode attention over a (possibly int8) KV cache
+# ---------------------------------------------------------------------------
+
+
+def _decode_attn_kernel(
+    length_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref, *,
+    scale: float, block_l: int, quantized: bool,
+):
+    """One (batch, kv-head-block) program: the HB kv heads of the block
+    (each with `group` query heads) attend over the cache in one VMEM
+    pass — dequantization, length masking and online softmax fused (the
+    dequantized cache never hits HBM). All head math is vectorized
+    elementwise + reductions (VPU): decode attention is bandwidth-bound,
+    not MXU-bound.
+
+    q_ref: (1, HB, group, d); k_ref/v_ref: (1, L, HB, d) [+ (1, L, HB,
+    1) scales when quantized]; o_ref: (1, HB, group, d).
+    """
+    _, HB, group, d = q_ref.shape
+    L = k_ref.shape[1]
+    bi = pl.program_id(0)
+    length = length_ref[bi]
+    num_lb = pl.cdiv(L, block_l)
+    nb = jnp.minimum(num_lb, pl.cdiv(jnp.maximum(length, 1), block_l))
+
+    q = q_ref[0].astype(jnp.float32) * scale  # (HB, group, d)
+
+    if group == 1:
+        # Specialized MHA path (group == 1): flat (bl, HB) score tensors
+        # — Mosaic-friendly shapes, no singleton middle dims.
+        q2 = q[:, 0, :]  # (HB, d)
+        m0 = jnp.full((1, HB), -jnp.inf, jnp.float32)
+        l0 = jnp.zeros((1, HB), jnp.float32)
+        acc0 = jnp.zeros((HB, d), jnp.float32)
+
+        def body(li, carry):
+            m, l, acc = carry
+            kb = k_ref[0, pl.ds(li * block_l, block_l), :, :].astype(
+                jnp.float32
+            )
+            vb = v_ref[0, pl.ds(li * block_l, block_l), :, :].astype(
+                jnp.float32
+            )
+            if quantized:
+                kb = kb * ks_ref[0, pl.ds(li * block_l, block_l), :, :]
+                vb = vb * vs_ref[0, pl.ds(li * block_l, block_l), :, :]
+            s = jnp.sum(kb * q2[None], axis=-1)  # (bl, HB)
+            pos = li * block_l + jax.lax.broadcasted_iota(
+                jnp.int32, (block_l, HB), 0
+            )
+            s = jnp.where(pos < length, s, DEFAULT_MASK_VALUE)
+            m_new = jnp.maximum(m, jnp.max(s, axis=0, keepdims=True))
+            p = jnp.exp(s - m_new)  # (bl, HB)
+            alpha = jnp.exp(m - m_new)  # (1, HB)
+            l_new = alpha * l + jnp.sum(p, axis=0, keepdims=True)
+            # acc[h, d] += sum_l p[l, h] * vb[l, h, d]
+            acc_new = alpha.T * acc + jnp.sum(
+                p[:, :, None] * vb, axis=0
+            )
+            return m_new, l_new, acc_new
+
+        m, l, acc = jax.lax.fori_loop(0, nb, body, (m0, l0, acc0))
+        o_ref[0] = (acc / jnp.maximum(l.T, 1e-30))[:, None, :].astype(
+            o_ref.dtype
+        )
+        return
+
+    m0 = jnp.full((HB, group), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((HB, group), jnp.float32)
+    acc0 = jnp.zeros((HB, group, d), jnp.float32)
+
+    def body(li, carry):
+        m, l, acc = carry
+        kb = k_ref[0, pl.ds(li * block_l, block_l), :, :].astype(jnp.float32)
+        vb = v_ref[0, pl.ds(li * block_l, block_l), :, :].astype(jnp.float32)
+        if quantized:
+            kb = kb * ks_ref[0, pl.ds(li * block_l, block_l), :, :]
+            vb = vb * vs_ref[0, pl.ds(li * block_l, block_l), :, :]
+        # s[l, h, g] = sum_d kb[l, h, d] * q[h, g, d]
+        s = jnp.sum(kb[:, :, None, :] * q[None], axis=-1)  # (bl, HB, group)
+        pos = li * block_l + jax.lax.broadcasted_iota(
+            jnp.int32, (block_l, HB, group), 0
+        )
+        s = jnp.where(pos < length, s, DEFAULT_MASK_VALUE)
+        m_new = jnp.maximum(m, jnp.max(s, axis=0))
+        p = jnp.exp(s - m_new[None])  # (bl, HB, group)
+        alpha = jnp.exp(m - m_new)
+        l_new = alpha * l + jnp.sum(p, axis=0)
+        # acc[h, g, d] += sum_l p[l, h, g] * vb[l, h, d]
+        acc_new = alpha[:, :, None] * acc + jnp.sum(
+            p[:, :, :, None] * vb[:, :, None, :], axis=0
+        )
+        return m_new, l_new, acc_new
+
+    m, l, acc = jax.lax.fori_loop(0, nb, body, (m0, l0, acc0))
+    o_ref[0] = (acc / jnp.maximum(l[:, :, None], 1e-30)).astype(o_ref.dtype)
+
+
+def decode_attention_pallas(
+    q: jax.Array,  # (b, 1, h, d)
+    k_cache: jax.Array,  # (b, L, h_kv, d) bf16 or int8
+    v_cache: jax.Array,
+    cache_len: jax.Array,  # (b,)
+    k_scale: Optional[jax.Array] = None,  # (b, L, h_kv, 1) when int8
+    v_scale: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+    block_l: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused decode attention -> (b, 1, h, d)."""
+    b, _, h, d = q.shape
+    L, h_kv = k_cache.shape[1], k_cache.shape[2]
+    group = h // h_kv
+    scale = scale if scale is not None else 1.0 / (d**0.5)
+    quantized = k_scale is not None
+    block_l = max(16, min(block_l, pl.cdiv(L, 16) * 16))
+    if L % block_l:
+        raise ValueError(f"cache length {L} must divide block_l {block_l}")
+
+    qg = q.reshape(b, h_kv, group, d)
+    if not quantized:
+        # dummy scale operands keep one kernel signature
+        k_scale = jnp.ones((b, L, h_kv, 1), jnp.float32)
+        v_scale = k_scale
+
+    # kv-head block: the second-to-last block dim must be a multiple of
+    # 8 or equal the full axis (Mosaic tiling rule).
+    HB = 8 if h_kv % 8 == 0 else h_kv
+
+    out = pl.pallas_call(
+        functools.partial(
+            _decode_attn_kernel, scale=scale, block_l=block_l,
+            quantized=quantized,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, h_kv // HB),
+            in_specs=[
+                pl.BlockSpec((1, HB, group, d),
+                             lambda bi, ki, len_ref: (bi, ki, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, L, HB, d),
+                             lambda bi, ki, len_ref: (bi, 0, ki, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, L, HB, 1),
+                             lambda bi, ki, len_ref: (bi, 0, ki, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, L, HB, d),
+                             lambda bi, ki, len_ref: (bi, 0, ki, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, L, HB, 1),
+                             lambda bi, ki, len_ref: (bi, 0, ki, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, HB, group, d), lambda bi, ki, len_ref: (bi, ki, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h_kv, group, d), q.dtype),
+        interpret=interpret,
+    )(cache_len, qg, k_cache, k_scale, v_cache, v_scale)
+    return out.reshape(b, 1, h, d)
