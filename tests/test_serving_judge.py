@@ -110,3 +110,47 @@ def test_judge_prompt_formats():
          "pred1": "P1", "pred2": "P2"},
     )
     assert "Question 2: Q2" in msgs[1]["content"]
+
+
+def test_batched_serving(tiny_server_factory=None):
+    """Concurrent requests batch into one device program and all
+    complete."""
+    import concurrent.futures
+
+    import dataclasses as _dc
+
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    from video_llava_tpu.config import LlamaConfig as _L, VideoLLaVAConfig as _V
+    from video_llava_tpu.models import video_llava as _vl
+    from video_llava_tpu.runtime.tokenizer import ByteTokenizer as _BT
+    from video_llava_tpu.serving.server import ChatModel as _CM, serve as _serve
+
+    tok = _BT()
+    cfg = _dc.replace(
+        _V.tiny(),
+        llm=_L.tiny(vocab_size=512),
+        vid_patch_token_id=tok.vid_patch_token_id,
+        vid_start_token_id=tok.vid_start_token_id,
+        vid_end_token_id=tok.vid_end_token_id,
+    )
+    params = _vl.init_params(_jax.random.PRNGKey(0), cfg, _jnp.float32)
+    model = _CM(params=params, cfg=cfg, tokenizer=tok,
+                cache_dtype=_jnp.float32, seq_pad_multiple=64)
+    server = _serve(model, host="127.0.0.1", port=0, block=False,
+                    batching=True, max_batch=4, window_ms=100)
+    api = f"http://127.0.0.1:{server.server_address[1]}/v1"
+    client = ChatCompletionClient(api_base=api)
+
+    def ask(i):
+        return client.chat_text(
+            "m", [{"role": "user", "content": f"Question {i}?"}],
+            temperature=0.0, max_tokens=4,
+        )
+
+    with concurrent.futures.ThreadPoolExecutor(4) as ex:
+        outs = list(ex.map(ask, range(4)))
+    assert len(outs) == 4
+    assert all(isinstance(o, str) for o in outs)
+    server.shutdown()

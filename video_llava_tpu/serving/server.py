@@ -15,6 +15,7 @@ import dataclasses
 import json
 import threading
 import time
+from contextlib import nullcontext as _nullcontext
 import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import List, Optional
@@ -124,7 +125,9 @@ def make_handler(model: ChatModel, model_name: str):
             length = int(self.headers.get("Content-Length", 0))
             try:
                 req = json.loads(self.rfile.read(length))
-                with lock:
+                serialized = not isinstance(model, BatchingChatModel)
+                ctx = lock if serialized else _nullcontext()
+                with ctx:
                     text = model.chat(
                         req["messages"],
                         temperature=float(req.get("temperature", 0.2)),
@@ -160,7 +163,12 @@ def serve(
     port: int = 8000,
     model_name: str = "vicuna-13b-v1.5",
     block: bool = True,
+    batching: bool = False,
+    max_batch: int = 8,
+    window_ms: float = 30.0,
 ) -> ThreadingHTTPServer:
+    if batching:
+        model = BatchingChatModel(model, max_batch, window_ms)
     server = ThreadingHTTPServer((host, port), make_handler(model, model_name))
     if block:
         print(f"serving {model_name} on {host}:{port}")
@@ -168,3 +176,127 @@ def serve(
     else:
         threading.Thread(target=server.serve_forever, daemon=True).start()
     return server
+
+
+class BatchingChatModel:
+    """Request-batching wrapper: concurrent chat requests that arrive
+    within a short window run as ONE batched prefill+decode program
+    (the single-request path wastes most of the chip on matvecs).
+
+    Stop handling in batched mode is token-id based (eos / stop ids) —
+    exactly the '</s>' semantics of the vicuna templates the judge
+    endpoint serves.
+    """
+
+    def __init__(
+        self,
+        model: ChatModel,
+        max_batch: int = 8,
+        window_ms: float = 30.0,
+        max_tokens_cap: int = 512,
+    ):
+        import queue
+
+        self.model = model
+        self.max_batch = max_batch
+        self.window_s = window_ms / 1000.0
+        self.max_tokens_cap = max_tokens_cap
+        self._queue: "queue.Queue" = queue.Queue()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def chat(self, messages, temperature=0.2, max_tokens=512, seed=None):
+        import queue
+
+        done = threading.Event()
+        slot = {}
+        self._queue.put((messages, temperature, min(max_tokens,
+                                                    self.max_tokens_cap),
+                         seed, slot, done))
+        done.wait()
+        if "error" in slot:
+            raise RuntimeError(slot["error"])
+        return slot["text"]
+
+    # -- worker ---------------------------------------------------------------
+
+    def _collect(self):
+        import queue
+
+        first = self._queue.get()
+        batch = [first]
+        deadline = time.time() + self.window_s
+        while len(batch) < self.max_batch:
+            remaining = deadline - time.time()
+            if remaining <= 0:
+                break
+            try:
+                batch.append(self._queue.get(timeout=remaining))
+            except queue.Empty:
+                break
+        return batch
+
+    def _run(self):
+        import queue  # noqa: F401
+
+        from video_llava_tpu.engine.generate import generate as batched_generate
+
+        m = self.model
+        tok = m.tokenizer
+        while True:
+            batch = self._collect()
+            try:
+                prompts = []
+                for messages, temperature, max_tokens, seed, _, _ in batch:
+                    conv = conv_templates[m.conv_mode].copy()
+                    system = [x["content"] for x in messages
+                              if x["role"] == "system"]
+                    if system:
+                        conv.system = system[0]
+                    for x in messages:
+                        if x["role"] == "user":
+                            conv.append_message(conv.roles[0], x["content"])
+                        elif x["role"] == "assistant":
+                            conv.append_message(conv.roles[1], x["content"])
+                    conv.append_message(conv.roles[1], None)
+                    prompts.append(conv.get_prompt())
+
+                ids_list = [tok.encode(p) for p in prompts]
+                lens = [len(i) for i in ids_list]
+                bucket = -(-max(lens) // m.seq_pad_multiple) * m.seq_pad_multiple
+                input_ids = np.full((len(batch), bucket), tok.pad_token_id,
+                                    np.int32)
+                for r, ids in enumerate(ids_list):
+                    input_ids[r, : len(ids)] = ids
+
+                max_new = max(x[2] for x in batch)
+                temperature = batch[0][1]
+                gen = GenerationConfig(
+                    max_new_tokens=max_new,
+                    temperature=temperature,
+                    do_sample=temperature > 0,
+                    eos_token_id=tok.eos_token_id,
+                    pad_token_id=tok.pad_token_id,
+                )
+                seed = next((x[3] for x in batch if x[3] is not None), 0)
+                res = batched_generate(
+                    m.params, m.cfg, gen,
+                    jnp.asarray(input_ids),
+                    jnp.asarray(lens, jnp.int32),
+                    None,
+                    jax.random.PRNGKey(int(seed)),
+                    cache_dtype=m.cache_dtype,
+                )
+                toks = np.asarray(res.tokens)
+                out_lens = np.asarray(res.lengths)
+                for r, (_, _, req_max, _, slot, done) in enumerate(batch):
+                    n = min(int(out_lens[r]), req_max)
+                    text = tok.decode(
+                        [int(t) for t in toks[r, :n]], skip_special_tokens=True
+                    )
+                    slot["text"] = text.strip()
+                    done.set()
+            except Exception as e:  # noqa: BLE001
+                for *_, slot, done in batch:
+                    slot["error"] = str(e)
+                    done.set()
