@@ -113,3 +113,17 @@ def test_audio_decode_wav(tmp_path):
     freq = np.fft.rfftfreq(16000, 1 / 16000)
     assert abs(freq[np.argmax(spec)] - 440.0) < 5.0
     assert np.abs(pcm).max() <= 1.0
+
+
+def test_gif_decode(tmp_path):
+    """TGIF path: the native reader decodes GIFs (reference uses a PIL
+    GIF loader, run_inference_qa_tgif.py:30-54)."""
+    from PIL import Image
+
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 255, size=(8, 64, 64, 3), dtype=np.uint8)
+    path = str(tmp_path / "t.gif")
+    imgs = [Image.fromarray(f) for f in frames]
+    imgs[0].save(path, save_all=True, append_images=imgs[1:], duration=250)
+    out = load_video(path, num_frm=8, shape=(56, 56))
+    assert out.shape == (8, 56, 56, 3)
