@@ -41,8 +41,20 @@ def encode_video(
 ) -> jax.Array:
     """(t, H, W, 3) normalized frames -> pooled spatio-temporal features
     (video_token_len, mm_hidden): CLIP penultimate patches + pooling
-    (reference inference.py:92-95)."""
+    (reference inference.py:92-95). The fused Pallas pooling kernel runs
+    on a single TPU chip; sharded/CPU paths use the XLA formulation."""
+    import jax as _jax
+
     feats = clip.encode_frames(params["vision"], pixels, cfg.vision, frame_batch)
+    if _jax.default_backend() == "tpu" and _jax.device_count() == 1:
+        from video_llava_tpu.ops.pooling import spatio_temporal_pool_pallas
+
+        return spatio_temporal_pool_pallas(
+            feats,
+            num_valid_frames=num_valid_frames,
+            max_temporal_tokens=cfg.max_temporal_tokens,
+            out_dtype=feats.dtype,
+        )
     return spatio_temporal_pool(
         feats,
         num_valid_frames=num_valid_frames,

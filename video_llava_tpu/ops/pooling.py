@@ -109,10 +109,12 @@ def _pool_kernel(n_ref, x_ref, temporal_ref, spatial_ref, acc_ref):
     def _():
         mean_t = acc_ref[:] / float(s_total) * frame_mask
         t_pad = temporal_ref.shape[0]
-        out = jnp.zeros((t_pad, mean_t.shape[1]), jnp.float32)
-        temporal_ref[:] = jax.lax.dynamic_update_slice(
-            out, mean_t, (0, 0)
-        ).astype(temporal_ref.dtype)
+        if t_pad > t:  # static pad to max_temporal_tokens rows
+            mean_t = jnp.concatenate(
+                [mean_t, jnp.zeros((t_pad - t, mean_t.shape[1]), jnp.float32)],
+                axis=0,
+            )
+        temporal_ref[:] = mean_t.astype(temporal_ref.dtype)
 
 
 def spatio_temporal_pool_pallas(
