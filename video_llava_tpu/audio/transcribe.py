@@ -76,6 +76,9 @@ class Transcriber:
         max_new_tokens: int = 224,
         speech_tag: int = SPEECH_TAG,
         music_tags: Sequence[int] = MUSIC_TAGS,
+        timestamp_begin: Optional[int] = None,
+        timestamp_start_tokens: Optional[Sequence[int]] = None,
+        aligner=None,
     ):
         self.params = params
         self.cfg = cfg
@@ -85,6 +88,13 @@ class Transcriber:
         self.max_new_tokens = max_new_tokens
         self.speech_tag = speech_tag
         self.music_tags = tuple(music_tags)
+        # Timestamp decoding: id of <|0.00|> and the sot sequence
+        # WITHOUT <|notimestamps|> (audio/tokenizer.py sot_sequence).
+        self.timestamp_begin = timestamp_begin
+        self.timestamp_start_tokens = (
+            tuple(timestamp_start_tokens) if timestamp_start_tokens else None
+        )
+        self.aligner = aligner  # audio.align.ForcedAligner for word times
         self._encode = jax.jit(
             lambda p, mel: whisper_mod.encode(p, mel, cfg)
         )
@@ -99,52 +109,109 @@ class Transcriber:
             out[i, : len(piece)] = piece
         return out
 
-    def transcribe_audio(self, audio: np.ndarray) -> List[Segment]:
-        """ASR + tagging over PCM float32 @16 kHz."""
+    def transcribe_audio(
+        self, audio: np.ndarray, with_timestamps: bool = False
+    ) -> List[Segment]:
+        """ASR + tagging over PCM float32 @16 kHz.
+
+        with_timestamps=True decodes with Whisper timestamp tokens and
+        splits each 30 s chunk into sub-segments at the emitted
+        timestamp pairs (requires timestamp_begin / the timestamp sot
+        sequence); otherwise segments are whole chunks.
+        """
         if len(audio) == 0:
             return []
+        use_ts = bool(
+            with_timestamps
+            and self.timestamp_begin is not None
+            and self.timestamp_start_tokens
+        )
         chunks = self._chunk(audio)
         mels = jnp.stack([log_mel_spectrogram(c) for c in chunks])
         enc = self._encode(self.params, mels)  # (n_chunks, src, d)
 
-        start = jnp.asarray(
-            [list(self.start_tokens)] * len(chunks), jnp.int32
+        start_seq = (
+            self.timestamp_start_tokens if use_ts else self.start_tokens
         )
+        start = jnp.asarray([list(start_seq)] * len(chunks), jnp.int32)
         toks, lens = whisper_mod.greedy_decode_cached(
             self.params, enc, self.cfg, start, self.max_new_tokens,
             self.eot_token,
         )
         tag_logits = np.asarray(whisper_mod.audio_tag_logits(self.params, enc))
 
+        total_s = len(audio) / SAMPLE_RATE
         segments: List[Segment] = []
         toks_np, lens_np = np.asarray(toks), np.asarray(lens)
         for i in range(len(chunks)):
             ids = [int(t) for t in toks_np[i, : int(lens_np[i])]]
-            text = self.decode_text(ids).strip()
             music = max(
                 (float(tag_logits[i, m]) for m in self.music_tags),
                 default=-1e9,
             )
+            speech = float(tag_logits[i, self.speech_tag])
+            if use_ts:
+                from video_llava_tpu.audio.tokenizer import (
+                    parse_timestamp_segments,
+                )
+
+                spans = parse_timestamp_segments(
+                    ids, self.timestamp_begin, offset=i * 30.0,
+                    eot=self.eot_token,
+                    default_end=min(30.0, total_s - i * 30.0),
+                )
+                for sp in spans:
+                    text = self.decode_text(sp.token_ids).strip()
+                    if not text:
+                        continue
+                    segments.append(
+                        Segment(
+                            start=min(sp.start, total_s),
+                            end=min(sp.end, total_s),
+                            text=text,
+                            speech_logit=speech,
+                            music_logit=music,
+                        )
+                    )
+                continue
+            text = self.decode_text(ids).strip()
             segments.append(
                 Segment(
                     start=i * 30.0,
-                    end=min((i + 1) * 30.0, len(audio) / SAMPLE_RATE),
+                    end=min((i + 1) * 30.0, total_s),
                     text=text,
-                    speech_logit=float(tag_logits[i, self.speech_tag]),
+                    speech_logit=speech,
                     music_logit=music,
                 )
             )
         return segments
 
-    def transcribe_video(self, video_path: str) -> Tuple[str, List[Segment]]:
+    def transcribe_video(
+        self, video_path: str, with_timestamps: bool = False
+    ) -> Tuple[str, List[Segment]]:
         """Reference transcribe_video (transcribe.py:51-99): decode the
         audio track, transcribe, filter non-speech, join text."""
         from video_llava_tpu.media.audio import load_audio
 
         audio = load_audio(video_path)
-        segments = self.transcribe_audio(audio)
+        segments = self.transcribe_audio(audio, with_timestamps)
         text = " ".join(s.text for s in segments if s.keep and s.text)
         return text, segments
+
+    def transcribe_video_aligned(self, video_path: str):
+        """Transcript + word-level timings (whisperX parity: reference
+        transcribe.py:43-46 aligns segments with a wav2vec2 CTC model).
+        Requires an aligner (audio/align.py ForcedAligner)."""
+        if self.aligner is None:
+            raise ValueError("Transcriber built without an aligner")
+        from video_llava_tpu.media.audio import load_audio
+
+        audio = load_audio(video_path)
+        segments = self.transcribe_audio(audio, with_timestamps=True)
+        kept = [s for s in segments if s.keep and s.text]
+        words = self.aligner.align_segments(audio, kept)
+        text = " ".join(s.text for s in kept)
+        return text, kept, words
 
 
 def filter_segments(segments: Sequence[Segment]) -> List[Segment]:

@@ -193,11 +193,11 @@ class VideoChatGPTInterface:
         print("Welcome to PG-Video-LLaVA (TPU)!")
         video_set = False
         while True:
-            if not video_set:
-                video_path = input("Please enter the video file path:   ")
-                self.upload_video(video_path)
-                video_set = True
             try:
+                if not video_set:
+                    video_path = input("Please enter the video file path:   ")
+                    self.upload_video(video_path)
+                    video_set = True
                 text = input("USER>>")
                 if not text:
                     print("----------\n\n")
@@ -207,7 +207,7 @@ class VideoChatGPTInterface:
                 self.add_text(text, self.video_path)
                 output = self.answer()
                 print("ASSISTANT>>", output)
-            except KeyboardInterrupt:
+            except (KeyboardInterrupt, EOFError):
                 print("----------")
                 print("QUITTING...")
                 return
@@ -273,11 +273,11 @@ class PGVideoLLaVA(VideoChatGPTInterface):
         print("Welcome to PG-Video-LLaVA (TPU)!")
         video_set = False
         while True:
-            if not video_set:
-                video_path = input("Please enter the video file path:   ")
-                self.upload_video(video_path)
-                video_set = True
             try:
+                if not video_set:
+                    video_path = input("Please enter the video file path:   ")
+                    self.upload_video(video_path)
+                    video_set = True
                 text = input("USER>>")
                 if not text:
                     print("----------\n\n")
@@ -289,7 +289,7 @@ class PGVideoLLaVA(VideoChatGPTInterface):
                 llm_output, video_out, highlight, match_state = out
                 print("ASSISTANT>>", llm_output)
                 print("\nGROUNDING>>", "\t", video_out, "\n\t", match_state, "\n")
-            except KeyboardInterrupt:
+            except (KeyboardInterrupt, EOFError):
                 print("----------")
                 print("QUITTING...")
                 return
