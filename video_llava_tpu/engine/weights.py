@@ -42,6 +42,24 @@ def load_torch_bin(path: str) -> Dict[str, np.ndarray]:
     return {k: v.to(torch.float32).numpy() for k, v in sd.items()}
 
 
+def load_torch_checkpoint_file(path: str) -> Dict[str, np.ndarray]:
+    """Load a research-repo .pth/.pt checkpoint file: unwraps the
+    common {'model': sd} / {'state_dict': sd} nesting (RAM and
+    GroundingDINO releases) and drops non-tensor entries."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=True)
+    for key in ("model", "state_dict", "module"):
+        if isinstance(obj, dict) and key in obj and isinstance(obj[key], dict):
+            obj = obj[key]
+            break
+    return {
+        k: v.to(torch.float32).numpy()
+        for k, v in obj.items()
+        if hasattr(v, "numpy")
+    }
+
+
 def load_safetensors(path: str) -> Dict[str, np.ndarray]:
     from safetensors.numpy import load_file
 

@@ -137,8 +137,56 @@ def build_tagger(
     swin_checkpoint: Optional[str] = None,
     tag_list: Sequence[str] = DEFAULT_TAG_LIST,
     cfg: Optional[SwinConfig] = None,
+    ram_checkpoint: Optional[str] = None,
+    tag_list_path: Optional[str] = None,
+    threshold_path: Optional[str] = None,
 ) -> TaggingModule:
+    """Tagger assembly.
+
+    ram_checkpoint: released RAM state dict (ram_swin_large_14m.pth
+    layout) — loads backbone + q2l decoder + per-tag thresholds via
+    models/ram.py convert_ram_checkpoint; tag_list_path /
+    threshold_path point at the released ram_tag_list(.threshold).txt
+    files. Without it, falls back to an HF Swin backbone (or random
+    init) with a linear tag head.
+    """
     cfg = cfg or SwinConfig.swin_l()
+    if ram_checkpoint:
+        import os
+
+        from video_llava_tpu.engine.weights import (
+            load_checkpoint_dir,
+            load_torch_checkpoint_file,
+        )
+        from video_llava_tpu.models import ram as ram_mod
+
+        sd = (
+            load_torch_checkpoint_file(ram_checkpoint)
+            if os.path.isfile(ram_checkpoint)
+            else load_checkpoint_dir(ram_checkpoint)
+        )
+        ram_cfg = ram_mod.infer_ram_config(sd)
+        backbone, ram_params, thresholds = ram_mod.convert_ram_checkpoint(
+            sd, cfg, ram_cfg
+        )
+        tags = (
+            ram_mod.load_tag_list(tag_list_path)
+            if tag_list_path
+            else list(tag_list)
+        )
+        if len(tags) != ram_cfg.num_tags:
+            raise ValueError(
+                f"tag list has {len(tags)} entries but the checkpoint "
+                f"predicts {ram_cfg.num_tags} tags — pass the release's "
+                "ram_tag_list.txt via tag_list_path"
+            )
+        if threshold_path:
+            thresholds = ram_mod.load_tag_thresholds(
+                threshold_path, len(tags)
+            )
+        return TaggingModule.with_ram_decoder(
+            backbone, ram_params, cfg, ram_cfg, tags, threshold=thresholds
+        )
     if swin_checkpoint:
         from video_llava_tpu.engine.weights import load_checkpoint_dir
 

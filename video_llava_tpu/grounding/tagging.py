@@ -53,7 +53,8 @@ class TaggingModule:
         head_params,
         cfg: SwinConfig,
         tag_list: Sequence[str],
-        threshold: float = 0.95,  # reference delete_tag_index-free default
+        threshold=0.95,  # scalar, or (num_tags,) per-tag thresholds as
+        # shipped with the RAM release (class_threshold)
         logits_fn=None,
     ):
         self.backbone_params = backbone_params

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from typing import Callable, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -715,6 +716,173 @@ def convert_hf_grounding_dino(sd, cfg: GroundingDinoConfig, dtype=jnp.float32):
     return out
 
 
+def convert_original_grounding_dino(
+    sd, cfg: GroundingDinoConfig, dtype=jnp.float32
+):
+    """Original-repo checkpoint (groundingdino_swint_ogc.pth /
+    swinb_cogcoor.pth layout) -> params.
+
+    Key schema differences vs the HF layout handled here:
+      backbone.0.*                 timm-style Swin (+ per-stage norm{i})
+      bert.*                       HF BertModel, feat_map = text proj
+      transformer.encoder.layers / .text_layers / .fusion_layers
+                                   split per-role lists (HF interleaves
+                                   them inside one layer object)
+      nn.MultiheadAttention        fused in_proj_weight/bias (split into
+                                   q/k/v thirds)
+      transformer.decoder.layers.{i}: self_attn+norm2, ca_text+
+                                   catext_norm, cross_attn(deform)+norm1,
+                                   linear1/2+norm3
+      transformer.tgt_embed        learned content queries
+      transformer.enc_out_bbox_embed / bbox_embed.{i}  box heads
+    """
+
+    def t(w):
+        return np.ascontiguousarray(np.asarray(w).T)
+
+    def ln(prefix):
+        return {"scale": sd[prefix + "weight"], "bias": sd[prefix + "bias"]}
+
+    def lin(prefix):
+        out = {"kernel": t(sd[prefix + "weight"])}
+        if prefix + "bias" in sd:
+            out["bias"] = sd[prefix + "bias"]
+        return out
+
+    def mha_fused(prefix):
+        """torch nn.MultiheadAttention: in_proj packs q;k;v rows."""
+        w = np.asarray(sd[prefix + "in_proj_weight"])
+        b = np.asarray(sd[prefix + "in_proj_bias"])
+        d = w.shape[1]
+        return {
+            "q": {"kernel": t(w[:d]), "bias": b[:d]},
+            "k": {"kernel": t(w[d : 2 * d]), "bias": b[d : 2 * d]},
+            "v": {"kernel": t(w[2 * d :]), "bias": b[2 * d :]},
+            "o": lin(prefix + "out_proj."),
+        }
+
+    def deform(prefix):
+        return {
+            "sampling_offsets": lin(prefix + "sampling_offsets."),
+            "attention_weights": lin(prefix + "attention_weights."),
+            "value_proj": lin(prefix + "value_proj."),
+            "output_proj": lin(prefix + "output_proj."),
+        }
+
+    def mlp_head(prefix, n=3):
+        return {f"layer{i}": lin(prefix + f"layers.{i}.") for i in range(n)}
+
+    enc_layers = []
+    for i in range(cfg.encoder_layers):
+        fus = f"transformer.encoder.fusion_layers.{i}."
+        txt = f"transformer.encoder.text_layers.{i}."
+        dfm = f"transformer.encoder.layers.{i}."
+        enc_layers.append(
+            {
+                "fusion": {
+                    "ln_vision": ln(fus + "layer_norm_v."),
+                    "ln_text": ln(fus + "layer_norm_l."),
+                    "vision_param": sd[fus + "gamma_v"],
+                    "text_param": sd[fus + "gamma_l"],
+                    "vision_proj": lin(fus + "attn.v_proj."),
+                    "text_proj": lin(fus + "attn.l_proj."),
+                    "values_vision_proj": lin(fus + "attn.values_v_proj."),
+                    "values_text_proj": lin(fus + "attn.values_l_proj."),
+                    "out_vision_proj": lin(fus + "attn.out_v_proj."),
+                    "out_text_proj": lin(fus + "attn.out_l_proj."),
+                },
+                "text_enhancer": {
+                    "attn": mha_fused(txt + "self_attn."),
+                    "fc1": lin(txt + "linear1."),
+                    "fc2": lin(txt + "linear2."),
+                    "ln1": ln(txt + "norm1."),
+                    "ln2": ln(txt + "norm2."),
+                },
+                "deformable": {
+                    **deform(dfm + "self_attn."),
+                    "ln1": ln(dfm + "norm1."),
+                    "fc1": lin(dfm + "linear1."),
+                    "fc2": lin(dfm + "linear2."),
+                    "ln2": ln(dfm + "norm2."),
+                },
+            }
+        )
+
+    dec_layers = []
+    for i in range(cfg.decoder_layers):
+        p = f"transformer.decoder.layers.{i}."
+        dec_layers.append(
+            {
+                "self_attn": mha_fused(p + "self_attn."),
+                "self_attn_ln": ln(p + "norm2."),
+                "text_cross_attn": mha_fused(p + "ca_text."),
+                "text_cross_attn_ln": ln(p + "catext_norm."),
+                "deform_cross_attn": deform(p + "cross_attn."),
+                "deform_cross_attn_ln": ln(p + "norm1."),
+                "fc1": lin(p + "linear1."),
+                "fc2": lin(p + "linear2."),
+                "final_ln": ln(p + "norm3."),
+            }
+        )
+
+    input_proj = []
+    for i in range(cfg.num_feature_levels):
+        cp = f"input_proj.{i}."
+        w = np.asarray(sd[cp + "0.weight"])
+        if w.ndim == 4 and w.shape[-1] == 1:  # 1x1 conv
+            kernel = w[:, :, 0, 0].T
+        else:  # 3x3 -> HWIO
+            kernel = w.transpose(2, 3, 1, 0)
+        input_proj.append(
+            {
+                "conv": {"kernel": kernel, "bias": sd[cp + "0.bias"]},
+                "gn": {"scale": sd[cp + "1.weight"], "bias": sd[cp + "1.bias"]},
+            }
+        )
+
+    swin_params = swin_mod.convert_timm_swin(
+        sd, cfg.swin, dtype, prefix="backbone.0."
+    )
+    backbone_norms = [
+        ln(f"backbone.0.norm{si}.") for si in cfg.backbone_stage_indices
+    ]
+
+    # Box heads may be weight-shared across decoder layers; fall back to
+    # head 0 when a later index was deduplicated out of the save.
+    bbox_heads = []
+    for i in range(cfg.decoder_layers):
+        if f"bbox_embed.{i}.layers.0.weight" in sd:
+            bbox_heads.append(mlp_head(f"bbox_embed.{i}."))
+        else:
+            bbox_heads.append(bbox_heads[0])
+
+    params = {
+        "swin": swin_params,
+        "backbone_norms": backbone_norms,
+        "input_proj": input_proj,
+        "text_backbone": bert_mod.convert_hf_bert(
+            sd, cfg.text, dtype, prefix="bert."
+        ),
+        "text_projection": lin("feat_map."),
+        "level_embed": sd["transformer.level_embed"],
+        "encoder_layers": enc_layers,
+        "decoder_layers": dec_layers,
+        "enc_output": lin("transformer.enc_output."),
+        "enc_output_norm": ln("transformer.enc_output_norm."),
+        "encoder_bbox_head": mlp_head("transformer.enc_out_bbox_embed."),
+        "query_embeds": sd["transformer.tgt_embed.weight"],
+        "ref_point_head": mlp_head(
+            "transformer.decoder.ref_point_head.", n=2
+        ),
+        "decoder_norm": ln("transformer.decoder.norm."),
+        "bbox_heads": bbox_heads,
+    }
+    out = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
+    out["swin"] = swin_params
+    out["text_backbone"] = params["text_backbone"]
+    return out
+
+
 # -- detector adapter ---------------------------------------------------------------
 
 
@@ -809,11 +977,33 @@ def build_detector(
     checkpoint_dir: Optional[str] = None,
     cfg: Optional[GroundingDinoConfig] = None,
     box_threshold: float = 0.35,
+    tokenizer_name: str = "bert-base-uncased",
 ):
-    """GroundingDinoDetector from an HF checkpoint dir; random init
-    fallback keeps the pipeline runnable without weights."""
+    """GroundingDinoDetector from an HF checkpoint dir or an
+    original-repo .pth file (groundingdino_swint_ogc.pth); random init
+    fallback keeps the pipeline runnable without weights.
+
+    tokenizer_name: HF tokenizer for the .pth path (the original repo
+    pairs its checkpoints with bert-base-uncased)."""
     cfg = cfg or GroundingDinoConfig()
-    if checkpoint_dir:
+    if checkpoint_dir and os.path.isfile(checkpoint_dir):
+        from transformers import AutoTokenizer
+
+        from video_llava_tpu.engine.weights import load_torch_checkpoint_file
+
+        sd = load_torch_checkpoint_file(checkpoint_dir)
+        sd = {k.removeprefix("module."): v for k, v in sd.items()}
+        params = convert_original_grounding_dino(sd, cfg)
+        try:
+            tok = AutoTokenizer.from_pretrained(tokenizer_name)
+        except (ValueError, OSError):
+            # bare vocab.txt dir (no config.json): the original repo
+            # always pairs its checkpoints with BERT-uncased
+            from transformers import BertTokenizerFast
+
+            tok = BertTokenizerFast.from_pretrained(tokenizer_name)
+        tokenize = lambda s: tok(s).input_ids
+    elif checkpoint_dir:
         from transformers import AutoTokenizer
 
         from video_llava_tpu.engine.weights import load_checkpoint_dir

@@ -374,3 +374,71 @@ def convert_hf_swin(sd, cfg: SwinConfig, dtype=jnp.float32, prefix: str = ""):
             }
         params["stages"].append(stage)
     return jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
+
+
+def convert_timm_swin(sd, cfg: SwinConfig, dtype=jnp.float32, prefix: str = ""):
+    """timm-style Swin state dict -> our params.
+
+    This is the layout of the reference stack's non-HF checkpoints:
+    RAM's vendored visual_encoder and GroundingDINO's backbone both use
+    timm key names (patch_embed.proj, layers.{s}.blocks.{i}.attn.qkv,
+    downsample.reduction, ...) with the qkv projection already fused.
+    """
+
+    def t(w):
+        return np.ascontiguousarray(np.asarray(w).T)
+
+    g = lambda k: np.asarray(sd[prefix + k])
+    conv = g("patch_embed.proj.weight")  # (C, 3, P, P)
+    patch_kernel = conv.transpose(2, 3, 1, 0).reshape(-1, cfg.embed_dim)
+    params = {
+        "patch_embed": {
+            "kernel": patch_kernel,
+            "bias": g("patch_embed.proj.bias"),
+        },
+        "patch_norm": {
+            "scale": g("patch_embed.norm.weight"),
+            "bias": g("patch_embed.norm.bias"),
+        },
+        "stages": [],
+        "final_norm": {
+            "scale": g("norm.weight"),
+            "bias": g("norm.bias"),
+        }
+        if prefix + "norm.weight" in sd
+        else {
+            "scale": np.ones((cfg.num_features,), np.float32),
+            "bias": np.zeros((cfg.num_features,), np.float32),
+        },
+    }
+    for s in range(cfg.num_stages):
+        blocks = []
+        for i in range(cfg.depths[s]):
+            p = f"layers.{s}.blocks.{i}."
+            blocks.append(
+                {
+                    "ln1": {"scale": g(p + "norm1.weight"),
+                            "bias": g(p + "norm1.bias")},
+                    "qkv": {"kernel": t(g(p + "attn.qkv.weight")),
+                            "bias": g(p + "attn.qkv.bias")},
+                    "proj": {"kernel": t(g(p + "attn.proj.weight")),
+                             "bias": g(p + "attn.proj.bias")},
+                    "rel_bias": g(p + "attn.relative_position_bias_table"),
+                    "ln2": {"scale": g(p + "norm2.weight"),
+                            "bias": g(p + "norm2.bias")},
+                    "fc1": {"kernel": t(g(p + "mlp.fc1.weight")),
+                            "bias": g(p + "mlp.fc1.bias")},
+                    "fc2": {"kernel": t(g(p + "mlp.fc2.weight")),
+                            "bias": g(p + "mlp.fc2.bias")},
+                }
+            )
+        stage = {"blocks": blocks}
+        dkey = f"layers.{s}.downsample."
+        if prefix + dkey + "reduction.weight" in sd:
+            stage["downsample"] = {
+                "norm": {"scale": g(dkey + "norm.weight"),
+                         "bias": g(dkey + "norm.bias")},
+                "reduction": {"kernel": t(g(dkey + "reduction.weight"))},
+            }
+        params["stages"].append(stage)
+    return jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
