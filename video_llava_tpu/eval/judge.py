@@ -294,11 +294,16 @@ def run_judge(
     num_workers: int = 4,
     api_base: Optional[str] = None,
     max_rounds: int = 999,
+    requests_per_second: Optional[float] = None,
 ) -> None:
     """Retry-until-complete pool loop keyed on output-file existence
-    (reference :127-154)."""
+    (reference :127-154). requests_per_second caps the pool's combined
+    rate against external endpoints (the client also backs off on
+    429/5xx per request)."""
     os.makedirs(output_dir, exist_ok=True)
-    client = ChatCompletionClient(api_base=api_base)
+    client = ChatCompletionClient(
+        api_base=api_base, requests_per_second=requests_per_second
+    )
     for _ in range(max_rounds):
         done = {f[:-5] for f in os.listdir(output_dir) if f.endswith(".json")}
         todo = [k for k in prediction_set if k not in done]
@@ -349,6 +354,10 @@ def main(argv=None):
     p.add_argument("--model_name", default="vicuna-13b-v1.5")
     p.add_argument("--num_tasks", type=int, default=4)
     p.add_argument("--api_base", default=None)
+    p.add_argument("--rps", type=float, default=None,
+                   help="cap on combined judge requests/second")
+    p.add_argument("--max_rounds", type=int, default=999,
+                   help="retry-until-complete round cap (reference loops\n                   indefinitely; lower this for unattended runs)")
     args = p.parse_args(argv)
 
     with open(args.pred_path) as f:
@@ -374,6 +383,8 @@ def main(argv=None):
     run_judge(
         prediction_set, args.task, args.output_dir, args.model_name,
         args.num_tasks, args.api_base,
+        max_rounds=args.max_rounds,
+        requests_per_second=args.rps,
     )
     results = aggregate(args.output_dir)
     with open(args.output_json, "w") as f:
