@@ -154,3 +154,52 @@ def test_batched_serving(tiny_server_factory=None):
     assert len(outs) == 4
     assert all(isinstance(o, str) for o in outs)
     server.shutdown()
+
+
+def test_chat_completions_streaming(tiny_server):
+    """'stream': true returns OpenAI-style SSE chunks whose concatenated
+    deltas match the non-streamed completion for the same request."""
+    import requests
+
+    body = {
+        "model": "test-model",
+        "messages": [{"role": "user", "content": "Hi"}],
+        "temperature": 0.0,
+        "max_tokens": 8,
+        "seed": 0,
+    }
+    plain = requests.post(
+        tiny_server + "/chat/completions", json=body, timeout=120
+    ).json()["choices"][0]["message"]["content"]
+
+    resp = requests.post(
+        tiny_server + "/chat/completions",
+        json={**body, "stream": True},
+        stream=True,
+        timeout=120,
+    )
+    assert resp.status_code == 200
+    assert resp.headers["Content-Type"].startswith("text/event-stream")
+    chunks = []
+    saw_done = False
+    saw_role = False
+    finish = None
+    for line in resp.iter_lines():
+        if not line:
+            continue
+        assert line.startswith(b"data: ")
+        payload = line[len(b"data: "):]
+        if payload == b"[DONE]":
+            saw_done = True
+            break
+        obj = json.loads(payload)
+        assert obj["object"] == "chat.completion.chunk"
+        delta = obj["choices"][0]["delta"]
+        if delta.get("role"):
+            saw_role = True
+        if "content" in delta:
+            chunks.append(delta["content"])
+        if obj["choices"][0]["finish_reason"]:
+            finish = obj["choices"][0]["finish_reason"]
+    assert saw_role and saw_done and finish == "stop"
+    assert "".join(chunks).strip() == plain

@@ -166,3 +166,41 @@ def test_sharded_generation_cache(setup):
     )
     assert res.tokens.shape == (b, 4)
     assert np.isfinite(np.asarray(res.lengths)).all()
+
+
+def test_train_step_int8_frozen_llm(setup):
+    """Projector tuning with the frozen LLM body int8-quantized (the
+    single-chip 7B memory recipe, train.py --llm_weights int8):
+    gradients flow through the dequantized matmuls to the projector and
+    embeddings; quantized leaves stay fixed."""
+    from video_llava_tpu.ops.quant import quantize_params
+
+    cfg, params = setup
+    params = dict(params)
+    params["llm"] = quantize_params(
+        params["llm"], min_size=1024,
+        skip_keys=("class_embedding", "position_embedding", "embed_tokens"),
+    )
+    assert "qvalues" in params["llm"]["layers"]["wq"]["kernel"]
+    assert not isinstance(
+        params["llm"]["embed_tokens"]["weight"], dict
+    )  # trainable embeddings stay fp
+
+    mask = trainable_mask(params, "projector+embed")
+    tx = make_optimizer(1e-3, total_steps=10, warmup_steps=0)
+    state = init_train_state(params, tx, mask)
+    batch = _batch(cfg, b=2, s=160)
+    step = make_train_step(cfg, tx, mask=mask, donate=False)
+    new_state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["grad_norm"]) > 0
+
+    p0 = jax.tree.leaves(state.params["projector"])[0]
+    p1 = jax.tree.leaves(new_state.params["projector"])[0]
+    assert not np.allclose(np.asarray(p0), np.asarray(p1))
+    e0 = state.params["llm"]["embed_tokens"]["weight"]
+    e1 = new_state.params["llm"]["embed_tokens"]["weight"]
+    assert not np.allclose(np.asarray(e0), np.asarray(e1))
+    q0 = state.params["llm"]["layers"]["wq"]["kernel"]["qvalues"]
+    q1 = new_state.params["llm"]["layers"]["wq"]["kernel"]["qvalues"]
+    np.testing.assert_array_equal(np.asarray(q0), np.asarray(q1))

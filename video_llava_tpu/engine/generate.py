@@ -139,6 +139,7 @@ def generate_with_keywords(
     keyword_check_every: int = 64,
     max_cache_len: Optional[int] = None,
     cache_dtype=jnp.bfloat16,
+    on_delta: Optional[Callable[[str], None]] = None,
 ) -> Tuple[str, GenerateResult]:
     """Generation with reference keyword-stopping semantics
     (model/utils.py:6-26): stop when a decoded keyword substring appears.
@@ -147,6 +148,11 @@ def generate_with_keywords(
     the decoded text host-side between chunks; the final text has the
     keyword and anything after it stripped (inference.py:120-123).
     Batch size 1 (matches reference usage).
+
+    on_delta: streaming callback, called once per device chunk with the
+    newly finalized text. To never retract emitted text, emission holds
+    back max(len(keyword)) - 1 characters until the keyword check for a
+    chunk has passed; the final delta flushes the remainder.
     """
     assert input_ids.shape[0] == 1, "keyword stopping is per-conversation"
     b, s = input_ids.shape
@@ -160,6 +166,18 @@ def generate_with_keywords(
 
     pieces: list = []
     text = ""
+    emitted = 0
+    holdback = max((len(k) for k in keywords if k), default=1) - 1
+
+    def emit(current: str, final: bool) -> None:
+        nonlocal emitted
+        if on_delta is None:
+            return
+        upto = len(current) if final else max(len(current) - holdback, 0)
+        if upto > emitted:
+            on_delta(current[emitted:upto])
+            emitted = upto
+
     remaining = gen.max_new_tokens
     while remaining > 0:
         chunk = min(keyword_check_every, remaining)
@@ -179,12 +197,14 @@ def generate_with_keywords(
             break
         if stopped_by_id:
             break
+        emit(text, final=False)
         # Continue from the last token.
         cache = out.cache
         last = out.tokens[:, n - 1]
         step_logits, cache = llama.decode_step(params["llm"], cfg.llm, last, cache)
         logits = step_logits
 
+    emit(text, final=True)
     return text.strip(), GenerateResult(
         tokens=jnp.asarray([pieces], jnp.int32),
         lengths=jnp.asarray([len(pieces)], jnp.int32),

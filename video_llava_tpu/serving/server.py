@@ -48,6 +48,7 @@ class ChatModel:
         temperature: float = 0.2,
         max_tokens: int = 512,
         seed: Optional[int] = None,
+        on_delta=None,
     ) -> str:
         conv = conv_templates[self.conv_mode].copy()
         system = [m["content"] for m in messages if m["role"] == "system"]
@@ -87,6 +88,7 @@ class ChatModel:
             decode_fn=lambda t: tok.decode(t, skip_special_tokens=True),
             keywords=(stop_str,) if stop_str and stop_str != "</s>" else (),
             cache_dtype=self.cache_dtype,
+            on_delta=on_delta,
         )
         if stop_str and text.endswith(stop_str):
             text = text[: -len(stop_str)]
@@ -127,6 +129,10 @@ def make_handler(model: ChatModel, model_name: str):
                 req = json.loads(self.rfile.read(length))
                 serialized = not isinstance(model, BatchingChatModel)
                 ctx = lock if serialized else _nullcontext()
+                if req.get("stream"):
+                    with ctx:
+                        self._stream_chat(req)
+                    return
                 with ctx:
                     text = model.chat(
                         req["messages"],
@@ -153,6 +159,44 @@ def make_handler(model: ChatModel, model_name: str):
                 )
             except Exception as e:  # noqa: BLE001
                 self._json(500, {"error": str(e)})
+
+        def _stream_chat(self, req: dict):
+            """OpenAI-style SSE streaming ('stream': true): one
+            chat.completion.chunk per decoded device chunk, then a
+            finish_reason chunk and 'data: [DONE]'."""
+            rid = f"chatcmpl-{uuid.uuid4().hex[:12]}"
+            created = int(time.time())
+            name = req.get("model", model_name)
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.end_headers()
+
+            def send_chunk(delta: dict, finish=None):
+                payload = {
+                    "id": rid,
+                    "object": "chat.completion.chunk",
+                    "created": created,
+                    "model": name,
+                    "choices": [
+                        {"index": 0, "delta": delta, "finish_reason": finish}
+                    ],
+                }
+                self.wfile.write(f"data: {json.dumps(payload)}\n\n".encode())
+                self.wfile.flush()
+
+            send_chunk({"role": "assistant"})
+            base = model.model if isinstance(model, BatchingChatModel) else model
+            base.chat(
+                req["messages"],
+                temperature=float(req.get("temperature", 0.2)),
+                max_tokens=int(req.get("max_tokens", 512)),
+                seed=req.get("seed"),
+                on_delta=lambda piece: send_chunk({"content": piece}),
+            )
+            send_chunk({}, finish="stop")
+            self.wfile.write(b"data: [DONE]\n\n")
+            self.wfile.flush()
 
     return Handler
 

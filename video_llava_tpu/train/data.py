@@ -291,3 +291,62 @@ def data_iterator(dataset, collator, batch_size: int, rng: np.random.Generator,
                        batch_size):
         rows = idx[start : start + batch_size]
         yield collator([dataset[int(r)] for r in rows])
+
+
+def host_shard_rows(global_rows: np.ndarray, process_index: int,
+                    process_count: int) -> np.ndarray:
+    """Contiguous per-host slice of a global batch's row indices. Every
+    host derives the SAME shuffled index stream (identically seeded
+    rng), so slicing by process_index partitions each global batch with
+    no host communication."""
+    per_host = len(global_rows) // process_count
+    assert per_host * process_count == len(global_rows), (
+        f"global batch {len(global_rows)} not divisible by "
+        f"{process_count} hosts"
+    )
+    return global_rows[process_index * per_host : (process_index + 1) * per_host]
+
+
+def sharded_data_iterator(
+    dataset,
+    collator,
+    global_batch_size: int,
+    rng: np.random.Generator,
+    mesh,
+    *,
+    drop_last: bool = True,
+    shuffle: bool = True,
+):
+    """Multi-host iterator: each host LOADS only its shard of every
+    global batch (replaces the reference's per-rank DistributedSampler
+    under torchrun, docs/2-Training.md:42) and assembles global
+    'data'-sharded jax.Arrays via make_array_from_process_local_data —
+    no host ever materializes the full batch.
+
+    Single-process it degenerates to data_iterator + device_put, so the
+    same code path serves both (tested on the virtual CPU mesh)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    pid, nproc = jax.process_index(), jax.process_count()
+    idx = np.arange(len(dataset))
+    if shuffle:
+        rng.shuffle(idx)
+
+    def spec(ndim):
+        return P(*(("data",) + (None,) * (ndim - 1)))
+
+    for start in range(
+        0, len(idx) - (global_batch_size - 1 if drop_last else 0),
+        global_batch_size,
+    ):
+        rows = host_shard_rows(
+            idx[start : start + global_batch_size], pid, nproc
+        )
+        local = collator([dataset[int(r)] for r in rows])
+        yield {
+            k: jax.make_array_from_process_local_data(
+                NamedSharding(mesh, spec(v.ndim)), np.asarray(v)
+            )
+            for k, v in local.items()
+        }

@@ -26,7 +26,6 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import NamedSharding
 
 from video_llava_tpu.config import LlamaConfig, VideoLLaVAConfig
 from video_llava_tpu.engine.checkpoint import (
@@ -37,13 +36,13 @@ from video_llava_tpu.engine.checkpoint import (
 )
 from video_llava_tpu.models import video_llava
 from video_llava_tpu.parallel import make_mesh, shard_params, videollava_param_specs
-from video_llava_tpu.parallel.sharding import batch_spec
 from video_llava_tpu.runtime.tokenizer import load_tokenizer
 from video_llava_tpu.train.data import (
     Collator,
     LazySupervisedDataset,
     MultimodalCfg,
-    data_iterator,
+    data_iterator,  # noqa: F401 (public API, single-host path)
+    sharded_data_iterator,
 )
 from video_llava_tpu.train.train_step import (
     init_train_state,
@@ -75,6 +74,14 @@ def parse_args(argv=None):
     p.add_argument("--mesh_data", type=int, default=None)
     p.add_argument("--mesh_model", type=int, default=None)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument(
+        "--llm_weights", default="bf16", choices=["bf16", "int8"],
+        help="Weight format for the FROZEN LLM body during projector/"
+        "embedding tuning. int8 halves weight HBM so single-chip 7B "
+        "projector tuning fits (gradients flow through the dequantized "
+        "matmuls; trainable embeddings/projector stay bf16). Multi-chip "
+        "FSDP runs keep bf16.",
+    )
     return p.parse_args(argv)
 
 
@@ -113,6 +120,21 @@ def main(argv=None):
         params = video_llava.init_params(
             jax.random.PRNGKey(args.seed), cfg, jnp.bfloat16
         )
+
+    if args.llm_weights == "int8":
+        if args.tune_mode == "full":
+            raise SystemExit("--llm_weights int8 requires a frozen LLM "
+                             "(tune_mode projector/projector+embed)")
+        from video_llava_tpu.ops.quant import quantize_params
+
+        # embed_tokens stays bf16: it is trainable in projector+embed
+        # mode (reference trains input embeddings alongside the
+        # projector, train/llava_trainer.py:33-46).
+        params["llm"] = jax.jit(
+            lambda p: quantize_params(p, skip_keys=(
+                "class_embedding", "position_embedding", "embed_tokens",
+            ))
+        )(params["llm"])
 
     specs = videollava_param_specs(params, fsdp=(args.tune_mode == "full"))
     params = shard_params(params, specs, mesh)
@@ -158,15 +180,13 @@ def main(argv=None):
     step = start_step
     t0 = time.time()
     for epoch in range(args.num_train_epochs):
-        for batch in data_iterator(dataset, collator, batch_size, rng):
+        # Each host loads only its shard of the global batch (multi-host
+        # data loading); single-host this is device_put with batch_spec.
+        for batch in sharded_data_iterator(
+            dataset, collator, batch_size, rng, mesh
+        ):
             if step - start_step == 0:
                 print(f"first batch shapes: { {k: v.shape for k, v in batch.items()} }")
-            batch = {
-                k: jax.device_put(
-                    jnp.asarray(v), NamedSharding(mesh, batch_spec(v.ndim))
-                )
-                for k, v in batch.items()
-            }
             state, metrics = step_fn(state, batch)
             step += 1
             if step % 10 == 0:
