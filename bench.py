@@ -40,24 +40,32 @@ CACHE_LEN = PROMPT_LEN + NEW_TOKENS
 import os
 
 # LLM weight format: int8 (weights-only, per-channel) halves HBM bytes
-# per decode step — decode is bandwidth-bound. BENCH_LLM_DTYPE=bf16
-# benchmarks the unquantized path.
+# per decode step — decode is bandwidth-bound. int4 (nibble-packed,
+# g=128, Pallas decode matmul) halves weight HBM again but measured
+# SLOWER end to end (67.6 vs 91 tok/s: the unpack compute exceeds the
+# bandwidth saved), so it is opt-in. BENCH_LLM_DTYPE selects
+# int8 (default) / int4 / bf16. BENCH_FUSE=0 disables the fused
+# wqkv / gate_up decode layouts.
 LLM_DTYPE = os.environ.get("BENCH_LLM_DTYPE", "int8")
+FUSE = os.environ.get("BENCH_FUSE", "1") == "1"
 
 
 def _init_quantized_direct(key, cfg):
-    """Random params with the LLM directly in int8 layout (no bf16
-    intermediate — a 7B bf16 + int8 copy would exceed single-chip HBM).
-    Weight values don't affect latency; real checkpoints quantize
-    host-side via ops.quant.quantize_params."""
+    """Random params with the LLM directly in quantized layout (no bf16
+    intermediate — a 7B bf16 + quantized copy would exceed single-chip
+    HBM). Weight values don't affect latency; real checkpoints quantize
+    host-side via ops.quant / ops.quant4."""
+    from video_llava_tpu.models.llama import fuse_layer_kernels
     from video_llava_tpu.ops.quant import quantize_params
+    from video_llava_tpu.ops.quant4 import quantize_params_int4
 
+    quantize = (
+        quantize_params_int4 if LLM_DTYPE == "int4" else quantize_params
+    )
     shapes = jax.eval_shape(
         lambda k: video_llava.init_params(k, cfg, jnp.bfloat16), key
     )
-    qshapes = jax.eval_shape(
-        lambda t: quantize_params(t["llm"]), shapes
-    )
+    qshapes = jax.eval_shape(lambda t: quantize(t["llm"]), shapes)
 
     def make(leaf):
         if leaf.dtype == jnp.int8:
@@ -65,6 +73,8 @@ def _init_quantized_direct(key, cfg):
         return jnp.full(leaf.shape, 0.01, leaf.dtype)
 
     llm = jax.jit(lambda: jax.tree.map(make, qshapes))()
+    if FUSE:
+        llm = jax.jit(fuse_layer_kernels)(llm)
 
     import video_llava_tpu.models.clip as clip_mod
     import video_llava_tpu.models.projector as proj_mod
@@ -83,7 +93,7 @@ def build():
     cfg = VideoLLaVAConfig(llm=LlamaConfig.vicuna_7b())
     # One compiled program for the whole init: eager init would compile
     # dozens of tiny executables (very slow over a tunneled TPU).
-    if LLM_DTYPE == "int8":
+    if LLM_DTYPE in ("int8", "int4"):
         params = _init_quantized_direct(jax.random.PRNGKey(0), cfg)
     else:
         params = jax.jit(
@@ -118,7 +128,7 @@ def build():
 
     encode_jit = jax.jit(encode)
 
-    cache_dtype = jnp.int8 if LLM_DTYPE == "int8" else jnp.bfloat16
+    cache_dtype = jnp.int8 if LLM_DTYPE in ("int8", "int4") else jnp.bfloat16
 
     def prefill(params, input_ids, seq_lens, feats):
         return video_llava.prefill(
@@ -177,8 +187,12 @@ def main():
             "decode_tok_per_s": round(NEW_TOKENS / t_decode, 1),
             "model": (
                 "vicuna-7b + clip-vit-l/14-224, 1 chip, clip bf16, llm "
-                + ("int8 weights-only + int8 kv cache"
-                   if LLM_DTYPE == "int8" else "bf16")
+                + {
+                    "int4": "int4 weights-only (g=128, Pallas matmul) "
+                            "+ int8 kv cache",
+                    "int8": "int8 weights-only + int8 kv cache",
+                }.get(LLM_DTYPE, "bf16")
+                + ("" if FUSE or LLM_DTYPE == "bf16" else ", unfused")
             ),
             "new_tokens": NEW_TOKENS,
             "prompt_len": PROMPT_LEN,

@@ -1,0 +1,217 @@
+"""int4 (nibble-packed) weights-only quantization: packing, matmul
+parity (XLA twin + Pallas kernel in interpret mode), LM integration,
+and fused decode layouts."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from video_llava_tpu.config import LlamaConfig
+from video_llava_tpu.models import llama
+from video_llava_tpu.ops.quant4 import (
+    dequantize_int4,
+    int4_matmul,
+    int4_matmul_pallas,
+    int4_matmul_xla,
+    is_quantized_int4,
+    pack_int4,
+    quantize_params_int4,
+    quantize_tensor_int4,
+    unpack_int4,
+)
+
+
+def test_pack_unpack_roundtrip_exact():
+    rng = np.random.default_rng(0)
+    q = rng.integers(-8, 8, size=(64, 32)).astype(np.int32)
+    packed = pack_int4(jnp.asarray(q))
+    assert packed.shape == (32, 32) and packed.dtype == jnp.int8
+    back = np.asarray(unpack_int4(packed))
+    np.testing.assert_array_equal(back, q)
+
+
+def test_pack_unpack_stacked_layers():
+    rng = np.random.default_rng(1)
+    q = rng.integers(-8, 8, size=(3, 16, 8)).astype(np.int32)
+    back = np.asarray(unpack_int4(pack_int4(jnp.asarray(q))))
+    np.testing.assert_array_equal(back, q)
+
+
+def test_quantize_tensor_int4_group_error_bound():
+    rng = np.random.default_rng(2)
+    w = rng.normal(size=(256, 64)).astype(np.float32)
+    packed, scales = quantize_tensor_int4(jnp.asarray(w), group_size=32)
+    assert packed.shape == (128, 64)
+    assert scales.shape == (256 // 32, 64)
+    back = np.asarray(dequantize_int4(packed, scales, jnp.float32))
+    # per-group symmetric int4: error <= half a quant step = absmax/14,
+    # plus bf16 scale rounding (<= 2^-8 relative)
+    grouped = w.reshape(8, 32, 64)
+    bound = np.abs(grouped).max(axis=1, keepdims=True) * (
+        1 / 14.0 + 1.5 / 256.0
+    ) + 1e-6
+    err = np.abs(back.reshape(8, 32, 64) - grouped)
+    assert (err <= bound).all()
+
+
+def test_quantize_tensor_int4_per_channel():
+    rng = np.random.default_rng(3)
+    w = rng.normal(size=(64, 16)).astype(np.float32)
+    packed, scales = quantize_tensor_int4(jnp.asarray(w), group_size=None)
+    assert scales.shape == (1, 16)
+    back = np.asarray(dequantize_int4(packed, scales, jnp.float32))
+    bound = np.abs(w).max(axis=0) / 14.0 + 1e-6
+    assert (np.abs(back - w) <= bound).all()
+
+
+def test_int4_matmul_xla_matches_dense_dequant():
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(4, 128)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(128, 64)).astype(np.float32))
+    packed, scales = quantize_tensor_int4(w, group_size=32)
+    want = np.asarray(
+        jnp.dot(
+            x.astype(jnp.bfloat16),
+            dequantize_int4(packed, scales),
+            preferred_element_type=jnp.float32,
+        )
+    )
+    got = np.asarray(int4_matmul_xla(x, packed, scales))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("group_size", [32, None])
+@pytest.mark.parametrize("b", [1, 4])
+def test_int4_matmul_pallas_interpret_matches_xla(group_size, b):
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(b, 256)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(256, 128)).astype(np.float32))
+    packed, scales = quantize_tensor_int4(w, group_size=group_size)
+    # the f32 dense-dequant matmul is the ground truth; the kernels are
+    # at most bf16-rounding away from it (the b=1 VPU matvec kernel is
+    # f32-exact; the MXU variant and the XLA twin round x/w to bf16)
+    want = np.asarray(
+        jnp.dot(x, dequantize_int4(packed, scales, jnp.float32))
+    )
+    rms = float(np.sqrt((want**2).mean()))
+    got = np.asarray(int4_matmul_pallas(x, packed, scales, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=0.05 * rms)
+    xla = np.asarray(int4_matmul_xla(x, packed, scales))
+    np.testing.assert_allclose(xla, want, rtol=2e-2, atol=0.05 * rms)
+
+
+def test_int4_matmul_accuracy_vs_fp():
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(size=(4, 256)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(256, 64)).astype(np.float32))
+    packed, scales = quantize_tensor_int4(w, group_size=64)
+    got = np.asarray(int4_matmul(x, packed, scales))
+    want = np.asarray(x @ w)
+    # int4 on N(0,1) weights: per-weight quant noise sigma ~ absmax/7/
+    # sqrt(12) ~ 0.1 -> ~10% relative output error is the statistical
+    # floor (real LLM weights tolerate this; g=128 is the standard).
+    rel = np.abs(got - want) / (np.abs(want) + 1e-1)
+    assert np.median(rel) < 0.15, np.median(rel)
+
+
+def test_quantize_params_int4_llama_logits_close():
+    cfg = LlamaConfig.tiny(vocab_size=256)
+    params = llama.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    qparams = quantize_params_int4(params, group_size=16, min_size=1024)
+    assert is_quantized_int4(qparams["layers"]["wq"]["kernel"])
+    assert is_quantized_int4(qparams["lm_head"]["kernel"])
+    # embedding stays int8 (row-gather layout)
+    assert "qvalues" in qparams["embed_tokens"]["weight"]
+
+    rng = np.random.default_rng(7)
+    ids = jnp.asarray(rng.integers(0, 256, size=(1, 16)))
+    full, _ = llama.forward(params, cfg, input_ids=ids)
+    quant, _ = llama.forward(qparams, cfg, input_ids=ids)
+    f = np.asarray(full).reshape(-1)
+    q = np.asarray(quant).reshape(-1)
+    cos = (f @ q) / (np.linalg.norm(f) * np.linalg.norm(q))
+    # random-weight tiny model: int4 noise floor; real checkpoints have
+    # structured weights and survive g=128 int4 far better
+    assert cos > 0.93, cos
+
+
+def test_quantize_params_int4_odd_dims_fall_back_to_int8():
+    # contraction dim not divisible by group -> int8 layout, still quantized
+    w = {"kernel": jnp.asarray(np.random.default_rng(8).normal(
+        size=(96, 1024)).astype(np.float32))}
+    q = quantize_params_int4({"proj": w}, group_size=128, min_size=1024)
+    assert "qvalues" in q["proj"]["kernel"]
+
+
+@pytest.mark.parametrize("quant", ["bf16", "int8", "int4"])
+def test_fused_layer_kernels_match_unfused(quant):
+    cfg = LlamaConfig.tiny(vocab_size=128)
+    params = llama.init_params(jax.random.PRNGKey(1), cfg, jnp.float32)
+    if quant == "int8":
+        from video_llava_tpu.ops.quant import quantize_params
+
+        params = quantize_params(params, min_size=256)
+    elif quant == "int4":
+        params = quantize_params_int4(params, group_size=16, min_size=256)
+    fused = llama.fuse_layer_kernels(params)
+    assert "wqkv" in fused["layers"] and "wq" not in fused["layers"]
+    assert "gate_up" in fused["layers"] and "gate" not in fused["layers"]
+
+    ids = jnp.asarray(
+        np.random.default_rng(9).integers(0, 128, size=(2, 8))
+    )
+    want, _ = llama.forward(params, cfg, input_ids=ids)
+    got, _ = llama.forward(fused, cfg, input_ids=ids)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_fused_decode_with_cache_matches_unfused():
+    cfg = LlamaConfig.tiny(vocab_size=128)
+    params = llama.init_params(jax.random.PRNGKey(2), cfg, jnp.float32)
+    fused = llama.fuse_layer_kernels(params)
+    cache_a = llama.KVCache.create(cfg, 1, 16, jnp.float32)
+    cache_b = llama.KVCache.create(cfg, 1, 16, jnp.float32)
+    ids = jnp.asarray([[5, 7, 11]])
+    la, cache_a = llama.forward(params, cfg, input_ids=ids, cache=cache_a)
+    lb, cache_b = llama.forward(fused, cfg, input_ids=ids, cache=cache_b)
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=1e-5,
+                               atol=1e-5)
+    tok = jnp.asarray([3], jnp.int32)
+    da, _ = llama.decode_step(params, cfg, tok, cache_a)
+    db, _ = llama.decode_step(fused, cfg, tok, cache_b)
+    np.testing.assert_allclose(np.asarray(da), np.asarray(db), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_int4_fused_generation_engine():
+    """Mirrors the bench decode path: int4 fused LLM + int8 KV cache
+    through the jitted generate loop."""
+    import dataclasses
+
+    from video_llava_tpu.config import GenerationConfig, VideoLLaVAConfig
+    from video_llava_tpu.engine import generate as gen_mod
+    from video_llava_tpu.models import video_llava
+
+    cfg = dataclasses.replace(
+        VideoLLaVAConfig.tiny(),
+        llm=LlamaConfig.tiny(vocab_size=512),
+        vid_patch_token_id=259, vid_start_token_id=260, vid_end_token_id=261,
+    )
+    params = video_llava.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    params = dict(params)
+    params["llm"] = llama.fuse_layer_kernels(
+        quantize_params_int4(params["llm"], group_size=16, min_size=256)
+    )
+    ids = np.array([[257] + list(b"hello")], np.int32)
+    gen = GenerationConfig(max_new_tokens=6, do_sample=False,
+                           eos_token_id=258, pad_token_id=256)
+    out = gen_mod.generate(
+        params, cfg, gen, jnp.asarray(ids), jnp.asarray([6], jnp.int32),
+        None, jax.random.PRNGKey(0), cache_dtype=jnp.int8,
+    )
+    toks = np.asarray(out.tokens)
+    assert toks.shape == (1, 6)
+    assert (toks >= 0).all() and (toks < 512).all()

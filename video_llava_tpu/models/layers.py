@@ -30,7 +30,11 @@ def linear_init(key, in_dim: int, out_dim: int, use_bias: bool = True,
 
 def linear(p, x):
     kernel = p["kernel"]
-    if isinstance(kernel, dict) and "qvalues" in kernel:  # int8 weights
+    if isinstance(kernel, dict) and "qvalues_packed" in kernel:  # int4
+        from video_llava_tpu.ops.quant4 import int4_matmul
+
+        y = int4_matmul(x, kernel["qvalues_packed"], kernel["scales"])
+    elif isinstance(kernel, dict) and "qvalues" in kernel:  # int8 weights
         from video_llava_tpu.ops.quant import quantized_matmul
 
         y = quantized_matmul(x, kernel["qvalues"], kernel["scales"]).astype(

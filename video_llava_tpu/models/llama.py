@@ -143,9 +143,16 @@ def _attention_block(
     """
     b, s, d = x.shape
     h, h_kv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-    q = linear(p["wq"], x).reshape(b, s, h, hd)
-    k = linear(p["wk"], x).reshape(b, s, h_kv, hd)
-    v = linear(p["wv"], x).reshape(b, s, h_kv, hd)
+    if "wqkv" in p:  # fused decode layout (see fuse_layer_kernels)
+        qkv = linear(p["wqkv"], x)
+        q, k, v = jnp.split(qkv, [h * hd, (h + h_kv) * hd], axis=-1)
+        q = q.reshape(b, s, h, hd)
+        k = k.reshape(b, s, h_kv, hd)
+        v = v.reshape(b, s, h_kv, hd)
+    else:
+        q = linear(p["wq"], x).reshape(b, s, h, hd)
+        k = linear(p["wk"], x).reshape(b, s, h_kv, hd)
+        v = linear(p["wv"], x).reshape(b, s, h_kv, hd)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
@@ -192,7 +199,48 @@ def _attention_block(
 
 
 def _mlp_block(p, x):
+    if "gate_up" in p:  # fused decode layout (see fuse_layer_kernels)
+        gu = linear(p["gate_up"], x)
+        gate, up = jnp.split(gu, 2, axis=-1)
+        return linear(p["down"], jax.nn.silu(gate) * up)
     return linear(p["down"], jax.nn.silu(linear(p["gate"], x)) * linear(p["up"], x))
+
+
+def _cat_kernels(kernels):
+    """Concatenate kernel leaves (raw arrays or int8/int4 quant dicts)
+    along the output axis."""
+    k0 = kernels[0]
+    if isinstance(k0, dict):
+        return {
+            key: jnp.concatenate([k[key] for k in kernels], axis=-1)
+            for key in k0
+        }
+    return jnp.concatenate(kernels, axis=-1)
+
+
+def fuse_layer_kernels(params):
+    """Single-chip decode layout: merge wq/wk/wv -> wqkv and gate/up ->
+    gate_up (one matmul dispatch each per scanned layer instead of
+    three/two). Works on bf16 kernels and on int8/int4 quantized dicts
+    (qvalues and per-output-channel scales both concatenate along the
+    output axis; int4 nibble packing is along the contraction axis, so
+    it is unaffected). NOTE: the fused names are not covered by the TP
+    sharding rules — fuse only for single-chip serving, after
+    quantization. Checkpoints always store unfused names."""
+    layers = dict(params["layers"])
+    if "wq" in layers:
+        layers["wqkv"] = {
+            "kernel": _cat_kernels(
+                [layers.pop(n)["kernel"] for n in ("wq", "wk", "wv")]
+            )
+        }
+    if "gate" in layers:
+        layers["gate_up"] = {
+            "kernel": _cat_kernels(
+                [layers.pop(n)["kernel"] for n in ("gate", "up")]
+            )
+        }
+    return {**params, "layers": layers}
 
 
 def forward_hidden(
@@ -303,7 +351,11 @@ def forward(
         params, inputs_embeds, positions, cfg, cache, new_length, remat
     )
     kernel = params["lm_head"]["kernel"]
-    if isinstance(kernel, dict) and "qvalues" in kernel:
+    if isinstance(kernel, dict) and "qvalues_packed" in kernel:
+        from video_llava_tpu.ops.quant4 import int4_matmul
+
+        logits = int4_matmul(hidden, kernel["qvalues_packed"], kernel["scales"])
+    elif isinstance(kernel, dict) and "qvalues" in kernel:
         from video_llava_tpu.ops.quant import quantized_matmul
 
         logits = quantized_matmul(

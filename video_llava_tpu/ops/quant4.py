@@ -1,0 +1,354 @@
+"""Weights-only int4 quantization (nibble-packed) for the decode path.
+
+Single-chip autoregressive decode is HBM-bandwidth bound; int8 weights
+(ops/quant.py) already halve the streamed bytes vs bf16 — int4 halves
+them again. The TPU backend has no native s4 dtype (XLA raises
+UNIMPLEMENTED), so values are stored as two nibbles per int8 byte and
+unpacked on the fly:
+
+  * packing: for a kernel (D, F), byte [i, f] holds unpacked row i in
+    its low nibble and row i + D/2 in its high nibble. Splitting by
+    halves (not interleaving) means the consumer splits `x` instead of
+    interleaving weight rows — unpack is two shifts, no shuffles;
+  * scales: symmetric round-to-nearest over groups of `group_size`
+    contraction rows per output channel (g=128 default, the standard
+    int4 granularity), absmax/7, stored (G, F) f32;
+  * decode matmul: a Pallas kernel streams the packed bytes ONCE,
+    sign-extends both nibbles (VPU), dequantizes in VMEM and issues two
+    MXU dots (x_lo @ w_lo + x_hi @ w_hi). VPU unpack overlaps the HBM
+    stream, so the step stays bandwidth-bound at int4 bytes;
+  * prefill / CPU fallback: a pure-XLA twin of the same math (reads the
+    packed bytes once per half — int8-equivalent traffic; prefill is
+    MXU-bound so this costs nothing and avoids Mosaic constraints on
+    large activation blocks).
+
+Replaces the fp16 weight streaming of the reference's decode hot loop
+(video_chatgpt/inference.py:105-112); packing/unpacking has no
+reference equivalent (CUDA fp16 end to end).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+# ---------------------------------------------------------------------------
+# Packing / quantization
+# ---------------------------------------------------------------------------
+
+
+def pack_int4(q: jax.Array) -> jax.Array:
+    """q: (..., D, F) int values in [-8, 7] -> (..., D/2, F) int8.
+
+    Byte [..., i, f] = (q[..., i + D/2, f] << 4) | (q[..., i, f] & 0xF).
+    """
+    d = q.shape[-2]
+    assert d % 2 == 0, f"contraction dim must be even, got {d}"
+    q = q.astype(jnp.int32)
+    lo = q[..., : d // 2, :]
+    hi = q[..., d // 2 :, :]
+    return ((hi << 4) | (lo & 0xF)).astype(jnp.int8)
+
+
+def unpack_int4(packed: jax.Array) -> jax.Array:
+    """(..., D/2, F) int8 -> (..., D, F) int32 (sign-extended nibbles)."""
+    p = packed.astype(jnp.int32)
+    lo = jax.lax.shift_right_arithmetic(jax.lax.shift_left(p, 28), 28)
+    hi = jax.lax.shift_right_arithmetic(p, 4)
+    return jnp.concatenate([lo, hi], axis=-2)
+
+
+def quantize_tensor_int4(w: jax.Array, group_size: Optional[int] = 128):
+    """Symmetric RTN int4 over contraction-row groups.
+
+    w: (..., D, F) -> (packed (..., D/2, F) int8, scales (..., G, F) f32)
+    with G = D // group_size (G=1 for per-channel, group_size=None).
+    Groups must not straddle the lo/hi packing split: group_size | D/2
+    (or G == 1).
+    """
+    d = w.shape[-2]
+    g = group_size or d
+    assert d % g == 0, (d, g)
+    n_groups = d // g
+    assert n_groups == 1 or (d // 2) % g == 0, (
+        f"group_size {g} straddles the lo/hi split of D={d}"
+    )
+    w32 = w.astype(jnp.float32)
+    grouped = w32.reshape(w.shape[:-2] + (n_groups, g, w.shape[-1]))
+    absmax = jnp.max(jnp.abs(grouped), axis=-2, keepdims=True)
+    # Scales are stored bf16 so the Pallas kernel (bf16 dequant multiply)
+    # and the XLA twin (f32 multiply then bf16 round) produce bit-equal
+    # weights: int4 value x bf16 scale is exact in f32.
+    scales = (jnp.maximum(absmax, 1e-8) / 7.0).astype(jnp.bfloat16)
+    q = jnp.clip(
+        jnp.round(grouped / scales.astype(jnp.float32)), -7, 7
+    ).astype(jnp.int32)
+    q = q.reshape(w.shape)
+    return pack_int4(q), scales[..., 0, :].reshape(
+        w.shape[:-2] + (n_groups, w.shape[-1])
+    )
+
+
+def dequantize_int4(packed, scales, dtype=jnp.bfloat16):
+    """Dense dequantization (reference path for tests / CPU)."""
+    q = unpack_int4(packed).astype(jnp.float32)
+    d = q.shape[-2]
+    n_groups = scales.shape[-2]
+    g = d // n_groups
+    grouped = q.reshape(q.shape[:-2] + (n_groups, g, q.shape[-1]))
+    return (grouped * scales[..., :, None, :]).reshape(q.shape).astype(dtype)
+
+
+def is_quantized_int4(p: Any) -> bool:
+    return isinstance(p, dict) and "qvalues_packed" in p
+
+
+# ---------------------------------------------------------------------------
+# Matmul: XLA twin (prefill / CPU)
+# ---------------------------------------------------------------------------
+
+
+def _expand_scales(scales: jax.Array, rows: int) -> jax.Array:
+    """(G, F) group scales -> (rows, F) per-row scales."""
+    n_groups = scales.shape[-2]
+    g = rows * 2 // n_groups if n_groups > 1 else rows
+    if n_groups == 1:
+        return jnp.broadcast_to(scales, (rows, scales.shape[-1]))
+    return jnp.repeat(scales, g, axis=-2)
+
+
+def int4_matmul_xla(x: jax.Array, packed: jax.Array, scales: jax.Array):
+    """x: (..., D) -> (..., F) f32. Two matmuls, one per nibble half —
+    XLA fuses shift+convert+scale into each matmul read."""
+    dh, f = packed.shape
+    p = packed.astype(jnp.int32)
+    lo = jax.lax.shift_right_arithmetic(jax.lax.shift_left(p, 28), 28)
+    hi = jax.lax.shift_right_arithmetic(p, 4)
+    n_groups = scales.shape[-2]
+    s32 = scales.astype(jnp.float32)
+    if n_groups == 1:
+        s_lo = s_hi = jnp.broadcast_to(s32, (dh, f))
+    else:
+        g = 2 * dh // n_groups
+        s_lo = jnp.repeat(s32[: n_groups // 2], g, axis=-2)
+        s_hi = jnp.repeat(s32[n_groups // 2 :], g, axis=-2)
+    w_lo = (lo.astype(jnp.float32) * s_lo).astype(jnp.bfloat16)
+    w_hi = (hi.astype(jnp.float32) * s_hi).astype(jnp.bfloat16)
+    x_lo = x[..., :dh].astype(jnp.bfloat16)
+    x_hi = x[..., dh:].astype(jnp.bfloat16)
+    y = jnp.dot(x_lo, w_lo, preferred_element_type=jnp.float32)
+    return y + jnp.dot(x_hi, w_hi, preferred_element_type=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Matmul: Pallas kernel (decode — packed bytes stream once)
+# ---------------------------------------------------------------------------
+
+
+def _w4_matmul_kernel(x_ref, w_ref, s_ref, o_ref, *, groups_half: int):
+    """Group scales are applied to per-group dot OUTPUTS — (1, bf) row
+    broadcasts over the (B, bf) partials — instead of expanding scales
+    over weight rows (Mosaic rejects the (G, bf) -> (G, 1, bf) shape
+    cast that row expansion needs). y = sum_g s[g] * (x_g @ q_g)."""
+    p = w_ref[:].astype(jnp.int32)  # (Dh, bf)
+    dh, bf = p.shape
+    lo = jax.lax.shift_right_arithmetic(
+        jax.lax.shift_left(p, 28), 28
+    ).astype(jnp.bfloat16)
+    hi = jax.lax.shift_right_arithmetic(p, 4).astype(jnp.bfloat16)
+    x = x_ref[:].astype(jnp.bfloat16)  # (B, 2*Dh)
+    s = s_ref[:].astype(jnp.float32)  # (G, bf)
+    if groups_half == 0:  # one group total: same scale row for both halves
+        acc = jnp.dot(x[:, :dh], lo, preferred_element_type=jnp.float32)
+        acc += jnp.dot(x[:, dh:], hi, preferred_element_type=jnp.float32)
+        o_ref[:] = acc * s[0:1]
+        return
+
+    g = dh // groups_half
+    b = x.shape[0]
+    # Static unroll (groups_half is a compile-time constant): every
+    # slice is static and aligned, which Mosaic handles unconditionally.
+    acc = jnp.zeros((b, bf), jnp.float32)
+    for gi in range(groups_half):
+        r0 = gi * g
+        acc += s[gi : gi + 1] * jnp.dot(
+            x[:, r0 : r0 + g], lo[r0 : r0 + g],
+            preferred_element_type=jnp.float32,
+        )
+        acc += s[groups_half + gi : groups_half + gi + 1] * jnp.dot(
+            x[:, dh + r0 : dh + r0 + g], hi[r0 : r0 + g],
+            preferred_element_type=jnp.float32,
+        )
+    o_ref[:] = acc
+
+
+def _w4_matvec_kernel(xc_ref, w_ref, s_ref, o_ref, *, groups_half: int):
+    """Decode (batch=1) variant. MXU dots with a (1, k) lhs run at
+    ~1/128 utilization and make the kernel compute-bound (measured 73
+    vs 91 tok/s against the XLA int8 path), so the matvec is computed
+    on the VPU instead: per contraction group, broadcast-multiply the
+    unpacked nibbles by the x column and segment-sum over sublanes —
+    y = sum_g s[g] * sum_{k in g} x[k] * q[k, :]. Compute stays under
+    the HBM stream time, so the step is bandwidth-bound at int4 bytes.
+
+    xc_ref: (2*Dh, 1) x column; w_ref: (Dh, bf) packed; s_ref: (G, bf);
+    o_ref: (1, bf) f32.
+    """
+    dh, bf = w_ref.shape
+    s = s_ref[:].astype(jnp.float32)  # (G, bf)
+    n = max(groups_half, 1)
+    g = dh // n
+    acc = jnp.zeros((1, bf), jnp.float32)
+    for gi in range(n):
+        r0 = gi * g
+        p = w_ref[r0 : r0 + g, :].astype(jnp.int32)
+        lo = jax.lax.shift_right_arithmetic(
+            jax.lax.shift_left(p, 28), 28
+        ).astype(jnp.float32)
+        hi = jax.lax.shift_right_arithmetic(p, 4).astype(jnp.float32)
+        xl = xc_ref[r0 : r0 + g, :].astype(jnp.float32)  # (g, 1)
+        xh = xc_ref[dh + r0 : dh + r0 + g, :].astype(jnp.float32)
+        pl = jnp.sum(lo * xl, axis=0, keepdims=True)  # (1, bf)
+        ph = jnp.sum(hi * xh, axis=0, keepdims=True)
+        if groups_half == 0:
+            acc += pl + ph
+        else:
+            acc += s[gi : gi + 1] * pl
+            acc += s[groups_half + gi : groups_half + gi + 1] * ph
+    if groups_half == 0:
+        acc *= s[0:1]
+    o_ref[:] = acc
+
+
+def _pick_block(
+    n: int, candidates: Sequence[int], max_elems: Optional[int] = None,
+    other_dim: int = 1,
+) -> int:
+    for c in candidates:
+        if n % c == 0 and (max_elems is None or c * other_dim <= max_elems):
+            return c
+    return n
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def int4_matmul_pallas(
+    x: jax.Array,
+    packed: jax.Array,
+    scales: jax.Array,
+    interpret: bool = False,
+):
+    """x: (B, D) -> (B, F) f32. Grid over (B blocks, F blocks); packed
+    weights and scales stream HBM->VMEM once per F block per B block."""
+    dh, f = packed.shape
+    n_groups = scales.shape[0]
+    b, d = x.shape
+    assert d == 2 * dh, (d, dh)
+
+    # VMEM budget: x block (bb, d) bf16 <= ~4 MB; per F block the kernel
+    # holds packed (Dh, bf) int8 (double-buffered) plus two dequantized
+    # bf16 halves (Dh, bf) each -> cap Dh * bf at 1.5M elements.
+    groups_half = n_groups // 2 if n_groups > 1 else 0
+
+    if b == 1:  # decode: VPU matvec kernel (see _w4_matvec_kernel)
+        bf = _pick_block(f, (512, 256, 128), max_elems=1 << 21, other_dim=dh)
+        return pl.pallas_call(
+            functools.partial(_w4_matvec_kernel, groups_half=groups_half),
+            grid=(f // bf,),
+            in_specs=[
+                pl.BlockSpec((d, 1), lambda j: (0, 0)),
+                pl.BlockSpec((dh, bf), lambda j: (0, j)),
+                pl.BlockSpec((n_groups, bf), lambda j: (0, j)),
+            ],
+            out_specs=pl.BlockSpec((1, bf), lambda j: (0, j)),
+            out_shape=jax.ShapeDtypeStruct((1, f), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            interpret=interpret,
+        )(x.reshape(d, 1), packed, scales)
+
+    bb = _pick_block(
+        b, (256, 128, 64, 32, 16, 8, 4, 2, 1), max_elems=2 << 20, other_dim=d
+    )
+    bf = _pick_block(f, (512, 256, 128), max_elems=3 << 19, other_dim=dh)
+
+    out = pl.pallas_call(
+        functools.partial(_w4_matmul_kernel, groups_half=groups_half),
+        grid=(b // bb, f // bf),
+        in_specs=[
+            pl.BlockSpec((bb, d), lambda i, j: (i, 0)),
+            pl.BlockSpec((dh, bf), lambda i, j: (0, j)),
+            pl.BlockSpec((n_groups, bf), lambda i, j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((bb, bf), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((b, f), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x, packed, scales)
+    return out
+
+
+def int4_matmul(x: jax.Array, packed: jax.Array, scales: jax.Array):
+    """Dispatch: Pallas on TPU, XLA twin elsewhere. x (..., D) -> f32."""
+    lead = x.shape[:-1]
+    d = x.shape[-1]
+    if jax.default_backend() != "tpu" or packed.shape[-1] % 128:
+        return int4_matmul_xla(x, packed, scales)
+    xb = x.reshape(-1, d)
+    y = int4_matmul_pallas(xb, packed, scales)
+    return y.reshape(lead + (packed.shape[-1],))
+
+
+# ---------------------------------------------------------------------------
+# Params transform
+# ---------------------------------------------------------------------------
+
+
+def quantize_params_int4(
+    params,
+    group_size: Optional[int] = 128,
+    min_size: int = 1 << 16,
+    skip_keys: Sequence[str] = ("class_embedding", "position_embedding"),
+):
+    """int4-quantize every 2D+ kernel leaf >= min_size elements whose
+    dims admit the packing/grouping; embedding tables stay int8 (they
+    are row gathers, not matmuls). Stacked (L, D, F) kernels vmap."""
+    from video_llava_tpu.ops.quant import quantize_tensor
+
+    def visit(path, leaf):
+        keys = [str(getattr(p, "key", getattr(p, "idx", p))) for p in path]
+        name = keys[-1] if keys else ""
+        if leaf.ndim < 2 or leaf.size < min_size:
+            return leaf
+        if any(k in "/".join(keys) for k in skip_keys):
+            return leaf
+        if name == "kernel":
+            d = leaf.shape[-2]
+            f = leaf.shape[-1]
+            g = group_size or d
+            if (
+                d % 2
+                or d % g
+                or (d // g > 1 and (d // 2) % g)
+                or f % 128  # Pallas F blocks are 128-aligned (lm_head
+                #            vocab 32006 stays int8 — it is read once
+                #            per step, the win would be ~1%)
+            ):
+                q, s = quantize_tensor(leaf, axis=-2)  # int8 fallback
+                return {"qvalues": q, "scales": s}
+            packed, scales = quantize_tensor_int4(leaf, group_size)
+            return {"qvalues_packed": packed, "scales": scales}
+        if name == "weight" and leaf.ndim == 2:  # embedding table
+            q, s = quantize_tensor(leaf, axis=1)
+            return {"qvalues": q, "scales": s}
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(visit, params)
