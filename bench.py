@@ -48,6 +48,10 @@ import os
 # wqkv / gate_up decode layouts.
 LLM_DTYPE = os.environ.get("BENCH_LLM_DTYPE", "int8")
 FUSE = os.environ.get("BENCH_FUSE", "1") == "1"
+# BENCH_MODEL=13b benches Vicuna-13B (the reference's larger config);
+# int8 weights (~13 GB) are tight on a 16 GB chip, int4 (~6.6 GB) is
+# the intended single-chip 13B format.
+MODEL_SIZE = os.environ.get("BENCH_MODEL", "7b")
 
 
 def _init_quantized_direct(key, cfg):
@@ -90,7 +94,11 @@ def _init_quantized_direct(key, cfg):
 
 
 def build():
-    cfg = VideoLLaVAConfig(llm=LlamaConfig.vicuna_7b())
+    llm_cfg = (
+        LlamaConfig.vicuna_13b() if MODEL_SIZE == "13b"
+        else LlamaConfig.vicuna_7b()
+    )
+    cfg = VideoLLaVAConfig(llm=llm_cfg)
     # One compiled program for the whole init: eager init would compile
     # dozens of tiny executables (very slow over a tunneled TPU).
     if LLM_DTYPE in ("int8", "int4"):
@@ -186,7 +194,8 @@ def main():
             "decode_s": round(t_decode, 4),
             "decode_tok_per_s": round(NEW_TOKENS / t_decode, 1),
             "model": (
-                "vicuna-7b + clip-vit-l/14-224, 1 chip, clip bf16, llm "
+                f"vicuna-{MODEL_SIZE} + clip-vit-l/14-224, 1 chip, "
+                "clip bf16, llm "
                 + {
                     "int4": "int4 weights-only (g=128, Pallas matmul) "
                             "+ int8 kv cache",

@@ -51,3 +51,35 @@ def test_video_question_assembly():
     )
     qs2 = build_video_question("Q", 2, False)
     assert qs2 == "Q\n<vid_patch><vid_patch>"
+
+
+def test_tuple_message_prompt_and_chatbot_pairs():
+    conv = conv_templates["pg-video-llava"].copy()
+    conv.append_message(conv.roles[0], ("<video>\nWhat happens?", "/tmp/v.mp4"))
+    conv.append_message(conv.roles[1], "A dog runs.")
+    conv.append_message(conv.roles[0], "Where?")
+    conv.append_message(conv.roles[1], None)
+    # tuple messages contribute only their text to the prompt
+    # (reference get_prompt tuple unwrap, video_conversation.py:32-34)
+    p = conv.get_prompt()
+    assert "/tmp/v.mp4" not in p and "What happens?" in p
+    pairs = conv.to_chatbot_pairs()
+    # <video> placeholder stripped from the first user turn
+    assert pairs == [["\nWhat happens?", "A dog runs."], ["Where?", None]]
+
+
+def test_get_video_frames_uses_injected_loader():
+    calls = []
+
+    def fake_loader(path, n_clips, num_frm):
+        calls.append((path, n_clips, num_frm))
+        return [f"{path}#frame{i}" for i in range(3)]
+
+    conv = conv_templates["pg-video-llava"].copy()
+    conv.append_message(conv.roles[0], ("<video> q", "/tmp/a.mp4"))
+    conv.append_message(conv.roles[1], "ans")
+    conv.append_message(conv.roles[0], "plain text turn")
+    conv.append_message(conv.roles[1], "ans2")
+    frames = conv.get_video_frames(fake_loader, n_clips=1, num_frm=7)
+    assert calls == [("/tmp/a.mp4", 1, 7)]
+    assert len(frames) == 3

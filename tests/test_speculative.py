@@ -1,0 +1,269 @@
+"""Prompt-lookup speculative decoding: draft lookup math and exact
+greedy equivalence with the plain decode loop."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from video_llava_tpu.config import (
+    GenerationConfig,
+    LlamaConfig,
+    VideoLLaVAConfig,
+)
+from video_llava_tpu.engine import generate as gen_mod
+from video_llava_tpu.engine.speculative import find_draft, generate_pld
+from video_llava_tpu.models import video_llava
+
+
+def test_find_draft_most_recent_match():
+    # context: A B C x A B C y A B | tail = (A, B) matched twice
+    ctx = jnp.asarray([1, 2, 3, 9, 1, 2, 3, 8, 1, 2, 0, 0], jnp.int32)
+    draft, n = find_draft(ctx, jnp.int32(10), ngram=2, k=4)
+    # most recent earlier match is at j=4 -> continuation 3, 8, 1, 2
+    assert int(n) == 4
+    np.testing.assert_array_equal(np.asarray(draft), [3, 8, 1, 2])
+
+
+def test_find_draft_clips_to_known_context():
+    ctx = jnp.asarray([5, 6, 7, 5, 6, 0, 0, 0], jnp.int32)
+    draft, n = find_draft(ctx, jnp.int32(5), ngram=2, k=4)
+    # match at j=0, continuation starts at 2 but only ctx[2:5] is known
+    assert int(n) == 3
+    np.testing.assert_array_equal(np.asarray(draft)[:3], [7, 5, 6])
+
+
+def test_find_draft_no_match():
+    ctx = jnp.asarray([1, 2, 3, 4, 5, 6, 0, 0], jnp.int32)
+    _, n = find_draft(ctx, jnp.int32(6), ngram=2, k=4)
+    assert int(n) == 0
+    # too-short context
+    _, n2 = find_draft(ctx, jnp.int32(2), ngram=2, k=4)
+    assert int(n2) == 0
+
+
+def _setup(vocab=512, seed=0):
+    cfg = dataclasses.replace(
+        VideoLLaVAConfig.tiny(),
+        llm=LlamaConfig.tiny(vocab_size=vocab),
+        vid_patch_token_id=vocab - 3,
+        vid_start_token_id=vocab - 2,
+        vid_end_token_id=vocab - 1,
+    )
+    params = video_llava.init_params(jax.random.PRNGKey(seed), cfg,
+                                     jnp.float32)
+    return cfg, params
+
+
+def _greedy_both(cfg, params, ids, max_new=24, eos=1, cache_dtype=None,
+                 feats=None, **pld_kw):
+    gen = GenerationConfig(max_new_tokens=max_new, do_sample=False,
+                           eos_token_id=eos, pad_token_id=0)
+    kw = {} if cache_dtype is None else {"cache_dtype": cache_dtype}
+    seq = jnp.asarray([ids.shape[1]], jnp.int32)
+    want = gen_mod.generate(params, cfg, gen, ids, seq, feats,
+                            jax.random.PRNGKey(0), **kw)
+    got = generate_pld(params, cfg, gen, ids, seq, feats, **pld_kw, **kw)
+    return want, got
+
+
+def test_pld_matches_greedy_random_prompt():
+    cfg, params = _setup()
+    rng = np.random.default_rng(1)
+    ids = jnp.asarray(rng.integers(2, 500, size=(1, 17)), jnp.int32)
+    want, got = _greedy_both(cfg, params, ids)
+    assert int(want.lengths[0]) == int(got.lengths[0])
+    np.testing.assert_array_equal(np.asarray(want.tokens),
+                                  np.asarray(got.tokens))
+
+
+def test_pld_matches_greedy_repetitive_prompt():
+    # Highly repetitive prompt: the lookup will propose long drafts;
+    # output must still be exactly the greedy continuation.
+    cfg, params = _setup(seed=3)
+    base = [7, 8, 9, 10, 11, 12]
+    ids = jnp.asarray([base * 5 + base[:3]], jnp.int32)
+    want, got = _greedy_both(cfg, params, ids, max_new=32)
+    assert int(want.lengths[0]) == int(got.lengths[0])
+    np.testing.assert_array_equal(np.asarray(want.tokens),
+                                  np.asarray(got.tokens))
+
+
+def test_pld_accepts_drafts_on_copying_model():
+    """A model whose greedy output repeats the context produces long
+    accepted runs — verify the loop needs far fewer verify forwards
+    than tokens (counted via a forward hook is invasive; instead check
+    the copying pattern itself comes out right, which only happens if
+    multi-token acceptance kept the cache consistent)."""
+    cfg, params = _setup(seed=5)
+    rng = np.random.default_rng(2)
+    pattern = list(rng.integers(2, 500, size=4))
+    ids = jnp.asarray([pattern * 8], jnp.int32)  # strong induction signal
+    want, got = _greedy_both(cfg, params, ids, max_new=40, ngram=2, k=6)
+    np.testing.assert_array_equal(np.asarray(want.tokens),
+                                  np.asarray(got.tokens))
+
+
+def test_pld_stop_token_truncates_inside_draft():
+    cfg, params = _setup(seed=7)
+    rng = np.random.default_rng(4)
+    ids = jnp.asarray(rng.integers(2, 500, size=(1, 13)), jnp.int32)
+    gen = GenerationConfig(max_new_tokens=24, do_sample=False,
+                           eos_token_id=1, pad_token_id=0)
+    seq = jnp.asarray([13], jnp.int32)
+    want = gen_mod.generate(params, cfg, gen, ids, seq, None,
+                            jax.random.PRNGKey(0))
+    # Pick the eos to be whatever greedy emits at step 5 so both paths
+    # must stop there.
+    w = np.asarray(want.tokens[0])
+    eos = int(w[min(5, int(want.lengths[0]) - 1)])
+    want2, got2 = _greedy_both(cfg, params, ids, max_new=24, eos=eos)
+    assert int(want2.lengths[0]) == int(got2.lengths[0])
+    np.testing.assert_array_equal(np.asarray(want2.tokens),
+                                  np.asarray(got2.tokens))
+    n = int(got2.lengths[0])
+    toks = np.asarray(got2.tokens[0])
+    assert toks[n - 1] == eos
+    assert (toks[n:] == 0).all()  # pad after stop
+
+
+def test_pld_int8_cache_and_video_features():
+    cfg, params = _setup(seed=9)
+    n_patch = cfg.video_token_len
+    feats = jnp.asarray(
+        np.random.default_rng(5).normal(
+            size=(1, n_patch, cfg.vision.hidden_size)
+        ),
+        jnp.float32,
+    )
+    vocab = cfg.llm.vocab_size
+    ids = [vocab - 2] + [vocab - 3] * n_patch + [vocab - 1] + [5, 6, 7]
+    ids = jnp.asarray([ids], jnp.int32)
+    want, got = _greedy_both(cfg, params, ids, cache_dtype=jnp.int8,
+                             feats=feats)
+    np.testing.assert_array_equal(np.asarray(want.tokens),
+                                  np.asarray(got.tokens))
+
+
+def test_pld_fills_exact_budget_without_stop():
+    cfg, params = _setup(seed=11)
+    ids = jnp.asarray([[3, 4] * 10], jnp.int32)
+    # eos that never fires (pad id 0 can't be produced by argmax over
+    # random logits reliably -> use an unused id)
+    want, got = _greedy_both(cfg, params, ids, max_new=16, eos=1)
+    assert int(got.lengths[0]) <= 16
+    assert got.tokens.shape == (1, 16)
+    np.testing.assert_array_equal(np.asarray(want.tokens),
+                                  np.asarray(got.tokens))
+
+
+def test_inference_engine_speculative_matches_plain():
+    import dataclasses as dc
+
+    from video_llava_tpu.runtime.inference import InferenceEngine
+    from video_llava_tpu.runtime.tokenizer import ByteTokenizer
+
+    tok = ByteTokenizer()
+    cfg = dc.replace(
+        VideoLLaVAConfig.tiny(),
+        llm=dc.replace(
+            LlamaConfig.tiny(vocab_size=512), num_layers=2, hidden_size=64,
+            intermediate_size=128, num_heads=4, num_kv_heads=4, head_dim=16,
+        ),
+        vid_patch_token_id=tok.vid_patch_token_id,
+        vid_start_token_id=tok.vid_start_token_id,
+        vid_end_token_id=tok.vid_end_token_id,
+    )
+    params = video_llava.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    kw = dict(
+        params=params, cfg=cfg, tokenizer=tok,
+        gen=GenerationConfig(max_new_tokens=8, do_sample=False),
+        seq_pad_multiple=64, cache_dtype=jnp.float32,
+    )
+    frames = np.random.default_rng(0).integers(
+        0, 256, size=(4, 56, 56, 3), dtype=np.uint8
+    )
+    plain = InferenceEngine(**kw).infer(
+        frames, "What is happening?", conv_mode="pg-video-llava"
+    )
+    spec = InferenceEngine(**kw, speculative=True).infer(
+        frames, "What is happening?", conv_mode="pg-video-llava"
+    )
+    assert spec == plain
+
+
+def test_accept_tokens_sampled_distribution_exact():
+    """The marginal law of the first emitted token under speculative
+    rejection sampling must equal ancestral sampling from the processed
+    logits, for any draft. Verified empirically over many keys."""
+    from video_llava_tpu.engine.speculative import accept_tokens
+
+    vocab, k = 8, 4
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.normal(size=(k + 1, vocab)) * 2.0, jnp.float32)
+    draft = jnp.asarray([3, 1, 5, 2], jnp.int32)
+    gen = GenerationConfig(do_sample=True, temperature=0.7, top_p=1.0,
+                           max_new_tokens=4, eos_token_id=-1, pad_token_id=0)
+
+    def first_token(key):
+        m, z = accept_tokens(logits, draft, jnp.int32(k), key, gen)
+        # emitted[0] = draft[0] if m > 0 else z
+        return jnp.where(m > 0, draft[0], z)
+
+    n = 20000
+    keys = jax.random.split(jax.random.PRNGKey(1), n)
+    toks = np.asarray(jax.jit(jax.vmap(first_token))(keys))
+    emp = np.bincount(toks, minlength=vocab) / n
+    want = np.asarray(jax.nn.softmax(logits[0] / 0.7))
+    # 3-sigma multinomial tolerance per bin
+    tol = 3 * np.sqrt(want * (1 - want) / n) + 1e-3
+    assert (np.abs(emp - want) <= tol).all(), (emp, want)
+
+
+def test_accept_tokens_sampled_second_position_exact():
+    """Conditional law at position 1 given draft[0] accepted must match
+    ancestral sampling at that position."""
+    from video_llava_tpu.engine.speculative import accept_tokens
+
+    vocab, k = 6, 3
+    rng = np.random.default_rng(7)
+    logits = jnp.asarray(rng.normal(size=(k + 1, vocab)) * 2.0, jnp.float32)
+    draft = jnp.asarray([2, 4, 0], jnp.int32)
+    gen = GenerationConfig(do_sample=True, temperature=1.0, top_p=1.0,
+                           max_new_tokens=4, eos_token_id=-1, pad_token_id=0)
+
+    def second_token(key):
+        m, z = accept_tokens(logits, draft, jnp.int32(k), key, gen)
+        # position-1 emission exists iff m >= 1: draft[1] if m > 1 else z
+        return jnp.where(m >= 1, jnp.where(m > 1, draft[1], z), -1)
+
+    n = 40000
+    keys = jax.random.split(jax.random.PRNGKey(3), n)
+    toks = np.asarray(jax.jit(jax.vmap(second_token))(keys))
+    sel = toks[toks >= 0]
+    emp = np.bincount(sel, minlength=vocab) / len(sel)
+    want = np.asarray(jax.nn.softmax(logits[1]))
+    tol = 4 * np.sqrt(want * (1 - want) / max(len(sel), 1)) + 2e-3
+    assert (np.abs(emp - want) <= tol).all(), (emp, want)
+
+
+def test_pld_sampled_end_to_end_valid():
+    """Sampled PLD: tokens valid, stop respected, pad after stop; and
+    per-key determinism (same rng -> same output)."""
+    cfg, params = _setup(seed=13)
+    ids = jnp.asarray([[9, 8, 7, 9, 8, 7, 9, 8, 7, 6, 5]], jnp.int32)
+    seq = jnp.asarray([11], jnp.int32)
+    gen = GenerationConfig(max_new_tokens=20, do_sample=True,
+                           temperature=0.8, top_p=0.95,
+                           eos_token_id=1, pad_token_id=0)
+    a = generate_pld(params, cfg, gen, ids, seq, None,
+                     rng=jax.random.PRNGKey(5))
+    b = generate_pld(params, cfg, gen, ids, seq, None,
+                     rng=jax.random.PRNGKey(5))
+    np.testing.assert_array_equal(np.asarray(a.tokens), np.asarray(b.tokens))
+    toks = np.asarray(a.tokens[0])
+    n = int(a.lengths[0])
+    assert 1 <= n <= 20
+    assert (toks[n:] == 0).all()
+    assert ((toks[:n] >= 0) & (toks[:n] < cfg.llm.vocab_size)).all()

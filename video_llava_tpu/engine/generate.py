@@ -26,6 +26,33 @@ from video_llava_tpu.config import GenerationConfig, VideoLLaVAConfig
 from video_llava_tpu.models import llama, video_llava
 from video_llava_tpu.models.llama import KVCache
 
+# Whole-program jits of the model entry points. Calling the bare
+# functions dispatches op-by-op, which on the tunneled TPU costs one
+# host round trip per op — prefill must be ONE compiled program.
+prefill_jit = functools.partial(
+    jax.jit, static_argnames=("cfg", "max_cache_len", "cache_dtype")
+)(video_llava.prefill)
+decode_step_jit = functools.partial(
+    jax.jit, static_argnames=("cfg",)
+)(llama.decode_step)
+
+
+def process_logits(logits: jax.Array, gen: GenerationConfig) -> jax.Array:
+    """Temperature scaling + top-p masking. logits: (..., vocab) fp32 ->
+    processed logits whose softmax is the sampling distribution."""
+    scaled = logits / gen.temperature
+    if gen.top_p < 1.0:
+        sorted_logits = jnp.sort(scaled, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # Keep the smallest set with cumulative prob >= top_p.
+        cutoff_idx = jnp.sum((cum - probs) < gen.top_p, axis=-1) - 1
+        cutoff = jnp.take_along_axis(
+            sorted_logits, cutoff_idx[..., None], axis=-1
+        )
+        scaled = jnp.where(scaled < cutoff, -jnp.inf, scaled)
+    return scaled
+
 
 def sample_token(
     logits: jax.Array, rng: jax.Array, gen: GenerationConfig
@@ -33,17 +60,7 @@ def sample_token(
     """logits: (b, vocab) fp32 -> (b,) int32."""
     if not gen.do_sample or gen.temperature <= 0.0:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    scaled = logits / gen.temperature
-    if gen.top_p < 1.0:
-        sorted_logits = jnp.sort(scaled, axis=-1)[:, ::-1]
-        probs = jax.nn.softmax(sorted_logits, axis=-1)
-        cum = jnp.cumsum(probs, axis=-1)
-        # Keep the smallest set with cumulative prob >= top_p.
-        cutoff_idx = jnp.sum((cum - probs) < gen.top_p, axis=-1) - 1
-        cutoff = jnp.take_along_axis(
-            sorted_logits, cutoff_idx[:, None], axis=-1
-        )
-        scaled = jnp.where(scaled < cutoff, -jnp.inf, scaled)
+    scaled = process_logits(logits, gen)
     return jax.random.categorical(rng, scaled, axis=-1).astype(jnp.int32)
 
 
@@ -117,9 +134,9 @@ def generate(
     b, s = input_ids.shape
     if max_cache_len is None:
         max_cache_len = s + gen.max_new_tokens
-    res = video_llava.prefill(
-        params, cfg, input_ids, seq_lens, video_features, max_cache_len,
-        cache_dtype,
+    res = prefill_jit(
+        params, cfg, input_ids, seq_lens, video_features,
+        max_cache_len=max_cache_len, cache_dtype=cache_dtype,
     )
     return _decode_loop(
         params, cfg, gen, res.logits_last, res.cache, rng, gen.max_new_tokens
@@ -158,9 +175,9 @@ def generate_with_keywords(
     b, s = input_ids.shape
     if max_cache_len is None:
         max_cache_len = s + gen.max_new_tokens
-    pre = video_llava.prefill(
-        params, cfg, input_ids, seq_lens, video_features, max_cache_len,
-        cache_dtype,
+    pre = prefill_jit(
+        params, cfg, input_ids, seq_lens, video_features,
+        max_cache_len=max_cache_len, cache_dtype=cache_dtype,
     )
     logits, cache = pre.logits_last, pre.cache
 
@@ -201,7 +218,7 @@ def generate_with_keywords(
         # Continue from the last token.
         cache = out.cache
         last = out.tokens[:, n - 1]
-        step_logits, cache = llama.decode_step(params["llm"], cfg.llm, last, cache)
+        step_logits, cache = decode_step_jit(params["llm"], cfg.llm, last, cache)
         logits = step_logits
 
     emit(text, final=True)

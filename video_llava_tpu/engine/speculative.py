@@ -1,0 +1,265 @@
+"""Prompt-lookup speculative decoding (greedy-exact).
+
+Decode is HBM-bandwidth bound: every step streams the full weight set
+to produce ONE token. Speculative decoding amortizes that stream —
+draft tokens are proposed for free and verified in a single multi-token
+forward, so one weight stream can emit several tokens. This module
+implements the draft-model-free "prompt lookup" variant (public
+technique, a.k.a. assisted generation by n-gram matching): the draft
+for the next k tokens is the continuation of the most recent earlier
+occurrence of the trailing n-gram in the context. Video QA is a strong
+fit — answers echo spans of the question, transcript, and prior turns.
+
+Guarantee: greedy requests emit exactly the vanilla greedy continuation
+(every accepted token equals the model's own argmax given its prefix;
+the first non-matching position emits the model's argmax directly).
+Sampled requests (temperature / top-p) are distribution-exact via
+speculative rejection sampling against the deterministic draft (see
+accept_tokens). Speculation only changes speed, never the output law.
+
+No reference equivalent (video_chatgpt/inference.py:105-112 decodes one
+token per forward via HF generate); this is a TPU-native extension.
+
+TPU design notes:
+  * the whole loop is one jitted `lax.while_loop`; every iteration
+    feeds a FIXED k+1 tokens (last accepted token + k drafts, junk-
+    padded when the draft is short) so there is exactly one compiled
+    verify program — no dynamic shapes;
+  * n-gram matching is a handful of rolled vector compares over the
+    fixed-size context buffer (VPU work, negligible vs the forward);
+  * the KV cache is written optimistically for all k+1 fed positions
+    and "rewound" by setting `length` back to the accepted prefix —
+    stale entries past `length` are masked by the ragged attention
+    reads and overwritten by the next iteration's write at `length`;
+  * worst case (nothing ever matches) each iteration emits 1 token for
+    one (k+1)-token forward — still one weight stream per iteration,
+    so the overhead vs plain decode is the extra attention/activation
+    FLOPs only, not k extra weight streams.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from video_llava_tpu.config import GenerationConfig, VideoLLaVAConfig
+from video_llava_tpu.engine.generate import GenerateResult, process_logits
+from video_llava_tpu.models import llama, video_llava
+from video_llava_tpu.models.llama import KVCache
+
+
+def find_draft(
+    ctx: jax.Array, ctx_len: jax.Array, ngram: int, k: int
+):
+    """Most-recent-match prompt lookup.
+
+    ctx: (C,) int32 context buffer (prompt + accepted tokens), valid in
+    [0, ctx_len). Matches the trailing `ngram` tokens (ending at index
+    ctx_len-1) against every earlier window; returns (draft (k,) int32,
+    draft_len int32) — the continuation after the most recent match,
+    clipped to known context. draft_len == 0 when there is no match or
+    the context is shorter than ngram+1.
+    """
+    c = ctx.shape[0]
+    # Trailing n-gram: ctx[ctx_len-ngram : ctx_len].
+    tail = jax.lax.dynamic_slice(ctx, (jnp.maximum(ctx_len - ngram, 0),),
+                                 (ngram,))
+    # eq[j] == True iff ctx[j : j+ngram] == tail (positions past C wrap
+    # via roll; masked out by the validity bound below).
+    eq = jnp.ones((c,), bool)
+    for i in range(ngram):
+        eq &= jnp.roll(ctx, -i) == tail[i]
+    idx = jnp.arange(c, dtype=jnp.int32)
+    # Window must end before the trailing n-gram starts: j + ngram - 1
+    # < ctx_len - ngram  <=>  j < ctx_len - 2*ngram + 1.
+    valid = eq & (idx < ctx_len - 2 * ngram + 1)
+    j = jnp.max(jnp.where(valid, idx, -1))
+    has = (j >= 0) & (ctx_len >= ngram + 1)
+    start = jnp.maximum(jnp.where(has, j + ngram, 0), 0)
+    draft = jax.lax.dynamic_slice(ctx, (jnp.minimum(start, c - k),), (k,))
+    # Continuation tokens must come from known context.
+    draft_len = jnp.where(has, jnp.minimum(k, ctx_len - start), 0)
+    return draft, draft_len.astype(jnp.int32)
+
+
+def accept_tokens(
+    logits: jax.Array,
+    draft: jax.Array,
+    draft_len: jax.Array,
+    rng: jax.Array,
+    gen: GenerationConfig,
+):
+    """Speculative acceptance for a deterministic (prompt-lookup) draft.
+
+    logits: (k+1, vocab) raw model logits at the fed positions; draft:
+    (k,) proposed tokens. Returns (m, z): the accepted prefix length of
+    the draft and the token emitted at position m (the model's own
+    sample at the first non-accepted position, or the bonus token when
+    the whole draft is accepted).
+
+    Greedy: accept while draft == argmax; z = argmax. Sampled: standard
+    speculative rejection sampling against a delta draft distribution —
+    accept d_i with prob p_i(d_i); on rejection resample from the
+    residual norm((p_i - q_i)+), which for a one-hot q is p_i with the
+    draft token masked out. Either way each emitted token is
+    distributed exactly as ancestral decoding from the processed
+    logits, so speculation changes speed, never the output law.
+    """
+    k = draft.shape[0]
+    ar = jnp.arange(k, dtype=jnp.int32)
+    if not gen.do_sample or gen.temperature <= 0.0:
+        g = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        ok = (draft == g[:k]) & (ar < draft_len)
+        m = jnp.argmin(
+            jnp.concatenate([ok, jnp.zeros((1,), bool)])
+        ).astype(jnp.int32)
+        return m, g[m]
+    proc = process_logits(logits, gen)  # (k+1, vocab)
+    logp = jax.nn.log_softmax(proc[:k], axis=-1)
+    p_draft = jnp.exp(
+        jnp.take_along_axis(logp, draft[:, None], axis=-1)[:, 0]
+    )
+    rng_u, rng_z = jax.random.split(rng)
+    u = jax.random.uniform(rng_u, (k,))
+    ok = (u < p_draft) & (ar < draft_len)
+    m = jnp.argmin(
+        jnp.concatenate([ok, jnp.zeros((1,), bool)])
+    ).astype(jnp.int32)
+    rejected = m < draft_len
+    row = proc[m]
+    vocab = row.shape[0]
+    mask = (jnp.arange(vocab) == draft[jnp.minimum(m, k - 1)]) & rejected
+    row = jnp.where(mask, -jnp.inf, row)
+    z = jax.random.categorical(rng_z, row).astype(jnp.int32)
+    return m, z
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "gen", "max_new_tokens", "ngram", "k")
+)
+def _decode_loop_pld(
+    params,
+    cfg: VideoLLaVAConfig,
+    gen: GenerationConfig,
+    first_logits: jax.Array,
+    cache: KVCache,
+    ctx: jax.Array,
+    ctx_len: jax.Array,
+    rng: jax.Array,
+    max_new_tokens: int,
+    ngram: int,
+    k: int,
+) -> GenerateResult:
+    """Speculative decode loop (batch 1), greedy or sampled.
+
+    ctx must have room for ctx_len + max_new_tokens + k + 1 tokens and
+    the cache max length must cover cache.length + max_new_tokens + k
+    + 1 positions (the optimistic write may run k past the last kept
+    token).
+    """
+    from video_llava_tpu.engine.generate import sample_token
+
+    stop_ids = jnp.asarray(
+        (gen.eos_token_id,) + tuple(gen.stop_token_ids), jnp.int32
+    )
+    pad = jnp.int32(gen.pad_token_id)
+    buf_cap = max_new_tokens + k + 1  # slack for the final overshoot
+
+    rng, sub = jax.random.split(rng)
+    tok0 = sample_token(first_logits, sub, gen)[0]
+    done0 = jnp.any(tok0 == stop_ids)
+    buf0 = jnp.full((buf_cap,), pad, jnp.int32).at[0].set(tok0)
+    ctx0 = jax.lax.dynamic_update_slice(ctx, tok0[None], (ctx_len,))
+
+    def cond(state):
+        n, _, _, _, _, done, _, _ = state
+        return (n < max_new_tokens) & ~done
+
+    def body(state):
+        n, buf, tok, cache, ctx, done, ctx_len, rng = state
+        draft, draft_len = find_draft(ctx, ctx_len, ngram, k)
+        fed = jnp.concatenate([tok[None], draft])  # (k+1,) static
+        logits, new_cache = llama.forward(
+            params["llm"], cfg.llm, input_ids=fed[None], cache=cache
+        )
+        rng, sub = jax.random.split(rng)
+        m, z = accept_tokens(logits[0], draft, draft_len, sub, gen)
+        # Candidate emissions: m accepted drafts then z (the model's own
+        # token at the first non-accepted position / the bonus token).
+        ar = jnp.arange(k + 1, dtype=jnp.int32)
+        cand = jnp.where(ar < m, draft[jnp.minimum(ar, k - 1)],
+                         jnp.where(ar == m, z, pad))
+        is_stop = jnp.any(cand[:, None] == stop_ids[None, :], axis=-1)
+        is_stop &= ar <= m
+        first_stop = jnp.argmax(
+            jnp.concatenate([is_stop, jnp.ones((1,), bool)])
+        ).astype(jnp.int32)
+        hit = first_stop <= m
+        n_new = jnp.where(hit, first_stop + 1, m + 1)
+        # Don't run past the token budget.
+        n_new = jnp.minimum(n_new, max_new_tokens - n)
+        cand = jnp.where(ar < n_new, cand, pad)
+        buf = jax.lax.dynamic_update_slice(buf, cand, (n,))
+        ctx = jax.lax.dynamic_update_slice(ctx, cand, (ctx_len,))
+        # Keep cache entries for tok + the m accepted drafts only.
+        new_cache = new_cache._replace(
+            length=jnp.minimum(cache.length + 1 + m,
+                               cache.length + n_new)
+        )
+        new_tok = cand[jnp.maximum(n_new - 1, 0)]
+        return (n + n_new, buf, new_tok, new_cache, ctx, done | hit,
+                ctx_len + n_new, rng)
+
+    state = (jnp.int32(1), buf0, tok0, cache, ctx0, done0,
+             ctx_len + jnp.int32(1), rng)
+    n, buf, _, cache, _, _, _, _ = jax.lax.while_loop(cond, body, state)
+    n = jnp.minimum(n, max_new_tokens)
+    out = jnp.where(jnp.arange(buf_cap) < n, buf, pad)[:max_new_tokens]
+    return GenerateResult(
+        tokens=out[None], lengths=n[None], cache=cache
+    )
+
+
+def generate_pld(
+    params,
+    cfg: VideoLLaVAConfig,
+    gen: GenerationConfig,
+    input_ids: jax.Array,
+    seq_lens: jax.Array,
+    video_features: Optional[jax.Array],
+    rng: Optional[jax.Array] = None,
+    ngram: int = 3,
+    k: int = 8,
+    max_cache_len: Optional[int] = None,
+    cache_dtype=jnp.bfloat16,
+) -> GenerateResult:
+    """Generation with prompt-lookup speculation (batch 1).
+
+    Drop-in for `generate.generate`: greedy requests emit exactly the
+    vanilla greedy continuation; sampled requests (do_sample, T>0,
+    top-p) are distribution-exact via speculative rejection sampling
+    (accept_tokens). Faster whenever the answer reuses n-grams of the
+    prompt/transcript/context.
+    """
+    assert input_ids.shape[0] == 1, "prompt-lookup decode is batch-1"
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    b, s = input_ids.shape
+    if max_cache_len is None:
+        max_cache_len = s + gen.max_new_tokens + k + 1
+    from video_llava_tpu.engine.generate import prefill_jit
+
+    res = prefill_jit(
+        params, cfg, input_ids, seq_lens, video_features,
+        max_cache_len=max_cache_len, cache_dtype=cache_dtype,
+    )
+    cap = s + gen.max_new_tokens + k + 1
+    ctx = jnp.full((cap,), gen.pad_token_id, jnp.int32)
+    ctx = jax.lax.dynamic_update_slice(ctx, input_ids[0], (0,))
+    return _decode_loop_pld(
+        params, cfg, gen, res.logits_last, res.cache, ctx,
+        seq_lens[0].astype(jnp.int32), rng, gen.max_new_tokens, ngram, k,
+    )

@@ -85,6 +85,36 @@ def run_qa(
     return out
 
 
+def _batched_encode_jit(params, frames, cfg, size, nvalid):
+    """One jitted program for the whole batched preprocess+encode
+    (eager/vmap dispatch costs a host round trip per op on the tunneled
+    TPU). Compiled once per (cfg, size, batch shape)."""
+    global _BATCHED_ENCODE
+    if _BATCHED_ENCODE is None:
+        import functools
+
+        import jax
+
+        from video_llava_tpu.models import video_llava
+        from video_llava_tpu.ops.image import preprocess_frames
+
+        @functools.partial(jax.jit, static_argnames=("cfg", "size"))
+        def fn(params, frames, cfg, size, nvalid):
+            def one(f, n):
+                px = preprocess_frames(f, size)
+                return video_llava.encode_video(
+                    params, px, cfg, num_valid_frames=n
+                )
+
+            return jax.vmap(one)(frames, nvalid)
+
+        _BATCHED_ENCODE = fn
+    return _BATCHED_ENCODE(params, frames, cfg, size, nvalid)
+
+
+_BATCHED_ENCODE = None
+
+
 def run_qa_batched(
     engine: InferenceEngine,
     samples: List[Dict],
@@ -106,8 +136,6 @@ def run_qa_batched(
 
     from video_llava_tpu.constants import IGNORE_INDEX  # noqa: F401
     from video_llava_tpu.engine.generate import generate
-    from video_llava_tpu.models import video_llava
-    from video_llava_tpu.ops.image import preprocess_frames
     from video_llava_tpu.runtime.conversation import conv_templates
     from video_llava_tpu.runtime.inference import build_video_question
 
@@ -137,12 +165,13 @@ def run_qa_batched(
         if not loaded:
             continue
 
-        pixels = preprocess_frames(np.stack(frames_list), size)
-        feats = jax.vmap(
-            lambda px, n: video_llava.encode_video(
-                engine.params, px, cfg, num_valid_frames=n
-            )
-        )(pixels, jnp.asarray(nvalid, jnp.int32))
+        feats = _batched_encode_jit(
+            engine.params,
+            jnp.asarray(np.stack(frames_list)),
+            cfg,
+            size,
+            jnp.asarray(nvalid, jnp.int32),
+        )
 
         # tokenize prompts, right-pad to one bucket
         ids_list = []

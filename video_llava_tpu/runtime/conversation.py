@@ -36,6 +36,8 @@ class Conversation:
             ret = self.system + self.sep
             for role, message in self.messages:
                 if message:
+                    if isinstance(message, tuple):  # (text, video_path)
+                        message = message[0]
                     ret += role + ": " + message + self.sep
                 else:
                     ret += role + ":"
@@ -45,6 +47,8 @@ class Conversation:
             ret = self.system + seps[0]
             for i, (role, message) in enumerate(self.messages):
                 if message:
+                    if isinstance(message, tuple):
+                        message = message[0]
                     ret += role + ": " + message + seps[i % 2]
                 else:
                     ret += role + ":"
@@ -53,14 +57,48 @@ class Conversation:
             ret = self.system + self.sep
             for role, message in self.messages:
                 if message:
+                    if isinstance(message, tuple):
+                        message = message[0]
                     ret += role + message + self.sep
                 else:
                     ret += role
             return ret
         raise ValueError(f"Invalid style: {self.sep_style}")
 
-    def append_message(self, role: str, message: Optional[str]) -> None:
+    def append_message(self, role: str, message) -> None:
+        """message: str, None, or a (text, video_path) tuple — matching
+        the reference's tuple-message convention for uploaded media
+        (video_conversation.py:63-77)."""
         self.messages.append([role, message])
+
+    def get_video_frames(self, load_video, n_clips: int = 1,
+                         num_frm: int = 100):
+        """Collect frames for every tuple-message video in user turns
+        (video_conversation.py:66-77). `load_video` is injected (our
+        media.loader or any callable) instead of a module-level import."""
+        frames = []
+        for i, (_, msg) in enumerate(self.messages[self.offset:]):
+            if i % 2 == 0 and isinstance(msg, tuple):
+                _, video_path = msg
+                frames.extend(load_video(video_path, n_clips, num_frm))
+        return frames
+
+    def to_chatbot_pairs(self) -> List[List[Optional[str]]]:
+        """(user, assistant) message pairs for a chat UI — the
+        reference's `to_gradio_chatbot` (video_conversation.py:79-96)
+        without the gradio dependency; strips the `<video>` placeholder
+        from the first user turn."""
+        ret: List[List[Optional[str]]] = []
+        for i, (_, msg) in enumerate(self.messages[self.offset:]):
+            if i % 2 == 0:
+                if isinstance(msg, tuple):
+                    msg = msg[0]
+                ret.append([msg, None])
+            else:
+                ret[-1][-1] = msg
+        if ret and ret[0][0] and "<video>" in ret[0][0]:
+            ret[0][0] = ret[0][0].replace("<video>", "")
+        return ret
 
     def stop_string(self) -> str:
         """The keyword-stop string for this template

@@ -14,6 +14,7 @@ chunked keyword check.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import numpy as np
@@ -33,6 +34,14 @@ from video_llava_tpu.models import video_llava
 from video_llava_tpu.ops.image import preprocess_frames
 from video_llava_tpu.runtime.conversation import conv_templates
 from video_llava_tpu.runtime.tokenizer import Tokenizer
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _encode_video_jit(params, frames, cfg, num_valid_frames):
+    pixels = preprocess_frames(frames, cfg.vision.image_size)
+    return video_llava.encode_video(
+        params, pixels, cfg, num_valid_frames=num_valid_frames
+    )
 
 
 def build_video_question(
@@ -67,18 +76,29 @@ class InferenceEngine:
     gen: GenerationConfig = dataclasses.field(default_factory=GenerationConfig)
     seq_pad_multiple: int = 128  # pad prompts to fixed buckets: fewer compiles
     cache_dtype: jnp.dtype = jnp.bfloat16
+    # Prompt-lookup speculative decoding (engine/speculative.py): used
+    # for requests whose stop condition is token-id based (the
+    # vicuna-family "</s>" templates). Exact for greedy (same text) and
+    # distribution-exact for sampling; fewer weight streams whenever
+    # the answer echoes prompt/transcript n-grams.
+    speculative: bool = False
 
     def encode_video_frames(
         self, frames: np.ndarray, num_valid_frames: Optional[int] = None
     ) -> jax.Array:
-        """(t, h, w, 3) uint8 -> pooled features (video_token_len, c)."""
-        pixels = preprocess_frames(frames, self.cfg.vision.image_size)
-        return video_llava.encode_video(
+        """(t, h, w, 3) uint8 -> pooled features (video_token_len, c).
+
+        One jitted program for preprocess + CLIP + pooling + projection
+        (eager dispatch costs a host round trip per op on the tunneled
+        TPU)."""
+        return _encode_video_jit(
             self.params,
-            pixels,
+            jnp.asarray(frames),
             self.cfg,
-            num_valid_frames=(
-                jnp.int32(num_valid_frames) if num_valid_frames is not None else None
+            (
+                jnp.int32(num_valid_frames)
+                if num_valid_frames is not None
+                else None
             ),
         )
 
@@ -118,7 +138,39 @@ class InferenceEngine:
             eos_token_id=tok.eos_token_id,
             pad_token_id=tok.pad_token_id,
         )
-        text, _ = generate_with_keywords(
+        keywords = (stop_str,) if stop_str and stop_str != "</s>" else ()
+        if self.speculative and not keywords:
+            from video_llava_tpu.engine.speculative import generate_pld
+
+            out = generate_pld(
+                self.params,
+                cfg,
+                gen,
+                jnp.asarray(input_ids),
+                jnp.asarray([s_real], jnp.int32),
+                feats,
+                rng=rng,
+                cache_dtype=self.cache_dtype,
+            )
+            n = int(out.lengths[0])
+            text = tok.decode(
+                [int(t) for t in out.tokens[0, :n]], skip_special_tokens=True
+            )
+        else:
+            text, _ = self._generate_keywords(
+                gen, input_ids, s_real, feats, rng, stop_str, keywords
+            )
+        # Reference post-processing: strip, rstrip(stop_str), strip.
+        out = text.strip()
+        if stop_str and out.endswith(stop_str):
+            out = out[: -len(stop_str)]
+        return out.strip()
+
+    def _generate_keywords(
+        self, gen, input_ids, s_real, feats, rng, stop_str, keywords
+    ):
+        cfg, tok = self.cfg, self.tokenizer
+        return generate_with_keywords(
             self.params,
             cfg,
             gen,
@@ -127,14 +179,9 @@ class InferenceEngine:
             feats,
             rng,
             decode_fn=lambda t: tok.decode(t, skip_special_tokens=True),
-            keywords=(stop_str,) if stop_str and stop_str != "</s>" else (),
+            keywords=keywords,
             cache_dtype=self.cache_dtype,
         )
-        # Reference post-processing: strip, rstrip(stop_str), strip.
-        out = text.strip()
-        if stop_str and out.endswith(stop_str):
-            out = out[: -len(stop_str)]
-        return out.strip()
 
 
 def video_chatgpt_infer(
