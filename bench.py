@@ -69,7 +69,17 @@ def _init_quantized_direct(key, cfg):
     shapes = jax.eval_shape(
         lambda k: video_llava.init_params(k, cfg, jnp.bfloat16), key
     )
-    qshapes = jax.eval_shape(lambda t: quantize(t["llm"]), shapes)
+    # Compute the FINAL layout's shapes abstractly and materialize the
+    # random weights directly in it: fusing after materialization would
+    # transiently hold two full copies of the LLM on device (13B int8
+    # would OOM the chip during init). Real checkpoints quantize+fuse
+    # host-side, so serving never sees that peak either.
+    to_layout = (
+        (lambda t: fuse_layer_kernels(quantize(t["llm"])))
+        if FUSE
+        else (lambda t: quantize(t["llm"]))
+    )
+    qshapes = jax.eval_shape(to_layout, shapes)
 
     def make(leaf):
         if leaf.dtype == jnp.int8:
@@ -77,8 +87,6 @@ def _init_quantized_direct(key, cfg):
         return jnp.full(leaf.shape, 0.01, leaf.dtype)
 
     llm = jax.jit(lambda: jax.tree.map(make, qshapes))()
-    if FUSE:
-        llm = jax.jit(fuse_layer_kernels)(llm)
 
     import video_llava_tpu.models.clip as clip_mod
     import video_llava_tpu.models.projector as proj_mod

@@ -203,3 +203,25 @@ def test_chat_completions_streaming(tiny_server):
             finish = obj["choices"][0]["finish_reason"]
     assert saw_role and saw_done and finish == "stop"
     assert "".join(chunks).strip() == plain
+
+
+def test_chat_model_speculative_matches_plain():
+    """ChatModel(speculative=True) must produce the same greedy text as
+    the plain path (PLD is exact for greedy)."""
+    tok = ByteTokenizer()
+    cfg = dataclasses.replace(
+        VideoLLaVAConfig.tiny(),
+        llm=LlamaConfig.tiny(vocab_size=512),
+        vid_patch_token_id=tok.vid_patch_token_id,
+        vid_start_token_id=tok.vid_start_token_id,
+        vid_end_token_id=tok.vid_end_token_id,
+    )
+    params = video_llava.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    kw = dict(params=params, cfg=cfg, tokenizer=tok,
+              cache_dtype=jnp.float32, seq_pad_multiple=64)
+    msgs = [{"role": "user", "content": "Rate this answer: the answer"}]
+    plain = ChatModel(**kw).chat(msgs, temperature=0.0, max_tokens=8)
+    spec = ChatModel(**kw, speculative=True).chat(
+        msgs, temperature=0.0, max_tokens=8
+    )
+    assert spec == plain

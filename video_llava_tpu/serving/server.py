@@ -41,6 +41,11 @@ class ChatModel:
     conv_mode: str = "vicuna_v1_1"
     cache_dtype: jnp.dtype = jnp.bfloat16
     seq_pad_multiple: int = 128
+    # Prompt-lookup speculative decoding for non-streaming requests with
+    # token-id stops (greedy-exact / sampling distribution-exact; see
+    # engine/speculative.py). Judge prompts quote the QA pair back, so
+    # acceptance is typically high.
+    speculative: bool = False
 
     def chat(
         self,
@@ -77,6 +82,27 @@ class ChatModel:
             pad_token_id=tok.pad_token_id,
         )
         stop_str = conv.stop_string()
+        keywords = (stop_str,) if stop_str and stop_str != "</s>" else ()
+        if self.speculative and not keywords and on_delta is None:
+            from video_llava_tpu.engine.speculative import generate_pld
+
+            out = generate_pld(
+                self.params,
+                self.cfg,
+                gen,
+                jnp.asarray(input_ids),
+                jnp.asarray([s_real], jnp.int32),
+                None,
+                rng=jax.random.PRNGKey(seed if seed is not None else 0),
+                cache_dtype=self.cache_dtype,
+            )
+            n = int(out.lengths[0])
+            text = tok.decode(
+                [int(t) for t in out.tokens[0, :n]], skip_special_tokens=True
+            )
+            if stop_str and text.endswith(stop_str):
+                text = text[: -len(stop_str)]
+            return text.strip()
         text, _ = generate_with_keywords(
             self.params,
             self.cfg,
@@ -86,7 +112,7 @@ class ChatModel:
             None,
             jax.random.PRNGKey(seed if seed is not None else 0),
             decode_fn=lambda t: tok.decode(t, skip_special_tokens=True),
-            keywords=(stop_str,) if stop_str and stop_str != "</s>" else (),
+            keywords=keywords,
             cache_dtype=self.cache_dtype,
             on_delta=on_delta,
         )
