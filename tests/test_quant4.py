@@ -215,3 +215,29 @@ def test_int4_fused_generation_engine():
     toks = np.asarray(out.tokens)
     assert toks.shape == (1, 6)
     assert (toks >= 0).all() and (toks < 512).all()
+
+
+def test_fuse_skips_mixed_layout_groups():
+    """If one kernel of a fusion group fell back to int8 while its
+    siblings are int4, the group must stay unfused (mixing packings in
+    one concat would corrupt weights)."""
+    cfg = LlamaConfig.tiny(vocab_size=128)
+    params = llama.init_params(jax.random.PRNGKey(3), cfg, jnp.float32)
+    q = quantize_params_int4(params, group_size=16, min_size=256)
+    # Force wk to the int8 layout.
+    from video_llava_tpu.ops.quant import quantize_tensor
+
+    wk = params["layers"]["wk"]["kernel"]
+    qv, sc = jax.vmap(lambda w: quantize_tensor(w, axis=-2))(wk)
+    q["layers"]["wk"] = {"kernel": {"qvalues": qv, "scales": sc}}
+    fused = llama.fuse_layer_kernels(q)
+    # qkv group skipped, mlp group (uniform int4) fused
+    assert "wqkv" not in fused["layers"]
+    assert all(n in fused["layers"] for n in ("wq", "wk", "wv"))
+    assert "gate_up" in fused["layers"]
+    ids = jnp.asarray(np.random.default_rng(4).integers(
+        0, 128, size=(1, 8)))
+    want, _ = llama.forward(q, cfg, input_ids=ids)
+    got, _ = llama.forward(fused, cfg, input_ids=ids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)

@@ -19,6 +19,8 @@ from __future__ import annotations
 import functools
 from typing import Callable, NamedTuple, Optional, Sequence, Tuple
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -200,8 +202,10 @@ def generate_with_keywords(
         chunk = min(keyword_check_every, remaining)
         rng, sub = jax.random.split(rng)
         out = _decode_loop(params, cfg, gen, logits, cache, sub, chunk)
+        # One device->host transfer per chunk (per-scalar fetches cost
+        # a ~26 ms round trip each on the tunneled TPU).
         n = int(out.lengths[0])
-        toks = [int(t) for t in out.tokens[0, :n]]
+        toks = np.asarray(out.tokens[0])[:n].tolist()
         pieces.extend(toks)
         remaining -= chunk
         text = decode_fn(pieces)

@@ -10,12 +10,18 @@ for the next k tokens is the continuation of the most recent earlier
 occurrence of the trailing n-gram in the context. Video QA is a strong
 fit — answers echo spans of the question, transcript, and prior turns.
 
-Guarantee: greedy requests emit exactly the vanilla greedy continuation
-(every accepted token equals the model's own argmax given its prefix;
-the first non-matching position emits the model's argmax directly).
+Guarantee: greedy requests emit the vanilla greedy continuation (every
+accepted token equals the model's own argmax given its prefix; the
+first non-matching position emits the model's argmax directly).
 Sampled requests (temperature / top-p) are distribution-exact via
 speculative rejection sampling against the deterministic draft (see
 accept_tokens). Speculation only changes speed, never the output law.
+Caveat: the verify forward computes logits through the multi-token
+cached path while plain decode uses the fused s=1 path; reduction
+orders differ in the low bits, so an exact argmax TIE can break
+differently (measured: 0/128 token mismatches vs plain greedy on the
+7B bench model). This is the same class of wobble as re-running the
+same prompt under a different batch size.
 
 No reference equivalent (video_chatgpt/inference.py:105-112 decodes one
 token per forward via HF generate); this is a TPU-native extension.
@@ -221,6 +227,43 @@ def _decode_loop_pld(
     return GenerateResult(
         tokens=out[None], lengths=n[None], cache=cache
     )
+
+
+def generate_pld_text(
+    params,
+    cfg: VideoLLaVAConfig,
+    gen: GenerationConfig,
+    input_ids,
+    s_real: int,
+    video_features,
+    rng,
+    tokenizer,
+    stop_str: Optional[str],
+    cache_dtype=jnp.bfloat16,
+) -> str:
+    """Speculative generation decoded to text with the reference's
+    stop-string strip (shared by runtime.inference and serving)."""
+    import numpy as np
+
+    out = generate_pld(
+        params,
+        cfg,
+        gen,
+        jnp.asarray(input_ids),
+        jnp.asarray([s_real], jnp.int32),
+        video_features,
+        rng=rng,
+        cache_dtype=cache_dtype,
+    )
+    # One device->host transfer (per-scalar fetches cost a ~26 ms round
+    # trip each on the tunneled TPU).
+    toks = np.asarray(out.tokens[0])
+    n = int(out.lengths[0])
+    text = tokenizer.decode(toks[:n].tolist(), skip_special_tokens=True)
+    text = text.strip()
+    if stop_str and text.endswith(stop_str):
+        text = text[: -len(stop_str)]
+    return text.strip()
 
 
 def generate_pld(

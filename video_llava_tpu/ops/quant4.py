@@ -17,10 +17,10 @@ unpacked on the fly:
     sign-extends both nibbles (VPU), dequantizes in VMEM and issues two
     MXU dots (x_lo @ w_lo + x_hi @ w_hi). VPU unpack overlaps the HBM
     stream, so the step stays bandwidth-bound at int4 bytes;
-  * prefill / CPU fallback: a pure-XLA twin of the same math (reads the
-    packed bytes once per half — int8-equivalent traffic; prefill is
-    MXU-bound so this costs nothing and avoids Mosaic constraints on
-    large activation blocks).
+  * prefill (batch > 1) uses the MXU block variant of the same kernel
+    (group scales applied to per-group dot outputs); a pure-XLA twin of
+    the math serves as the CPU fallback and the escape hatch for shapes
+    the Pallas grid doesn't admit (F not 128-aligned).
 
 Replaces the fp16 weight streaming of the reference's decode hot loop
 (video_chatgpt/inference.py:105-112); packing/unpacking has no
@@ -112,15 +112,6 @@ def is_quantized_int4(p: Any) -> bool:
 # ---------------------------------------------------------------------------
 # Matmul: XLA twin (prefill / CPU)
 # ---------------------------------------------------------------------------
-
-
-def _expand_scales(scales: jax.Array, rows: int) -> jax.Array:
-    """(G, F) group scales -> (rows, F) per-row scales."""
-    n_groups = scales.shape[-2]
-    g = rows * 2 // n_groups if n_groups > 1 else rows
-    if n_groups == 1:
-        return jnp.broadcast_to(scales, (rows, scales.shape[-1]))
-    return jnp.repeat(scales, g, axis=-2)
 
 
 def int4_matmul_xla(x: jax.Array, packed: jax.Array, scales: jax.Array):

@@ -140,26 +140,15 @@ class InferenceEngine:
         )
         keywords = (stop_str,) if stop_str and stop_str != "</s>" else ()
         if self.speculative and not keywords:
-            from video_llava_tpu.engine.speculative import generate_pld
+            from video_llava_tpu.engine.speculative import generate_pld_text
 
-            out = generate_pld(
-                self.params,
-                cfg,
-                gen,
-                jnp.asarray(input_ids),
-                jnp.asarray([s_real], jnp.int32),
-                feats,
-                rng=rng,
-                cache_dtype=self.cache_dtype,
+            return generate_pld_text(
+                self.params, cfg, gen, input_ids, s_real, feats, rng,
+                tok, stop_str, cache_dtype=self.cache_dtype,
             )
-            n = int(out.lengths[0])
-            text = tok.decode(
-                [int(t) for t in out.tokens[0, :n]], skip_special_tokens=True
-            )
-        else:
-            text, _ = self._generate_keywords(
-                gen, input_ids, s_real, feats, rng, stop_str, keywords
-            )
+        text, _ = self._generate_keywords(
+            gen, input_ids, s_real, feats, rng, stop_str, keywords
+        )
         # Reference post-processing: strip, rstrip(stop_str), strip.
         out = text.strip()
         if stop_str and out.endswith(stop_str):

@@ -84,25 +84,13 @@ class ChatModel:
         stop_str = conv.stop_string()
         keywords = (stop_str,) if stop_str and stop_str != "</s>" else ()
         if self.speculative and not keywords and on_delta is None:
-            from video_llava_tpu.engine.speculative import generate_pld
+            from video_llava_tpu.engine.speculative import generate_pld_text
 
-            out = generate_pld(
-                self.params,
-                self.cfg,
-                gen,
-                jnp.asarray(input_ids),
-                jnp.asarray([s_real], jnp.int32),
-                None,
-                rng=jax.random.PRNGKey(seed if seed is not None else 0),
-                cache_dtype=self.cache_dtype,
+            return generate_pld_text(
+                self.params, self.cfg, gen, input_ids, s_real, None,
+                jax.random.PRNGKey(seed if seed is not None else 0),
+                tok, stop_str, cache_dtype=self.cache_dtype,
             )
-            n = int(out.lengths[0])
-            text = tok.decode(
-                [int(t) for t in out.tokens[0, :n]], skip_special_tokens=True
-            )
-            if stop_str and text.endswith(stop_str):
-                text = text[: -len(stop_str)]
-            return text.strip()
         text, _ = generate_with_keywords(
             self.params,
             self.cfg,
