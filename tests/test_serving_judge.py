@@ -225,3 +225,41 @@ def test_chat_model_speculative_matches_plain():
         msgs, temperature=0.0, max_tokens=8
     )
     assert spec == plain
+
+
+def test_batched_serving_speculative_matches_plain():
+    """Batched serving with speculative=True returns the same greedy
+    texts as the plain batched path."""
+    import concurrent.futures
+
+    tok = ByteTokenizer()
+    cfg = dataclasses.replace(
+        VideoLLaVAConfig.tiny(),
+        llm=LlamaConfig.tiny(vocab_size=512),
+        vid_patch_token_id=tok.vid_patch_token_id,
+        vid_start_token_id=tok.vid_start_token_id,
+        vid_end_token_id=tok.vid_end_token_id,
+    )
+    params = video_llava.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+
+    def run(speculative):
+        model = ChatModel(params=params, cfg=cfg, tokenizer=tok,
+                          cache_dtype=jnp.float32, seq_pad_multiple=64,
+                          speculative=speculative)
+        server = serve(model, host="127.0.0.1", port=0, block=False,
+                       batching=True, max_batch=3, window_ms=100)
+        api = f"http://127.0.0.1:{server.server_address[1]}/v1"
+        client = ChatCompletionClient(api_base=api)
+
+        def ask(i):
+            return client.chat_text(
+                "m", [{"role": "user", "content": f"Question {i}?"}],
+                temperature=0.0, max_tokens=6,
+            )
+
+        with concurrent.futures.ThreadPoolExecutor(3) as ex:
+            outs = list(ex.map(ask, range(3)))
+        server.shutdown()
+        return outs
+
+    assert run(True) == run(False)

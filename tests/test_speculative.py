@@ -267,3 +267,55 @@ def test_pld_sampled_end_to_end_valid():
     assert 1 <= n <= 20
     assert (toks[n:] == 0).all()
     assert ((toks[:n] >= 0) & (toks[:n] < cfg.llm.vocab_size)).all()
+
+
+def test_pld_batched_matches_greedy_per_row():
+    """Batched PLD: every row must equal its own single-row greedy
+    continuation (rows advance independently, stop at different
+    lengths)."""
+    cfg, params = _setup(seed=17)
+    rng = np.random.default_rng(11)
+    rows = [
+        list(rng.integers(2, 500, size=12)),                 # random
+        [7, 8, 9, 10] * 3,                                   # repetitive
+        list(rng.integers(2, 500, size=8)) + [0, 0, 0, 0],   # short (padded)
+    ]
+    lens = [12, 12, 8]
+    ids = jnp.asarray(rows, jnp.int32)
+    seq = jnp.asarray(lens, jnp.int32)
+    gen = GenerationConfig(max_new_tokens=20, do_sample=False,
+                           eos_token_id=1, pad_token_id=0)
+    got = generate_pld(params, cfg, gen, ids, seq, None)
+    for r in range(3):
+        row_ids = jnp.asarray([rows[r][: lens[r]]], jnp.int32)
+        want = gen_mod.generate(
+            params, cfg, gen, row_ids, jnp.asarray([lens[r]], jnp.int32),
+            None, jax.random.PRNGKey(0),
+        )
+        assert int(want.lengths[0]) == int(got.lengths[r]), r
+        np.testing.assert_array_equal(
+            np.asarray(want.tokens[0]), np.asarray(got.tokens[r]), err_msg=f"row {r}"
+        )
+
+
+def test_pld_batched_early_stop_rows_freeze():
+    """A row that stops early must keep its tokens/length frozen while
+    other rows continue to their budget."""
+    cfg, params = _setup(seed=19)
+    ids = jnp.asarray([[3, 4] * 8, [9, 8, 7, 6] * 4], jnp.int32)
+    seq = jnp.asarray([16, 16], jnp.int32)
+    gen0 = GenerationConfig(max_new_tokens=24, do_sample=False,
+                            eos_token_id=-5, pad_token_id=0)
+    base = gen_mod.generate(params, cfg, gen0, ids, seq, None,
+                            jax.random.PRNGKey(0))
+    # choose eos = row 0's 4th greedy token so row 0 stops at 4
+    eos = int(np.asarray(base.tokens)[0, 3])
+    gen = GenerationConfig(max_new_tokens=24, do_sample=False,
+                           eos_token_id=eos, pad_token_id=0)
+    want = gen_mod.generate(params, cfg, gen, ids, seq, None,
+                            jax.random.PRNGKey(0))
+    got = generate_pld(params, cfg, gen, ids, seq, None)
+    np.testing.assert_array_equal(np.asarray(want.lengths),
+                                  np.asarray(got.lengths))
+    np.testing.assert_array_equal(np.asarray(want.tokens),
+                                  np.asarray(got.tokens))

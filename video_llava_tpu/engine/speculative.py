@@ -159,74 +159,101 @@ def _decode_loop_pld(
     ngram: int,
     k: int,
 ) -> GenerateResult:
-    """Speculative decode loop (batch 1), greedy or sampled.
+    """Speculative decode loop (any batch size), greedy or sampled.
 
-    ctx must have room for ctx_len + max_new_tokens + k + 1 tokens and
-    the cache max length must cover cache.length + max_new_tokens + k
-    + 1 positions (the optimistic write may run k past the last kept
-    token).
+    Per-row state: rows draft, accept and advance independently (rows
+    with longer accepted runs finish their budget in fewer iterations;
+    a finished row keeps feeding pad tokens whose cache writes are
+    rewound). Each ctx row must have room for ctx_len + max_new_tokens
+    + k + 1 tokens and the cache max length must cover cache.length +
+    max_new_tokens + k + 1 positions (the optimistic write may run k
+    past the last kept token).
     """
     from video_llava_tpu.engine.generate import sample_token
 
+    b = first_logits.shape[0]
     stop_ids = jnp.asarray(
         (gen.eos_token_id,) + tuple(gen.stop_token_ids), jnp.int32
     )
     pad = jnp.int32(gen.pad_token_id)
     buf_cap = max_new_tokens + k + 1  # slack for the final overshoot
+    ar = jnp.arange(k + 1, dtype=jnp.int32)
+
+    find_draft_b = jax.vmap(lambda c, l: find_draft(c, l, ngram, k))
+    accept_b = jax.vmap(
+        lambda lo, d, dl, r: accept_tokens(lo, d, dl, r, gen)
+    )
+    write_row = jax.vmap(
+        lambda row, val, pos: jax.lax.dynamic_update_slice(row, val, (pos,))
+    )
 
     rng, sub = jax.random.split(rng)
-    tok0 = sample_token(first_logits, sub, gen)[0]
-    done0 = jnp.any(tok0 == stop_ids)
-    buf0 = jnp.full((buf_cap,), pad, jnp.int32).at[0].set(tok0)
-    ctx0 = jax.lax.dynamic_update_slice(ctx, tok0[None], (ctx_len,))
+    tok0 = sample_token(first_logits, sub, gen)  # (b,)
+    done0 = jnp.any(tok0[:, None] == stop_ids[None, :], axis=-1)
+    buf0 = jnp.full((b, buf_cap), pad, jnp.int32).at[:, 0].set(tok0)
+    ctx0 = write_row(ctx, tok0[:, None], ctx_len)
+    n0 = jnp.ones((b,), jnp.int32)
 
     def cond(state):
         n, _, _, _, _, done, _, _ = state
-        return (n < max_new_tokens) & ~done
+        return ~jnp.all(done | (n >= max_new_tokens))
 
     def body(state):
         n, buf, tok, cache, ctx, done, ctx_len, rng = state
-        draft, draft_len = find_draft(ctx, ctx_len, ngram, k)
-        fed = jnp.concatenate([tok[None], draft])  # (k+1,) static
+        draft, draft_len = find_draft_b(ctx, ctx_len)  # (b, k), (b,)
+        fed = jnp.concatenate([tok[:, None], draft], axis=1)  # (b, k+1)
         logits, new_cache = llama.forward(
-            params["llm"], cfg.llm, input_ids=fed[None], cache=cache
+            params["llm"], cfg.llm, input_ids=fed, cache=cache
         )
         rng, sub = jax.random.split(rng)
-        m, z = accept_tokens(logits[0], draft, draft_len, sub, gen)
-        # Candidate emissions: m accepted drafts then z (the model's own
-        # token at the first non-accepted position / the bonus token).
-        ar = jnp.arange(k + 1, dtype=jnp.int32)
-        cand = jnp.where(ar < m, draft[jnp.minimum(ar, k - 1)],
-                         jnp.where(ar == m, z, pad))
-        is_stop = jnp.any(cand[:, None] == stop_ids[None, :], axis=-1)
-        is_stop &= ar <= m
+        m, z = accept_b(
+            logits, draft, draft_len, jax.random.split(sub, b)
+        )  # (b,), (b,)
+        # Candidate emissions per row: m accepted drafts then z (the
+        # model's own token at the first non-accepted position / bonus).
+        cand = jnp.where(
+            ar[None] < m[:, None],
+            jnp.take_along_axis(
+                draft, jnp.minimum(ar, k - 1)[None].repeat(b, 0), axis=1
+            ),
+            jnp.where(ar[None] == m[:, None], z[:, None], pad),
+        )
+        is_stop = jnp.any(
+            cand[:, :, None] == stop_ids[None, None, :], axis=-1
+        ) & (ar[None] <= m[:, None])
         first_stop = jnp.argmax(
-            jnp.concatenate([is_stop, jnp.ones((1,), bool)])
+            jnp.concatenate([is_stop, jnp.ones((b, 1), bool)], axis=1),
+            axis=1,
         ).astype(jnp.int32)
         hit = first_stop <= m
         n_new = jnp.where(hit, first_stop + 1, m + 1)
-        # Don't run past the token budget.
-        n_new = jnp.minimum(n_new, max_new_tokens - n)
-        cand = jnp.where(ar < n_new, cand, pad)
-        buf = jax.lax.dynamic_update_slice(buf, cand, (n,))
-        ctx = jax.lax.dynamic_update_slice(ctx, cand, (ctx_len,))
-        # Keep cache entries for tok + the m accepted drafts only.
-        new_cache = new_cache._replace(
-            length=jnp.minimum(cache.length + 1 + m,
-                               cache.length + n_new)
+        # Finished rows emit nothing; cap every row at its budget.
+        n_new = jnp.where(done, 0, jnp.minimum(n_new, max_new_tokens - n))
+        cand = jnp.where(ar[None] < n_new[:, None], cand, pad)
+        buf = write_row(buf, cand, n)
+        ctx = write_row(ctx, cand, ctx_len)
+        # Keep cache entries for tok + the accepted drafts only (rows
+        # that emitted nothing rewind their whole write).
+        keep = jnp.where(done, 0, jnp.minimum(1 + m, n_new))
+        new_cache = new_cache._replace(length=cache.length + keep)
+        new_tok = jnp.where(
+            done, tok,
+            jnp.take_along_axis(
+                cand, jnp.maximum(n_new - 1, 0)[:, None], axis=1
+            )[:, 0],
         )
-        new_tok = cand[jnp.maximum(n_new - 1, 0)]
-        return (n + n_new, buf, new_tok, new_cache, ctx, done | hit,
+        new_done = done | hit | (n + n_new >= max_new_tokens)
+        return (n + n_new, buf, new_tok, new_cache, ctx, new_done,
                 ctx_len + n_new, rng)
 
-    state = (jnp.int32(1), buf0, tok0, cache, ctx0, done0,
+    state = (n0, buf0, tok0, cache, ctx0, done0,
              ctx_len + jnp.int32(1), rng)
     n, buf, _, cache, _, _, _, _ = jax.lax.while_loop(cond, body, state)
     n = jnp.minimum(n, max_new_tokens)
-    out = jnp.where(jnp.arange(buf_cap) < n, buf, pad)[:max_new_tokens]
-    return GenerateResult(
-        tokens=out[None], lengths=n[None], cache=cache
-    )
+    out = jnp.where(
+        jnp.arange(buf_cap)[None] < n[:, None], buf, pad
+    )[:, :max_new_tokens]
+    return GenerateResult(tokens=out, lengths=n, cache=cache)
 
 
 def generate_pld_text(
@@ -279,15 +306,15 @@ def generate_pld(
     max_cache_len: Optional[int] = None,
     cache_dtype=jnp.bfloat16,
 ) -> GenerateResult:
-    """Generation with prompt-lookup speculation (batch 1).
+    """Generation with prompt-lookup speculation (any batch size).
 
     Drop-in for `generate.generate`: greedy requests emit exactly the
     vanilla greedy continuation; sampled requests (do_sample, T>0,
     top-p) are distribution-exact via speculative rejection sampling
-    (accept_tokens). Faster whenever the answer reuses n-grams of the
-    prompt/transcript/context.
+    (accept_tokens). Faster whenever answers reuse n-grams of the
+    prompt/transcript/context. Rows draft and advance independently;
+    an iteration costs one (b, k+1)-token forward (one weight stream).
     """
-    assert input_ids.shape[0] == 1, "prompt-lookup decode is batch-1"
     if rng is None:
         rng = jax.random.PRNGKey(0)
     b, s = input_ids.shape
@@ -300,9 +327,9 @@ def generate_pld(
         max_cache_len=max_cache_len, cache_dtype=cache_dtype,
     )
     cap = s + gen.max_new_tokens + k + 1
-    ctx = jnp.full((cap,), gen.pad_token_id, jnp.int32)
-    ctx = jax.lax.dynamic_update_slice(ctx, input_ids[0], (0,))
+    ctx = jnp.full((b, cap), gen.pad_token_id, jnp.int32)
+    ctx = jax.lax.dynamic_update_slice(ctx, input_ids, (0, 0))
     return _decode_loop_pld(
         params, cfg, gen, res.logits_last, res.cache, ctx,
-        seq_lens[0].astype(jnp.int32), rng, gen.max_new_tokens, ngram, k,
+        seq_lens.astype(jnp.int32), rng, gen.max_new_tokens, ngram, k,
     )
