@@ -130,10 +130,14 @@ def main(argv=None):
         # embed_tokens stays bf16: it is trainable in projector+embed
         # mode (reference trains input embeddings alongside the
         # projector, train/llava_trainer.py:33-46).
+        # donate: without it the bf16 LLM (13.5 GiB at 7B) and its int8
+        # copy are both live during the call and single-chip quantized
+        # tuning OOMs before the first step.
         params["llm"] = jax.jit(
             lambda p: quantize_params(p, skip_keys=(
                 "class_embedding", "position_embedding", "embed_tokens",
-            ))
+            )),
+            donate_argnums=0,
         )(params["llm"])
 
     specs = videollava_param_specs(params, fsdp=(args.tune_mode == "full"))
