@@ -101,3 +101,20 @@ def test_transcribe_with_timestamps_segmentation():
     )
     segs2 = tr2.transcribe_audio(audio, with_timestamps=True)
     assert len(segs2) == 1  # falls back to whole-chunk segments
+
+
+def test_transcriber_bf16_params():
+    """bf16 Whisper checkpoints must work: the f32 log-mel is cast to
+    the parameter dtype before the conv stem."""
+    import jax.numpy as jnp
+
+    cfg = WhisperConfig.tiny_test()
+    params = whisper.init_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+    tr = Transcriber(
+        params, cfg,
+        decode_text=lambda ids: " ".join(str(i) for i in ids),
+        start_tokens=(1,), eot_token=2, max_new_tokens=4,
+    )
+    audio = np.random.default_rng(0).normal(size=(16000,)).astype(np.float32)
+    segs = tr.transcribe_audio(audio * 0.05)
+    assert isinstance(segs, list) and len(segs) == 1

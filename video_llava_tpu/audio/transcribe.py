@@ -95,8 +95,14 @@ class Transcriber:
             tuple(timestamp_start_tokens) if timestamp_start_tokens else None
         )
         self.aligner = aligner  # audio.align.ForcedAligner for word times
+        # Cast the (always-f32) log-mel to the parameter dtype: bf16
+        # checkpoints otherwise fail the conv dtype check.
         self._encode = jax.jit(
-            lambda p, mel: whisper_mod.encode(p, mel, cfg)
+            lambda p, mel: whisper_mod.encode(
+                p,
+                mel.astype(p["encoder"]["conv1"]["kernel"].dtype),
+                cfg,
+            )
         )
 
     def _chunk(self, audio: np.ndarray) -> np.ndarray:
