@@ -147,9 +147,13 @@ def vision_encoder(params, pixels: jax.Array, cfg: SamVisionConfig) -> jax.Array
     b, H, W, _ = pixels.shape
     x = pixels.reshape(b, H // ps, ps, W // ps, ps, 3)
     x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, H // ps, W // ps, -1)
+    # Activations follow the PARAMETER dtype (not the pixel dtype):
+    # bf16 checkpoints fed f32-normalized pixels otherwise reach the
+    # neck conv with f32 activations vs bf16 kernels, which
+    # conv_general_dilated rejects.
     x = jnp.dot(
         x, params["patch_embed"]["kernel"], preferred_element_type=jnp.float32
-    ).astype(pixels.dtype) + params["patch_embed"]["bias"]
+    ).astype(params["patch_embed"]["kernel"].dtype) + params["patch_embed"]["bias"]
     x = x + params["pos_embed"][0].astype(x.dtype)
 
     for i, lp in enumerate(params["layers"]):
