@@ -127,3 +127,54 @@ def test_sam_bf16():
     assert masks.shape[0] == 1
     assert np.isfinite(np.asarray(masks, np.float32)).all()
     assert np.isfinite(np.asarray(iou, np.float32)).all()
+
+
+def test_grounding_dino_bf16():
+    import torch
+    import transformers
+
+    from video_llava_tpu.models import grounding_dino as gd
+    from video_llava_tpu.models.grounding_dino import GroundingDinoConfig
+
+    cfg = GroundingDinoConfig.tiny_test()
+    hf_cfg = transformers.GroundingDinoConfig(
+        d_model=cfg.d_model,
+        num_queries=cfg.num_queries,
+        encoder_layers=cfg.encoder_layers,
+        decoder_layers=cfg.decoder_layers,
+        encoder_attention_heads=cfg.encoder_attention_heads,
+        decoder_attention_heads=cfg.decoder_attention_heads,
+        encoder_ffn_dim=cfg.encoder_ffn_dim,
+        decoder_ffn_dim=cfg.decoder_ffn_dim,
+        num_feature_levels=cfg.num_feature_levels,
+        max_text_len=cfg.max_text_len,
+        backbone_config=transformers.SwinConfig(
+            image_size=cfg.swin.image_size,
+            patch_size=cfg.swin.patch_size,
+            embed_dim=cfg.swin.embed_dim,
+            depths=list(cfg.swin.depths),
+            num_heads=list(cfg.swin.num_heads),
+            window_size=cfg.swin.window_size,
+            out_indices=[i + 1 for i in cfg.backbone_stage_indices],
+        ),
+        text_config=transformers.BertConfig(
+            vocab_size=cfg.text.vocab_size,
+            hidden_size=cfg.text.hidden_size,
+            num_hidden_layers=cfg.text.num_layers,
+            num_attention_heads=cfg.text.num_heads,
+            intermediate_size=cfg.text.intermediate_size,
+            max_position_embeddings=cfg.text.max_position_embeddings,
+        ),
+    )
+    torch.manual_seed(0)
+    model = transformers.GroundingDinoForObjectDetection(hf_cfg).eval()
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    params = _to_bf16(gd.convert_hf_grounding_dino(sd, cfg))
+    pixels = jnp.asarray(
+        np.random.default_rng(0).normal(size=(1, 64, 64, 3)), jnp.float32
+    )
+    ids = np.array([[101, 7, 8, 1012, 102]], np.int64)
+    logits, boxes = gd.forward(params, cfg, pixels, ids)
+    t = ids.shape[1]
+    assert np.isfinite(np.asarray(logits[..., :t], np.float32)).all()
+    assert np.isfinite(np.asarray(boxes, np.float32)).all()

@@ -256,9 +256,14 @@ def forward_features(
     ps = cfg.patch_size
     x = pixels.reshape(b, H // ps, ps, W // ps, ps, pixels.shape[-1])
     x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, (H // ps) * (W // ps), -1)
+    # Activations follow the PARAMETER dtype (not the pixel dtype):
+    # bf16 checkpoints fed f32-normalized pixels otherwise propagate
+    # f32 activations into downstream convs (GroundingDINO extra-level
+    # projections) that require matching operand dtypes.
+    pdtype = params["patch_embed"]["kernel"].dtype
     x = jnp.dot(
         x, params["patch_embed"]["kernel"], preferred_element_type=jnp.float32
-    ).astype(pixels.dtype) + params["patch_embed"]["bias"].astype(pixels.dtype)
+    ).astype(pdtype) + params["patch_embed"]["bias"]
     x = layer_norm(params["patch_norm"], x, cfg.layer_norm_eps)
 
     hh, ww = H // ps, W // ps
