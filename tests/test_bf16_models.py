@@ -105,6 +105,10 @@ def test_sam_bf16():
         vision_config=dict(
             hidden_size=32, intermediate_size=64, num_hidden_layers=2,
             num_attention_heads=2, image_size=64, patch_size=8,
+            # match the parity fixture (tests/test_sam.py): layer 1 is
+            # a GLOBAL attention layer, so the bf16 smoke covers both
+            # windowed and global paths
+            global_attn_indexes=[1],
             window_size=2, mlp_dim=64, output_channels=16, num_pos_feats=8,
         ),
         prompt_encoder_config=dict(

@@ -228,8 +228,11 @@ def test_chat_model_speculative_matches_plain():
 
 
 def test_batched_serving_speculative_matches_plain():
-    """Batched serving with speculative=True returns the same greedy
-    texts as the plain batched path."""
+    """The batching worker's speculative path returns the same greedy
+    texts as its plain path. max_batch=1 keeps the batch composition
+    deterministic across the two runs (argmax ties can break
+    differently under different batch shapes); batch>1 equality is
+    covered deterministically in tests/test_speculative.py."""
     import concurrent.futures
 
     tok = ByteTokenizer()
@@ -247,7 +250,7 @@ def test_batched_serving_speculative_matches_plain():
                           cache_dtype=jnp.float32, seq_pad_multiple=64,
                           speculative=speculative)
         server = serve(model, host="127.0.0.1", port=0, block=False,
-                       batching=True, max_batch=3, window_ms=100)
+                       batching=True, max_batch=1, window_ms=50)
         api = f"http://127.0.0.1:{server.server_address[1]}/v1"
         client = ChatCompletionClient(api_base=api)
 

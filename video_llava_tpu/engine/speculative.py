@@ -152,8 +152,8 @@ def _decode_loop_pld(
     gen: GenerationConfig,
     first_logits: jax.Array,
     cache: KVCache,
-    ctx: jax.Array,
-    ctx_len: jax.Array,
+    input_ids: jax.Array,
+    seq_lens: jax.Array,
     rng: jax.Array,
     max_new_tokens: int,
     ngram: int,
@@ -164,14 +164,20 @@ def _decode_loop_pld(
     Per-row state: rows draft, accept and advance independently (rows
     with longer accepted runs finish their budget in fewer iterations;
     a finished row keeps feeding pad tokens whose cache writes are
-    rewound). Each ctx row must have room for ctx_len + max_new_tokens
-    + k + 1 tokens and the cache max length must cover cache.length +
+    rewound). The cache max length must cover cache.length +
     max_new_tokens + k + 1 positions (the optimistic write may run k
     past the last kept token).
     """
     from video_llava_tpu.engine.generate import sample_token
 
-    b = first_logits.shape[0]
+    b, s = input_ids.shape
+    # Context buffer (prompt + accepted tokens) for the n-gram lookup,
+    # built INSIDE the jit (eager buffer ops cost a host round trip
+    # each on the tunneled TPU).
+    cap = s + max_new_tokens + k + 1
+    ctx = jnp.full((b, cap), gen.pad_token_id, jnp.int32)
+    ctx = jax.lax.dynamic_update_slice(ctx, input_ids, (0, 0))
+    ctx_len = seq_lens.astype(jnp.int32)
     stop_ids = jnp.asarray(
         (gen.eos_token_id,) + tuple(gen.stop_token_ids), jnp.int32
     )
@@ -326,10 +332,7 @@ def generate_pld(
         params, cfg, input_ids, seq_lens, video_features,
         max_cache_len=max_cache_len, cache_dtype=cache_dtype,
     )
-    cap = s + gen.max_new_tokens + k + 1
-    ctx = jnp.full((b, cap), gen.pad_token_id, jnp.int32)
-    ctx = jax.lax.dynamic_update_slice(ctx, input_ids, (0, 0))
     return _decode_loop_pld(
-        params, cfg, gen, res.logits_last, res.cache, ctx,
-        seq_lens.astype(jnp.int32), rng, gen.max_new_tokens, ngram, k,
+        params, cfg, gen, res.logits_last, res.cache, input_ids,
+        seq_lens, rng, gen.max_new_tokens, ngram, k,
     )

@@ -339,26 +339,18 @@ class BatchingChatModel:
                 seed = next((x[3] for x in batch if x[3] is not None), 0)
                 if m.speculative:
                     from video_llava_tpu.engine.speculative import (
-                        generate_pld,
-                    )
-
-                    res = generate_pld(
-                        m.params, m.cfg, gen,
-                        jnp.asarray(input_ids),
-                        jnp.asarray(lens, jnp.int32),
-                        None,
-                        rng=jax.random.PRNGKey(int(seed)),
-                        cache_dtype=m.cache_dtype,
+                        generate_pld as gen_fn,
                     )
                 else:
-                    res = batched_generate(
-                        m.params, m.cfg, gen,
-                        jnp.asarray(input_ids),
-                        jnp.asarray(lens, jnp.int32),
-                        None,
-                        jax.random.PRNGKey(int(seed)),
-                        cache_dtype=m.cache_dtype,
-                    )
+                    gen_fn = batched_generate
+                res = gen_fn(
+                    m.params, m.cfg, gen,
+                    jnp.asarray(input_ids),
+                    jnp.asarray(lens, jnp.int32),
+                    None,
+                    jax.random.PRNGKey(int(seed)),
+                    cache_dtype=m.cache_dtype,
+                )
                 toks = np.asarray(res.tokens)
                 out_lens = np.asarray(res.lengths)
                 for r, (_, _, req_max, _, slot, done) in enumerate(batch):
