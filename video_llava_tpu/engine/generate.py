@@ -159,6 +159,7 @@ def generate_with_keywords(
     max_cache_len: Optional[int] = None,
     cache_dtype=jnp.bfloat16,
     on_delta: Optional[Callable[[str], None]] = None,
+    postprocess: Optional[Callable[[str], str]] = None,
 ) -> Tuple[str, GenerateResult]:
     """Generation with reference keyword-stopping semantics
     (model/utils.py:6-26): stop when a decoded keyword substring appears.
@@ -172,6 +173,12 @@ def generate_with_keywords(
     newly finalized text. To never retract emitted text, emission holds
     back max(len(keyword)) - 1 characters until the keyword check for a
     chunk has passed; the final delta flushes the remainder.
+
+    postprocess: applied to the final text BEFORE the last delta and the
+    return value, so the concatenated stream equals the returned text
+    (defaults to str.strip). If it rewrites an already-emitted prefix
+    (e.g. strips leading whitespace streamed in an earlier chunk), the
+    raw remainder is flushed instead — emitted text is never retracted.
     """
     assert input_ids.shape[0] == 1, "keyword stopping is per-conversation"
     b, s = input_ids.shape
@@ -225,8 +232,15 @@ def generate_with_keywords(
         step_logits, cache = decode_step_jit(params["llm"], cfg.llm, last, cache)
         logits = step_logits
 
-    emit(text, final=True)
-    return text.strip(), GenerateResult(
+    final = (postprocess or str.strip)(text)
+    if on_delta is not None:
+        if final.startswith(text[:emitted]):
+            if len(final) > emitted:
+                on_delta(final[emitted:])
+                emitted = len(final)
+        else:
+            emit(text, final=True)
+    return final, GenerateResult(
         tokens=jnp.asarray([pieces], jnp.int32),
         lengths=jnp.asarray([len(pieces)], jnp.int32),
         cache=cache,

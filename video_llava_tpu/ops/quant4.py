@@ -12,7 +12,7 @@ unpacked on the fly:
     interleaving weight rows — unpack is two shifts, no shuffles;
   * scales: symmetric round-to-nearest over groups of `group_size`
     contraction rows per output channel (g=128 default, the standard
-    int4 granularity), absmax/7, stored (G, F) f32;
+    int4 granularity), absmax/7, stored (G, F) bf16;
   * decode matmul: a Pallas kernel streams the packed bytes ONCE,
     sign-extends both nibbles (VPU), dequantizes in VMEM and issues two
     MXU dots (x_lo @ w_lo + x_hi @ w_hi). VPU unpack overlaps the HBM
@@ -82,9 +82,11 @@ def quantize_tensor_int4(w: jax.Array, group_size: Optional[int] = 128):
     w32 = w.astype(jnp.float32)
     grouped = w32.reshape(w.shape[:-2] + (n_groups, g, w.shape[-1]))
     absmax = jnp.max(jnp.abs(grouped), axis=-2, keepdims=True)
-    # Scales are stored bf16 so the Pallas kernel (bf16 dequant multiply)
-    # and the XLA twin (f32 multiply then bf16 round) produce bit-equal
-    # weights: int4 value x bf16 scale is exact in f32.
+    # Scales are stored bf16. The decode Pallas kernel dequantizes
+    # weights in VMEM (int4 value x bf16 scale is exact in f32); the
+    # MXU-block prefill kernel instead applies group scales to per-group
+    # dot OUTPUTS, so it matches the XLA twin only to bf16-rounding
+    # tolerance, not bit-exactly.
     scales = (jnp.maximum(absmax, 1e-8) / 7.0).astype(jnp.bfloat16)
     q = jnp.clip(
         jnp.round(grouped / scales.astype(jnp.float32)), -7, 7

@@ -91,6 +91,13 @@ class ChatModel:
                 jax.random.PRNGKey(seed if seed is not None else 0),
                 tok, stop_str, cache_dtype=self.cache_dtype,
             )
+        def _post(t: str) -> str:
+            # Applied before the final streamed delta (engine/generate.py
+            # postprocess contract) so SSE concatenation == JSON result.
+            if stop_str and t.endswith(stop_str):
+                t = t[: -len(stop_str)]
+            return t.strip()
+
         text, _ = generate_with_keywords(
             self.params,
             self.cfg,
@@ -103,10 +110,9 @@ class ChatModel:
             keywords=keywords,
             cache_dtype=self.cache_dtype,
             on_delta=on_delta,
+            postprocess=_post,
         )
-        if stop_str and text.endswith(stop_str):
-            text = text[: -len(stop_str)]
-        return text.strip()
+        return text
 
 
 def make_handler(model: ChatModel, model_name: str):
@@ -200,15 +206,37 @@ def make_handler(model: ChatModel, model_name: str):
                 self.wfile.flush()
 
             send_chunk({"role": "assistant"})
-            base = model.model if isinstance(model, BatchingChatModel) else model
-            base.chat(
-                req["messages"],
-                temperature=float(req.get("temperature", 0.2)),
-                max_tokens=int(req.get("max_tokens", 512)),
-                seed=req.get("seed"),
-                on_delta=lambda piece: send_chunk({"content": piece}),
-            )
-            send_chunk({}, finish="stop")
+            try:
+                base = (
+                    model.model if isinstance(model, BatchingChatModel)
+                    else model
+                )
+                run = lambda: base.chat(  # noqa: E731
+                    req["messages"],
+                    temperature=float(req.get("temperature", 0.2)),
+                    max_tokens=int(req.get("max_tokens", 512)),
+                    seed=req.get("seed"),
+                    on_delta=lambda piece: send_chunk({"content": piece}),
+                )
+                if isinstance(model, BatchingChatModel):
+                    # Serialize with the batcher worker: the device admits
+                    # one program at a time, and a stream running alongside
+                    # a batched decode would contend for it.
+                    model.run_exclusive(run)
+                else:
+                    run()
+                send_chunk({}, finish="stop")
+            except Exception as e:  # noqa: BLE001
+                # Headers/chunks are already on the wire; a 500 would be
+                # malformed HTTP mid-stream. Emit an SSE error payload and
+                # terminate the stream properly instead.
+                try:
+                    self.wfile.write(
+                        f"data: {json.dumps({'error': {'message': str(e)}})}"
+                        "\n\n".encode()
+                    )
+                except OSError:
+                    return
             self.wfile.write(b"data: [DONE]\n\n")
             self.wfile.flush()
 
@@ -260,12 +288,13 @@ class BatchingChatModel:
         self.window_s = window_ms / 1000.0
         self.max_tokens_cap = max_tokens_cap
         self._queue: "queue.Queue" = queue.Queue()
+        self._pending = None
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
-    def chat(self, messages, temperature=0.2, max_tokens=512, seed=None):
-        import queue
+    _EXCLUSIVE = object()
 
+    def chat(self, messages, temperature=0.2, max_tokens=512, seed=None):
         done = threading.Event()
         slot = {}
         self._queue.put((messages, temperature, min(max_tokens,
@@ -276,33 +305,60 @@ class BatchingChatModel:
             raise RuntimeError(slot["error"])
         return slot["text"]
 
+    def run_exclusive(self, fn):
+        """Run `fn` on the batcher worker thread, serialized with batched
+        generation (the device admits one program at a time). Used by
+        streaming requests, which bypass batched decode but must not run
+        concurrently with it."""
+        done = threading.Event()
+        slot = {}
+        self._queue.put((self._EXCLUSIVE, fn, slot, done))
+        done.wait()
+        if "error" in slot:
+            raise RuntimeError(slot["error"])
+        return slot.get("result")
+
     # -- worker ---------------------------------------------------------------
 
     def _collect(self):
         import queue
 
-        first = self._queue.get()
+        first = self._pending if self._pending is not None else self._queue.get()
+        self._pending = None
         batch = [first]
+        if first[0] is self._EXCLUSIVE:
+            return batch
         deadline = time.time() + self.window_s
         while len(batch) < self.max_batch:
             remaining = deadline - time.time()
             if remaining <= 0:
                 break
             try:
-                batch.append(self._queue.get(timeout=remaining))
+                item = self._queue.get(timeout=remaining)
             except queue.Empty:
                 break
+            if item[0] is self._EXCLUSIVE:
+                # Exclusive work runs alone; hold it for the next round.
+                self._pending = item
+                break
+            batch.append(item)
         return batch
 
     def _run(self):
-        import queue  # noqa: F401
-
         from video_llava_tpu.engine.generate import generate as batched_generate
 
         m = self.model
         tok = m.tokenizer
         while True:
             batch = self._collect()
+            if batch[0][0] is self._EXCLUSIVE:
+                _, fn, slot, done = batch[0]
+                try:
+                    slot["result"] = fn()
+                except Exception as e:  # noqa: BLE001
+                    slot["error"] = str(e)
+                done.set()
+                continue
             try:
                 prompts = []
                 for messages, temperature, max_tokens, seed, _, _ in batch:

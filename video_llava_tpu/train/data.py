@@ -340,9 +340,14 @@ def sharded_data_iterator(
         0, len(idx) - (global_batch_size - 1 if drop_last else 0),
         global_batch_size,
     ):
-        rows = host_shard_rows(
-            idx[start : start + global_batch_size], pid, nproc
-        )
+        rows = idx[start : start + global_batch_size]
+        if len(rows) % nproc:
+            # Final partial batch (drop_last=False): wrap-pad with the
+            # epoch's first indices to a multiple of process_count so
+            # every host gets an equal shard. idx is identically seeded
+            # on all hosts, so the padding is globally consistent.
+            rows = np.concatenate([rows, idx[: -len(rows) % nproc]])
+        rows = host_shard_rows(rows, pid, nproc)
         local = collator([dataset[int(r)] for r in rows])
         yield {
             k: jax.make_array_from_process_local_data(

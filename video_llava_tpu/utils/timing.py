@@ -40,11 +40,30 @@ def fetch_rtt() -> float:
 
 
 def measure(fn: Callable[[int], object], iters: int = 5, warmup: int = 1) -> float:
-    """Median per-iteration seconds of `fn(i)`, synchronizing once after
-    all iterations and correcting for the fetch round trip.
+    """True per-iteration MEDIAN seconds of `fn(i)`: every iteration is
+    individually synchronized (host fetch of a scalar) and corrected for
+    the fetch round trip. Use for headline latency numbers (a real p50).
 
     fn must return a device array pytree; iterations should differ in an
     argument (e.g. PRNG key index) so nothing is constant-folded.
+    """
+    for i in range(warmup):
+        sync(fn(i))
+    rtt = fetch_rtt()
+    ts = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        sync(fn(1000 + i))
+        ts.append(max(time.perf_counter() - t0 - rtt, 1e-9))
+    return float(np.median(ts))
+
+
+def measure_amortized(
+    fn: Callable[[int], object], iters: int = 5, warmup: int = 1
+) -> float:
+    """MEAN per-iteration seconds: dispatches all iterations and syncs
+    once at the end. Lower overhead than `measure` for very short ops
+    (one fetch round trip total), but it is a mean, not a percentile.
     """
     for i in range(warmup):
         sync(fn(i))
