@@ -31,13 +31,17 @@ from video_llava_tpu.engine.generate import _decode_loop
 from video_llava_tpu.models import video_llava
 from video_llava_tpu.ops.image import normalize_clip
 
+import os
+
 NUM_FRAMES = 100
 PROMPT_LEN = 512
-NEW_TOKENS = 128
+# BENCH_NEW_TOKENS / BENCH_LAYERS: debugging knobs (e.g. validating the
+# BENCH_MESH path on a slow virtual CPU mesh); the headline numbers use
+# the defaults.
+NEW_TOKENS = int(os.environ.get("BENCH_NEW_TOKENS", "128"))
 CACHE_LEN = PROMPT_LEN + NEW_TOKENS
+LAYERS = int(os.environ.get("BENCH_LAYERS", "0"))  # 0 = full depth
 
-
-import os
 
 # LLM weight format: int8 (weights-only, per-channel) halves HBM bytes
 # per decode step — decode is bandwidth-bound. int4 (nibble-packed,
@@ -52,6 +56,11 @@ FUSE = os.environ.get("BENCH_FUSE", "1") == "1"
 # int8 weights (~13 GB) are tight on a 16 GB chip, int4 (~6.6 GB) is
 # the intended single-chip 13B format.
 MODEL_SIZE = os.environ.get("BENCH_MODEL", "7b")
+# BENCH_MESH=DxM (e.g. 1x8) runs the same pipeline TP/DP-sharded over a
+# ('data','model') mesh — the v5e-8 serving configuration. Requires D*M
+# visible devices (real chips, or a virtual CPU mesh for correctness
+# runs). The metric name stays e2e_video_qa_p50 either way.
+MESH_ENV = os.environ.get("BENCH_MESH")
 
 
 def _init_quantized_direct(key, cfg):
@@ -106,6 +115,8 @@ def build():
         LlamaConfig.vicuna_13b() if MODEL_SIZE == "13b"
         else LlamaConfig.vicuna_7b()
     )
+    if LAYERS:
+        llm_cfg = dataclasses.replace(llm_cfg, num_layers=LAYERS)
     cfg = VideoLLaVAConfig(llm=llm_cfg)
     # One compiled program for the whole init: eager init would compile
     # dozens of tiny executables (very slow over a tunneled TPU).
@@ -115,6 +126,32 @@ def build():
         params = jax.jit(
             lambda k: video_llava.init_params(k, cfg, jnp.bfloat16)
         )(jax.random.PRNGKey(0))
+
+    mesh = None
+    if MESH_ENV:
+        from video_llava_tpu.parallel import (
+            make_mesh,
+            shard_params,
+            videollava_param_specs,
+        )
+
+        d, m = (int(x) for x in MESH_ENV.lower().split("x"))
+        mesh = make_mesh(d, m)
+        # Pad the vocab so embed/lm_head shard over 'model' (32006 is not
+        # divisible by 8; padded logit columns are masked to -inf in
+        # llama.forward). m*128 keeps each chip's vocab shard lane-
+        # aligned for the MXU.
+        from video_llava_tpu.models import llama as llama_mod
+
+        params = dict(params)
+        params["llm"] = jax.jit(
+            lambda t: llama_mod.pad_vocab(t, m * 128)
+        )(params["llm"])
+        # Redistribute into the TP layout (quant-aware specs). Production
+        # sharded serving loads checkpoints directly into this layout via
+        # engine/weights; here the transient device-0 copy is acceptable
+        # (13B int8 = 12.8 GB still fits one 16 GB chip).
+        params = shard_params(params, videollava_param_specs(params), mesh)
 
     rng = np.random.default_rng(0)
     frames = jnp.asarray(
@@ -130,6 +167,16 @@ def build():
     ids[0, 9 + n] = cfg.vid_end_token_id
     input_ids = jnp.asarray(ids, jnp.int32)
     seq_lens = jnp.asarray([PROMPT_LEN], jnp.int32)
+    if mesh is not None:
+        from jax.sharding import NamedSharding
+        from video_llava_tpu.parallel import batch_spec
+
+        # b=1 pipeline: batch axes effectively replicate over 'data';
+        # frames stay replicated (the CLIP tower runs TP over 'model').
+        input_ids = jax.device_put(
+            input_ids, NamedSharding(mesh, batch_spec(2))
+        )
+        seq_lens = jax.device_put(seq_lens, NamedSharding(mesh, batch_spec(1)))
 
     gen = GenerationConfig(
         max_new_tokens=NEW_TOKENS,
@@ -149,7 +196,7 @@ def build():
     def prefill(params, input_ids, seq_lens, feats):
         return video_llava.prefill(
             params, cfg, input_ids, seq_lens, feats[None], CACHE_LEN,
-            cache_dtype,
+            cache_dtype, mesh=mesh,
         )
 
     prefill_jit = jax.jit(prefill)
@@ -158,7 +205,7 @@ def build():
         feats = encode(params, frames)
         res = prefill(params, input_ids, seq_lens, feats)
         out = _decode_loop(params, cfg, gen, res.logits_last, res.cache, rng,
-                           NEW_TOKENS)
+                           NEW_TOKENS, mesh=mesh)
         return out.tokens
 
     e2e_jit = jax.jit(e2e)
@@ -202,8 +249,10 @@ def main():
             "decode_s": round(t_decode, 4),
             "decode_tok_per_s": round(NEW_TOKENS / t_decode, 1),
             "model": (
-                f"vicuna-{MODEL_SIZE} + clip-vit-l/14-224, 1 chip, "
-                "clip bf16, llm "
+                f"vicuna-{MODEL_SIZE} + clip-vit-l/14-224, "
+                + (f"mesh {MESH_ENV} (dataxmodel TP)" if MESH_ENV
+                   else "1 chip")
+                + ", clip bf16, llm "
                 + {
                     "int4": "int4 weights-only (g=128, Pallas matmul) "
                             "+ int8 kv cache",

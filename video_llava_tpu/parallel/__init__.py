@@ -8,7 +8,9 @@ specs; XLA inserts the collectives.
 
 from video_llava_tpu.parallel.mesh import make_mesh
 from video_llava_tpu.parallel.sharding import (
+    batch_spec,
     cache_spec,
+    constrain_kv_cache,
     shard_params,
     videollava_param_specs,
 )

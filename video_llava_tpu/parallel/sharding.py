@@ -54,10 +54,20 @@ _PROJECTOR_RULES = [
 ]
 
 
-def _spec_for_path(path: str, ndim: int, rules, fsdp: bool) -> P:
+_QUANT_LEAVES = ("qvalues", "qvalues_packed", "scales")
+
+
+def _spec_for_path(path: str, shape, rules, fsdp: bool) -> P:
+    ndim = len(shape)
+    # Quantized kernels (ops/quant, ops/quant4) replace the 'kernel' leaf
+    # with a dict: match the rules against the PARENT path and adapt the
+    # spec to the quantized layout.
+    leaf = path.rsplit("/", 1)[-1]
+    is_quant = leaf in _QUANT_LEAVES
+    match_path = path.rsplit("/", 1)[0] if is_quant else path
     axes = None
     for pat, spec in rules:
-        if re.search(pat, path):
+        if re.search(pat, match_path):
             axes = list(spec)
             break
     if axes is None:
@@ -68,12 +78,24 @@ def _spec_for_path(path: str, ndim: int, rules, fsdp: bool) -> P:
     if len(axes) != ndim:
         # bias/norm matched against a differently-shaped leaf: replicate.
         return P()
-    if fsdp and ndim >= 2:
+    if is_quant and axes[-2] is not None:
+        # Contraction-sharded kernel (wo/down): int4 nibble packing pairs
+        # rows i and i+D/2 in one byte, and int4 group scales span fixed
+        # contraction groups — sharding the contraction axis would split
+        # packed pairs / groups across chips. int8 qvalues shard fine
+        # ((D, F) rows are independent); everything else replicates.
+        if leaf == "qvalues_packed" or (leaf == "scales" and shape[-2] > 1):
+            return P()
+    if fsdp and ndim >= 2 and not is_quant:
         # Shard an unsharded axis on 'data' (ZeRO-3); norms/biases are
         # too small to be worth the all-gather.
         free = [i for i, a in enumerate(axes) if a is None]
         if free:
             axes[free[-1]] = "data"
+    # Degenerate (size-1) dims — e.g. int8 per-channel scales' reduced
+    # contraction axis — cannot shard.
+    axes = [a if (a is None or shape[i] > 1) else None
+            for i, a in enumerate(axes)]
     if all(a is None for a in axes):
         return P()
     return P(*axes)
@@ -89,7 +111,7 @@ def _specs_for_tree(params, rules, fsdp: bool):
                 keys.append(str(p.idx))
             else:
                 keys.append(str(p))
-        return _spec_for_path("/".join(keys), leaf.ndim, rules, fsdp)
+        return _spec_for_path("/".join(keys), leaf.shape, rules, fsdp)
 
     return jax.tree_util.tree_map_with_path(mk, params)
 
@@ -116,14 +138,58 @@ def cache_spec() -> P:
     return P(None, "data", None, "model", None)
 
 
+def divisible_spec(spec: P, shape, mesh: Mesh) -> P:
+    """Drop mesh axes from dims they don't evenly divide (e.g. a 32006
+    vocab on an 8-way 'model' axis): the dim falls back to replicated
+    rather than erroring. Serving avoids the fallback's bandwidth cost by
+    padding such dims first (models.llama.pad_vocab)."""
+    import numpy as _np
+
+    axes = list(spec) + [None] * (len(shape) - len(spec))
+    for i, a in enumerate(axes):
+        if a is None:
+            continue
+        names = (a,) if isinstance(a, str) else tuple(a)
+        size = int(_np.prod([mesh.shape[n] for n in names]))
+        if shape[i] % size:
+            axes[i] = None
+    return P(*axes)
+
+
+def constrain_kv_cache(cache, mesh: Mesh):
+    """Pin a models.llama.KVCache to its mesh layout (cache_spec for
+    k/v and int8 scales, per-row lengths on 'data'). Called inside jitted
+    prefill so the freshly created cache materializes sharded instead of
+    relying on GSPMD propagating backwards from the attention reads."""
+    wsc = jax.lax.with_sharding_constraint
+
+    def pin(x, spec):
+        if x is None:
+            return None
+        return wsc(x, NamedSharding(mesh, divisible_spec(spec, x.shape, mesh)))
+
+    return cache._replace(
+        k=pin(cache.k, cache_spec()),
+        v=pin(cache.v, cache_spec()),
+        length=pin(cache.length, P("data")),
+        k_scale=pin(cache.k_scale, cache_spec()),
+        v_scale=pin(cache.v_scale, cache_spec()),
+    )
+
+
 def batch_spec(ndim: int) -> P:
     return P(*(["data"] + [None] * (ndim - 1)))
 
 
 def shard_params(params, specs, mesh: Mesh):
-    """device_put every leaf with its NamedSharding."""
+    """device_put every leaf with its NamedSharding (non-divisible dims
+    fall back to replicated, see divisible_spec)."""
     return jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+        lambda x, s: jax.device_put(
+            x, NamedSharding(mesh, divisible_spec(s, x.shape, mesh))
+        ),
+        params,
+        specs,
     )
 
 
