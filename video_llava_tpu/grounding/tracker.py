@@ -57,9 +57,14 @@ class GroundedTracker:
     nms_threshold: float = 0.5
     iou_match_threshold: float = 0.5
     tracker_cfg: TrackerConfig = dataclasses.field(default_factory=TrackerConfig)
+    # Optional propagation engine override (same lifecycle as
+    # MemoryTracker): pass a memory_tracker.LearnedMemoryTracker built
+    # from converted XMem/DEVA weights to use the trained propagation
+    # network instead of the handcrafted-feature STM.
+    propagator: Optional[object] = None
 
     def __post_init__(self):
-        self.tracker = MemoryTracker(self.tracker_cfg)
+        self.tracker = self.propagator or MemoryTracker(self.tracker_cfg)
         self._objects: List[ObjectInfo] = []
         self._buffer: List[Tuple[int, np.ndarray, np.ndarray, List[ObjectInfo]]] = []
 

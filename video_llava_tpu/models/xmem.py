@@ -1,0 +1,614 @@
+"""XMem-style learned space-time-memory mask propagation in JAX.
+
+The reference's tracker propagates masks with a *trained* DEVA network
+(grounding_evaluation/grounding_new_api.py:20-24,:279-286,:503-509),
+whose propagation core is the XMem architecture (key encoder ResNet-50,
+value encoder ResNet-18, anisotropic-similarity memory read, grouped
+decoder with a sensory GRU; config key_dim=64 / value_dim=512 / top_k=30
+/ mem_every=5 at grounding_new_api.py:44-59). This module is that
+architecture, TPU-native:
+
+  * NHWC convs, objects folded into the batch dim, static max_objects
+    padding (the reference pads the same way, cfg :95);
+  * fixed-slot ring-buffer working memory -> the per-frame step compiles
+    exactly once (no recompiles as memory grows). XMem's long-term
+    prototype consolidation (P=128 / LT_max) is not implemented: clips
+    here are <= 100 frames (datasets cap, hcstvg_dataset.py:147), which
+    the mid-term ring covers;
+  * one jitted step per frame (encode + read + decode + optional value
+    write), no host sync inside;
+  * fully differentiable -> the propagation module is trainable with the
+    standard train stack (the torch original requires its own trainer).
+
+`convert_xmem_checkpoint` maps the official torch checkpoint layout
+(XMem.pth / the XMem-lineage submodules of DEVA-propagation.pth:
+key_encoder.*, key_proj.*, value_encoder.*, decoder.*). Parity of every
+block against the torch formulation is tested on random weights in
+tests/test_xmem.py (real weights are unavailable in this environment).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from video_llava_tpu.models.resnet import (
+    ResNetTrunkConfig,
+    conv2d,
+    init_trunk_params,
+    torch_bn,
+    torch_conv,
+    trunk_forward,
+    convert_torch_trunk,
+    _bn_init,
+    _conv_init,
+    batch_norm,
+    max_pool_3x3s2,
+)
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+@dataclasses.dataclass(frozen=True)
+class XMemConfig:
+    key_dim: int = 64  # grounding_new_api.py:46
+    value_dim: int = 512  # :47
+    hidden_dim: int = 64  # sensory memory channels
+    max_objects: int = 8
+    mem_slots: int = 10  # T_max mid-term frames (:52)
+    top_k: int = 30  # :55
+    mem_every: int = 5  # r (:56)
+    deep_update_every: int = 5
+
+    @property
+    def f16_dim(self) -> int:  # ResNet-50 layer3
+        return 1024
+
+    @property
+    def value_trunk_dim(self) -> int:  # ResNet-18 layer3
+        return 256
+
+
+# -- building blocks ----------------------------------------------------------
+
+
+def _group_res_block_init(key, cin, cout, dtype):
+    ks = jax.random.split(key, 3)
+    p = {
+        "conv1": _conv_init(ks[0], 3, 3, cin, cout, dtype, use_bias=True),
+        "conv2": _conv_init(ks[1], 3, 3, cout, cout, dtype, use_bias=True),
+    }
+    if cin != cout:
+        p["downsample"] = _conv_init(ks[2], 3, 3, cin, cout, dtype,
+                                     use_bias=True)
+    return p
+
+
+def group_res_block(p, g):
+    out = conv2d(p["conv1"], jax.nn.relu(g))
+    out = conv2d(p["conv2"], jax.nn.relu(out))
+    if "downsample" in p:
+        g = conv2d(p["downsample"], g)
+    return out + g
+
+
+def _cbam_init(key, c, dtype, reduction=16):
+    ks = jax.random.split(key, 3)
+    mid = c // reduction
+    return {
+        "mlp1": {
+            "kernel": jax.random.normal(ks[0], (c, mid), dtype)
+            * np.sqrt(2.0 / c),
+            "bias": jnp.zeros((mid,), dtype),
+        },
+        "mlp2": {
+            "kernel": jax.random.normal(ks[1], (mid, c), dtype)
+            * np.sqrt(2.0 / mid),
+            "bias": jnp.zeros((c,), dtype),
+        },
+        "spatial": {
+            "conv": _conv_init(ks[2], 7, 7, 2, 1, dtype),
+            "bn": _bn_init(1, dtype),
+        },
+    }
+
+
+def cbam(p, x):
+    """Channel gate (shared MLP on avg+max pooled) then spatial gate
+    (7x7 conv w/ BN on [max, mean] channel maps). x: (..., H, W, C)."""
+    def gate(pooled):  # (..., C)
+        h = jax.nn.relu(pooled @ p["mlp1"]["kernel"] + p["mlp1"]["bias"])
+        return h @ p["mlp2"]["kernel"] + p["mlp2"]["bias"]
+
+    avg = jnp.mean(x, axis=(-3, -2))
+    mx = jnp.max(x, axis=(-3, -2))
+    scale = jax.nn.sigmoid(gate(avg) + gate(mx))[..., None, None, :]
+    x = x * scale
+    comp = jnp.stack(
+        [jnp.max(x, axis=-1), jnp.mean(x, axis=-1)], axis=-1
+    )
+    sp = batch_norm(p["spatial"]["bn"], conv2d(p["spatial"]["conv"], comp))
+    return x * jax.nn.sigmoid(sp)
+
+
+def _fuser_init(key, x_dim, g_dim, mid, out, dtype):
+    ks = jax.random.split(key, 3)
+    return {
+        "block1": _group_res_block_init(ks[0], x_dim + g_dim, mid, dtype),
+        "attention": _cbam_init(ks[1], mid, dtype),
+        "block2": _group_res_block_init(ks[2], mid, out, dtype),
+    }
+
+
+def feature_fusion(p, x, g):
+    """x: (h, w, Cx) frame feature, g: (O, h, w, Cg) per-object ->
+    (O, h, w, out)."""
+    xb = jnp.broadcast_to(x[None], (g.shape[0],) + x.shape)
+    g = jnp.concatenate([xb, g], axis=-1)
+    g = group_res_block(p["block1"], g)
+    r = cbam(p["attention"], g)
+    return group_res_block(p["block2"], g + r)
+
+
+def _gru_update(transform_p, inputs, h):
+    """XMem's conv-GRU: values = conv(cat(inputs, h)); new_h =
+    forget * h * (1 - update) + update * tanh(candidate)."""
+    hd = h.shape[-1]
+    values = conv2d(transform_p, jnp.concatenate([inputs, h], axis=-1))
+    forget = jax.nn.sigmoid(values[..., :hd])
+    update = jax.nn.sigmoid(values[..., hd : 2 * hd])
+    cand = jnp.tanh(values[..., 2 * hd :])
+    return forget * h * (1.0 - update) + update * cand
+
+
+def _avg_pool(x, ratio: int):
+    lead = x.shape[:-3]
+    x = x.reshape((-1,) + x.shape[-3:])
+    y = jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, ratio, ratio, 1), (1, ratio, ratio, 1),
+        "VALID",
+    ) / float(ratio * ratio)
+    return y.reshape(lead + y.shape[1:])
+
+
+def _upsample2x(g):
+    o, h, w, c = g.shape
+    return jax.image.resize(g, (o, 2 * h, 2 * w, c), method="bilinear")
+
+
+# -- model params -------------------------------------------------------------
+
+
+KEY_TRUNK = ResNetTrunkConfig.resnet50()
+VALUE_TRUNK = ResNetTrunkConfig.resnet18(in_channels=5)  # rgb+mask+others
+
+
+def init_params(key, cfg: XMemConfig = XMemConfig(), dtype=jnp.float32):
+    ks = jax.random.split(key, 12)
+    kd, vd, hd = cfg.key_dim, cfg.value_dim, cfg.hidden_dim
+    f16 = cfg.f16_dim
+    return {
+        "key_encoder": init_trunk_params(ks[0], KEY_TRUNK, dtype),
+        "key_proj": {
+            "key_proj": _conv_init(ks[1], 3, 3, f16, kd, dtype, use_bias=True),
+            "d_proj": _conv_init(ks[2], 3, 3, f16, 1, dtype, use_bias=True),
+            "e_proj": _conv_init(ks[3], 3, 3, f16, kd, dtype, use_bias=True),
+        },
+        "value_encoder": {
+            "trunk": init_trunk_params(ks[4], VALUE_TRUNK, dtype),
+            "fuser": _fuser_init(
+                ks[5], f16, cfg.value_trunk_dim, vd, vd, dtype
+            ),
+            "hidden_reinforce": {
+                "transform": _conv_init(
+                    ks[6], 3, 3, vd + hd, hd * 3, dtype, use_bias=True
+                )
+            },
+        },
+        "decoder": {
+            "fuser": _fuser_init(ks[7], f16, vd + hd, 512, 512, dtype),
+            "hidden_update": {
+                "g16_conv": _conv_init(ks[8], 1, 1, 512, 256, dtype,
+                                       use_bias=True),
+                "g8_conv": _conv_init(ks[8], 1, 1, 256, 256, dtype,
+                                      use_bias=True),
+                "g4_conv": _conv_init(ks[9], 1, 1, 257, 256, dtype,
+                                      use_bias=True),
+                "transform": _conv_init(
+                    ks[9], 3, 3, 256 + hd, hd * 3, dtype, use_bias=True
+                ),
+            },
+            "up_16_8": {
+                "skip_conv": _conv_init(ks[10], 3, 3, 512, 512, dtype,
+                                        use_bias=True),
+                "out_conv": _group_res_block_init(ks[10], 512, 256, dtype),
+            },
+            "up_8_4": {
+                "skip_conv": _conv_init(ks[11], 3, 3, 256, 256, dtype,
+                                        use_bias=True),
+                "out_conv": _group_res_block_init(ks[11], 256, 256, dtype),
+            },
+            "pred": _conv_init(ks[11], 3, 3, 256, 1, dtype, use_bias=True),
+        },
+    }
+
+
+# -- forward pieces -----------------------------------------------------------
+
+
+def normalize_frame(frame: jax.Array) -> jax.Array:
+    """(H, W, 3) float in [0, 1] -> imagenet-normalized."""
+    return (frame - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def encode_key(params, frame: jax.Array):
+    """frame: (H, W, 3) in [0,1] -> (f16, f8, f4, key, shrinkage,
+    selection); key/shrinkage/selection at stride 16.
+
+    shrinkage = d_proj(x)^2 + 1, selection = sigmoid(e_proj(x)) — the
+    anisotropic similarity terms of XMem."""
+    x = normalize_frame(frame)[None]
+    f4, f8, f16 = trunk_forward(params["key_encoder"], x, KEY_TRUNK)
+    f4, f8, f16 = f4[0], f8[0], f16[0]
+    kp = params["key_proj"]
+    key = conv2d(kp["key_proj"], f16)
+    shrinkage = jnp.square(conv2d(kp["d_proj"], f16)) + 1.0
+    selection = jax.nn.sigmoid(conv2d(kp["e_proj"], f16))
+    return f16, f8, f4, key, shrinkage[..., 0], selection
+
+
+def encode_value(
+    params,
+    frame: jax.Array,
+    f16: jax.Array,
+    hidden: Optional[jax.Array],
+    masks: jax.Array,
+    deep_update: bool = True,
+):
+    """frame (H,W,3), f16 (h,w,1024), masks (O,H,W) in [0,1] ->
+    (value (O,h,w,Cv), new hidden). `others` per object is the clamped
+    sum of all other objects' masks (XMem's cross-object channel)."""
+    o = masks.shape[0]
+    others = jnp.clip(jnp.sum(masks, axis=0)[None] - masks, 0.0, 1.0)
+    img = jnp.broadcast_to(
+        normalize_frame(frame)[None], (o,) + frame.shape
+    )
+    g = jnp.concatenate(
+        [img, masks[..., None], others[..., None]], axis=-1
+    )  # (O, H, W, 5)
+    p = params["value_encoder"]
+    _, _, g16 = trunk_forward(p["trunk"], g, VALUE_TRUNK)
+    value = feature_fusion(p["fuser"], f16, g16)
+    new_hidden = hidden
+    if deep_update and hidden is not None:
+        new_hidden = _gru_update(
+            p["hidden_reinforce"]["transform"], value, hidden
+        )
+    return value, new_hidden
+
+
+def read_memory(
+    mem_keys: jax.Array,  # (M, Ck)
+    mem_shrinkage: jax.Array,  # (M,)
+    mem_values: jax.Array,  # (M, O, Cv)
+    valid: jax.Array,  # (M,) bool
+    query_key: jax.Array,  # (N, Ck)
+    selection: jax.Array,  # (N, Ck)
+    top_k: int,
+) -> jax.Array:
+    """XMem anisotropic-L2 memory read -> (N, O, Cv).
+
+    similarity[m, n] = -(sum_c qe[n,c] * (mk[m,c] - qk[n,c])^2)
+                       * shrinkage[m] / sqrt(Ck),
+    softmax over m restricted to the top_k entries per query."""
+    ck = query_key.shape[-1]
+    a_sq = jnp.square(mem_keys) @ selection.T  # (M, N)
+    two_ab = 2.0 * (mem_keys @ (query_key * selection).T)
+    b_sq = jnp.sum(selection * jnp.square(query_key), axis=-1)  # (N,)
+    sim = (-a_sq + two_ab - b_sq[None, :]) * mem_shrinkage[:, None]
+    sim = sim / np.sqrt(ck)
+    sim = jnp.where(valid[:, None], sim, -jnp.inf)
+
+    k = min(top_k, sim.shape[0])
+    top_sim, top_idx = jax.lax.top_k(sim.T, k)  # (N, k)
+    # -inf rows (no valid memory) would produce NaNs; memory always has
+    # >= 1 valid slot after add_reference, and invalid entries get 0.
+    att = jax.nn.softmax(top_sim, axis=-1, where=jnp.isfinite(top_sim))
+    top_v = mem_values[top_idx]  # (N, k, O, Cv)
+    return jnp.einsum("nk,nkoc->noc", att, top_v)
+
+
+def decode(
+    params,
+    f16: jax.Array,
+    f8: jax.Array,
+    f4: jax.Array,
+    hidden: jax.Array,  # (O, h16, w16, hd)
+    readout: jax.Array,  # (O, h16, w16, Cv)
+    update_hidden: bool = True,
+):
+    """-> (logits (O, H, W), new hidden). Grouped decoder: fuse readout
+    (+sensory hidden) with f16, upsample through f8/f4 skips, predict
+    per-object logits, GRU-update the sensory memory."""
+    p = params["decoder"]
+    g16 = feature_fusion(
+        p["fuser"], f16, jnp.concatenate([readout, hidden], axis=-1)
+    )
+    g8 = group_res_block(
+        p["up_16_8"]["out_conv"],
+        conv2d(p["up_16_8"]["skip_conv"], f8)[None] + _upsample2x(g16),
+    )
+    g4 = group_res_block(
+        p["up_8_4"]["out_conv"],
+        conv2d(p["up_8_4"]["skip_conv"], f4)[None] + _upsample2x(g8),
+    )
+    logits = conv2d(p["pred"], jax.nn.relu(g4))  # (O, h4, w4, 1)
+    new_hidden = hidden
+    if update_hidden:
+        hu = p["hidden_update"]
+        g4l = jnp.concatenate([g4, logits], axis=-1)
+        mid = (
+            conv2d(hu["g16_conv"], g16)
+            + conv2d(hu["g8_conv"], _avg_pool(g8, 2))
+            + conv2d(hu["g4_conv"], _avg_pool(g4l, 4))
+        )
+        new_hidden = _gru_update(hu["transform"], mid, hidden)
+    o, h4, w4, _ = logits.shape
+    logits = jax.image.resize(
+        logits[..., 0], (o, h4 * 4, w4 * 4), method="bilinear"
+    )
+    return logits, new_hidden
+
+
+def aggregate(prob: jax.Array) -> jax.Array:
+    """Soft-aggregation over objects with an implicit background
+    (XMem aggregate): prob (O, H, W) -> normalized (1+O, H, W) with
+    background at channel 0."""
+    bg = jnp.prod(1.0 - prob, axis=0, keepdims=True)
+    new_prob = jnp.clip(
+        jnp.concatenate([bg, prob], axis=0), 1e-7, 1.0 - 1e-7
+    )
+    logits = jnp.log(new_prob / (1.0 - new_prob))
+    return jax.nn.softmax(logits, axis=0)
+
+
+# -- session (ring-buffer working memory) -------------------------------------
+
+
+class XMemState(NamedTuple):
+    keys: jax.Array  # (S, N, Ck)
+    shrinkage: jax.Array  # (S, N)
+    values: jax.Array  # (S, N, O, Cv)
+    slot_valid: jax.Array  # (S,) bool
+    next_slot: jax.Array  # () int32
+    hidden: jax.Array  # (O, h16, w16, hd)
+    num_objects: jax.Array  # () int32
+
+
+def init_state(cfg: XMemConfig, h16: int, w16: int,
+               dtype=jnp.float32) -> XMemState:
+    n = h16 * w16
+    return XMemState(
+        keys=jnp.zeros((cfg.mem_slots, n, cfg.key_dim), dtype),
+        shrinkage=jnp.ones((cfg.mem_slots, n), dtype),
+        values=jnp.zeros(
+            (cfg.mem_slots, n, cfg.max_objects, cfg.value_dim), dtype
+        ),
+        slot_valid=jnp.zeros((cfg.mem_slots,), bool),
+        next_slot=jnp.zeros((), jnp.int32),
+        hidden=jnp.zeros((cfg.max_objects, h16, w16, cfg.hidden_dim), dtype),
+        num_objects=jnp.zeros((), jnp.int32),
+    )
+
+
+def _write(state: XMemState, key, shrinkage, value) -> XMemState:
+    s = state.next_slot % state.keys.shape[0]
+    return state._replace(
+        keys=state.keys.at[s].set(key),
+        shrinkage=state.shrinkage.at[s].set(shrinkage),
+        values=state.values.at[s].set(value),
+        slot_valid=state.slot_valid.at[s].set(True),
+        next_slot=state.next_slot + 1,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def add_reference_step(
+    params, state: XMemState, frame: jax.Array, masks: jax.Array,
+    num_objects: jax.Array, cfg: XMemConfig,
+) -> XMemState:
+    """Ground-truth (or detector) masks for a frame -> memory write with
+    deep sensory update."""
+    f16, _, _, key, shrinkage, _ = encode_key(params, frame)
+    value, hidden = encode_value(
+        params, frame, f16, state.hidden, masks, deep_update=True
+    )
+    h16, w16 = key.shape[:2]
+    n = h16 * w16
+    state = state._replace(
+        hidden=hidden,
+        num_objects=jnp.maximum(state.num_objects, num_objects),
+    )
+    return _write(
+        state,
+        key.reshape(n, -1),
+        shrinkage.reshape(n),
+        value.reshape(cfg.max_objects, n, -1).transpose(1, 0, 2),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "update_memory",
+                                             "deep_update"))
+def propagate_step(
+    params, state: XMemState, frame: jax.Array, cfg: XMemConfig,
+    update_memory: bool = False, deep_update: bool = False,
+) -> Tuple[jax.Array, XMemState]:
+    """One tracked frame -> ((O, H, W) object probabilities, new state).
+
+    Replaces deva.step (grounding_new_api.py:503-509): encode query,
+    read memory, decode masks; optionally value-encode the prediction
+    back into memory (the XMem mem_every cadence is driven host-side)."""
+    f16, f8, f4, key, shrinkage, selection = encode_key(params, frame)
+    h16, w16 = key.shape[:2]
+    n = h16 * w16
+    readout = read_memory(
+        state.keys.reshape(-1, cfg.key_dim),
+        state.shrinkage.reshape(-1),
+        state.values.reshape(-1, cfg.max_objects, cfg.value_dim),
+        jnp.repeat(state.slot_valid, n),
+        key.reshape(n, -1),
+        selection.reshape(n, -1),
+        cfg.top_k,
+    )  # (n, O, Cv)
+    readout = readout.transpose(1, 0, 2).reshape(
+        cfg.max_objects, h16, w16, cfg.value_dim
+    )
+    logits, hidden = decode(
+        params, f16, f8, f4, state.hidden, readout, update_hidden=True
+    )
+    # Pad object channels beyond num_objects contribute nothing.
+    obj_valid = (
+        jnp.arange(cfg.max_objects) < state.num_objects
+    )[:, None, None]
+    prob = jax.nn.sigmoid(logits) * obj_valid
+    prob = aggregate(prob)[1:]  # drop background
+    state = state._replace(hidden=hidden)
+    if update_memory:
+        value, hidden2 = encode_value(
+            params, frame, f16, state.hidden, prob,
+            deep_update=deep_update,
+        )
+        state = state._replace(hidden=hidden2)
+        state = _write(
+            state,
+            key.reshape(n, -1),
+            shrinkage.reshape(n),
+            value.reshape(cfg.max_objects, n, -1).transpose(1, 0, 2),
+        )
+    return prob, state
+
+
+# -- torch checkpoint conversion ----------------------------------------------
+
+
+def _fuser_from_torch(sd, prefix, dtype):
+    def grb(name):
+        p = {
+            "conv1": torch_conv(sd, f"{name}.conv1", dtype),
+            "conv2": torch_conv(sd, f"{name}.conv2", dtype),
+        }
+        if f"{name}.downsample.weight" in sd:
+            p["downsample"] = torch_conv(sd, f"{name}.downsample", dtype)
+        return p
+
+    import jax.numpy as _jnp
+
+    att = f"{prefix}.attention"
+    return {
+        "block1": grb(f"{prefix}.block1"),
+        "attention": {
+            "mlp1": {
+                "kernel": _jnp.asarray(
+                    np.asarray(sd[f"{att}.ChannelGate.mlp.1.weight"]).T, dtype
+                ),
+                "bias": _jnp.asarray(
+                    np.asarray(sd[f"{att}.ChannelGate.mlp.1.bias"]), dtype
+                ),
+            },
+            "mlp2": {
+                "kernel": _jnp.asarray(
+                    np.asarray(sd[f"{att}.ChannelGate.mlp.3.weight"]).T, dtype
+                ),
+                "bias": _jnp.asarray(
+                    np.asarray(sd[f"{att}.ChannelGate.mlp.3.bias"]), dtype
+                ),
+            },
+            "spatial": {
+                "conv": torch_conv(sd, f"{att}.SpatialGate.spatial.conv",
+                                   dtype),
+                "bn": torch_bn(sd, f"{att}.SpatialGate.spatial.bn", dtype),
+            },
+        },
+        "block2": grb(f"{prefix}.block2"),
+    }
+
+
+def convert_xmem_checkpoint(sd, cfg: XMemConfig = XMemConfig(),
+                            dtype=jnp.float32):
+    """Official XMem-layout torch state_dict -> params pytree.
+
+    Handles the key layout of XMem.pth and of DEVA-propagation.pth's
+    shared-lineage submodules (key_encoder / key_proj / value_encoder /
+    decoder; tensors are converted OIHW->HWIO, linear layers transposed).
+    Raises KeyError on a missing required tensor so a layout mismatch is
+    loud, not silent."""
+    sd = {k: (v.detach().cpu().numpy() if hasattr(v, "detach") else
+              np.asarray(v))
+          for k, v in sd.items()}
+    params = {
+        "key_encoder": convert_torch_trunk(
+            sd, KEY_TRUNK, prefix="key_encoder.", dtype=dtype
+        ),
+        "key_proj": {
+            "key_proj": torch_conv(sd, "key_proj.key_proj", dtype),
+            "d_proj": torch_conv(sd, "key_proj.d_proj", dtype),
+            "e_proj": torch_conv(sd, "key_proj.e_proj", dtype),
+        },
+        "value_encoder": {
+            "trunk": convert_torch_trunk(
+                sd, VALUE_TRUNK, prefix="value_encoder.", dtype=dtype
+            ),
+            "fuser": _fuser_from_torch(sd, "value_encoder.fuser", dtype),
+            "hidden_reinforce": {
+                "transform": torch_conv(
+                    sd, "value_encoder.hidden_reinforce.transform", dtype
+                )
+            },
+        },
+        "decoder": {
+            "fuser": _fuser_from_torch(sd, "decoder.fuser", dtype),
+            "hidden_update": {
+                "g16_conv": torch_conv(sd, "decoder.hidden_update.g16_conv",
+                                       dtype),
+                "g8_conv": torch_conv(sd, "decoder.hidden_update.g8_conv",
+                                      dtype),
+                "g4_conv": torch_conv(sd, "decoder.hidden_update.g4_conv",
+                                      dtype),
+                "transform": torch_conv(
+                    sd, "decoder.hidden_update.transform", dtype
+                ),
+            },
+            "up_16_8": {
+                "skip_conv": torch_conv(sd, "decoder.up_16_8.skip_conv",
+                                        dtype),
+                "out_conv": {
+                    "conv1": torch_conv(sd, "decoder.up_16_8.out_conv.conv1",
+                                        dtype),
+                    "conv2": torch_conv(sd, "decoder.up_16_8.out_conv.conv2",
+                                        dtype),
+                    "downsample": torch_conv(
+                        sd, "decoder.up_16_8.out_conv.downsample", dtype
+                    ),
+                },
+            },
+            "up_8_4": {
+                "skip_conv": torch_conv(sd, "decoder.up_8_4.skip_conv",
+                                        dtype),
+                "out_conv": {
+                    "conv1": torch_conv(sd, "decoder.up_8_4.out_conv.conv1",
+                                        dtype),
+                    "conv2": torch_conv(sd, "decoder.up_8_4.out_conv.conv2",
+                                        dtype),
+                },
+            },
+            "pred": torch_conv(sd, "decoder.pred", dtype),
+        },
+    }
+    return params
