@@ -114,6 +114,11 @@ def test_greedy_decode_shapes(whisper_pair):
 
 def test_audio_tag_head(whisper_pair):
     _, cfg, params = whisper_pair
+    # convert_hf_whisper attaches NO at_head (HF weights carry none; a
+    # zero probe would drop all speech in the filter) — the tagging head
+    # comes from convert_whisper_at (tests/test_whisper_at.py) or init.
+    assert "at_head" not in params
+    init = whisper.init_params(jax.random.PRNGKey(0), cfg)
     enc = jnp.zeros((1, 1500, cfg.d_model))
-    logits = whisper.audio_tag_logits(params, enc)
+    logits = whisper.audio_tag_logits(init, enc)
     assert logits.shape == (1, cfg.num_audio_tags)

@@ -18,9 +18,17 @@ def build_default_transcriber(
     checkpoint_dir: Optional[str] = None,
     size: str = "base",
     align_checkpoint_dir: Optional[str] = None,
+    at_checkpoint: Optional[str] = None,
+    at_cfg=None,
 ) -> Transcriber:
     """Whisper transcriber from an HF checkpoint dir when available,
     random-init otherwise (air-gapped tests).
+
+    at_checkpoint: optional whisper-at TL-TR head .pth (released
+    separately from the ASR weights) — attaches the trained tagging
+    head and switches the segment filter to the AudioSet speech/music
+    ids (reference transcribe.py:79-95). Without it the filter keeps
+    every segment.
 
     When the checkpoint dir ships tokenizer assets (vocab.json +
     merges.txt) we use our standalone byte-level BPE
@@ -61,6 +69,26 @@ def build_default_transcriber(
         params = whisper_mod.init_params(jax.random.PRNGKey(0), cfg)
         decode_text = lambda ids: ""
         start, eot = (1,), 2
+    if at_checkpoint and os.path.exists(at_checkpoint):
+        import torch
+
+        from video_llava_tpu.audio.transcribe import (
+            AUDIOSET_MUSIC_TAGS,
+            AUDIOSET_SPEECH_TAGS,
+        )
+
+        at_sd = torch.load(at_checkpoint, map_location="cpu",
+                           weights_only=True)
+        if isinstance(at_sd, dict) and "state_dict" in at_sd:
+            at_sd = at_sd["state_dict"]
+        atc = at_cfg or whisper_mod.WhisperATConfig(rep_dim=cfg.d_model)
+        params = dict(params)
+        params["at_head"] = whisper_mod.convert_whisper_at(at_sd, atc)
+        kw.update(
+            at_cfg=atc,
+            speech_tag=AUDIOSET_SPEECH_TAGS,
+            music_tags=AUDIOSET_MUSIC_TAGS,
+        )
     if align_checkpoint_dir:
         kw["aligner"] = build_default_aligner(align_checkpoint_dir)
     return Transcriber(params, cfg, decode_text, start_tokens=start,

@@ -40,6 +40,11 @@ from video_llava_tpu.ops.audio import (
 # deployments pass the ontology used by their AT head weights).
 SPEECH_TAG = 0
 MUSIC_TAGS = (1,)
+# Real AudioSet ontology ids for whisper-at checkpoints (reference
+# filter classes, transcribe.py:79-87: Speech / Male speech / Female
+# speech, and Music).
+AUDIOSET_SPEECH_TAGS = (0, 1, 2)
+AUDIOSET_MUSIC_TAGS = (137,)
 
 
 @dataclasses.dataclass
@@ -79,6 +84,8 @@ class Transcriber:
         timestamp_begin: Optional[int] = None,
         timestamp_start_tokens: Optional[Sequence[int]] = None,
         aligner=None,
+        at_cfg=None,
+        at_window_s: float = 10.0,
     ):
         self.params = params
         self.cfg = cfg
@@ -86,8 +93,25 @@ class Transcriber:
         self.start_tokens = tuple(start_tokens)
         self.eot_token = eot_token
         self.max_new_tokens = max_new_tokens
-        self.speech_tag = speech_tag
+        self.speech_tags = (
+            (speech_tag,) if isinstance(speech_tag, int) else tuple(speech_tag)
+        )
+        self.speech_tag = self.speech_tags[0]
         self.music_tags = tuple(music_tags)
+        # Tagging mode: 'tltr' (whisper-at TL-TR head, per-window logits
+        # mapped to ASR segments), 'linear' (legacy probe, per-chunk),
+        # or 'none' (no at_head, e.g. plain HF whisper weights: the
+        # filter keeps everything rather than running untrained logits).
+        head = params.get("at_head")
+        self._at_mode = (
+            "tltr" if head is not None and "time_tr" in head
+            else "linear" if head is not None
+            else "none"
+        )
+        self.at_cfg = at_cfg
+        if self._at_mode == "tltr" and at_cfg is None:
+            self.at_cfg = whisper_mod.WhisperATConfig(rep_dim=cfg.d_model)
+        self.at_window_s = at_window_s
         # Timestamp decoding: id of <|0.00|> and the sot sequence
         # WITHOUT <|notimestamps|> (audio/tokenizer.py sot_sequence).
         self.timestamp_begin = timestamp_begin
@@ -97,11 +121,13 @@ class Transcriber:
         self.aligner = aligner  # audio.align.ForcedAligner for word times
         # Cast the (always-f32) log-mel to the parameter dtype: bf16
         # checkpoints otherwise fail the conv dtype check.
+        want_layers = self._at_mode == "tltr"
         self._encode = jax.jit(
             lambda p, mel: whisper_mod.encode(
                 p,
                 mel.astype(p["encoder"]["conv1"]["kernel"].dtype),
                 cfg,
+                return_layer_states=want_layers,
             )
         )
 
@@ -134,7 +160,11 @@ class Transcriber:
         )
         chunks = self._chunk(audio)
         mels = jnp.stack([log_mel_spectrogram(c) for c in chunks])
-        enc = self._encode(self.params, mels)  # (n_chunks, src, d)
+        if self._at_mode == "tltr":
+            enc, layer_states = self._encode(self.params, mels)
+        else:
+            enc = self._encode(self.params, mels)  # (n_chunks, src, d)
+            layer_states = None
 
         start_seq = (
             self.timestamp_start_tokens if use_ts else self.start_tokens
@@ -144,18 +174,55 @@ class Transcriber:
             self.params, enc, self.cfg, start, self.max_new_tokens,
             self.eot_token,
         )
-        tag_logits = np.asarray(whisper_mod.audio_tag_logits(self.params, enc))
+        if self._at_mode == "tltr":
+            # (n_chunks, n_windows, n_class): per-window tags mapped to
+            # each ASR segment below (reference tags each segment by
+            # re-running whisper-at on sliced audio, transcribe.py:70-77;
+            # we read windows of the cached layer states instead).
+            atc = self.at_cfg
+            win = max(
+                1, int(round(self.at_window_s * 50 / atc.pool_stride))
+            )
+            tag_logits = np.asarray(
+                whisper_mod.audio_tag_logits_tltr(
+                    self.params["at_head"], layer_states, atc,
+                    window_tokens=win,
+                )
+            )
+        elif self._at_mode == "linear":
+            tag_logits = np.asarray(
+                whisper_mod.audio_tag_logits(self.params, enc)
+            )
+        else:
+            tag_logits = None
 
         total_s = len(audio) / SAMPLE_RATE
+
+        def seg_tags(i: int, t0: float, t1: float):
+            """(speech, music) logits for chunk i over chunk-local time
+            [t0, t1): max over the overlapped tag windows (tltr) or the
+            chunk logits (linear); no head -> always-keep sentinel."""
+            if tag_logits is None:
+                return 0.0, -1e9
+            if tag_logits.ndim == 2:
+                row = tag_logits[i][None]
+            else:
+                nw = tag_logits.shape[1]
+                w0 = min(int(t0 / self.at_window_s), nw - 1)
+                w1 = max(w0 + 1, min(-(-t1 // self.at_window_s), nw))
+                row = tag_logits[i, w0:int(w1)]
+            speech = max(float(row[:, t].max()) for t in self.speech_tags)
+            music = max(
+                (float(row[:, m].max()) for m in self.music_tags),
+                default=-1e9,
+            )
+            return speech, music
+
         segments: List[Segment] = []
         toks_np, lens_np = np.asarray(toks), np.asarray(lens)
         for i in range(len(chunks)):
             ids = [int(t) for t in toks_np[i, : int(lens_np[i])]]
-            music = max(
-                (float(tag_logits[i, m]) for m in self.music_tags),
-                default=-1e9,
-            )
-            speech = float(tag_logits[i, self.speech_tag])
+            speech, music = seg_tags(i, 0.0, 30.0)
             if use_ts:
                 from video_llava_tpu.audio.tokenizer import (
                     parse_timestamp_segments,
@@ -170,13 +237,16 @@ class Transcriber:
                     text = self.decode_text(sp.token_ids).strip()
                     if not text:
                         continue
+                    sp_speech, sp_music = seg_tags(
+                        i, sp.start - i * 30.0, sp.end - i * 30.0
+                    )
                     segments.append(
                         Segment(
                             start=min(sp.start, total_s),
                             end=min(sp.end, total_s),
                             text=text,
-                            speech_logit=speech,
-                            music_logit=music,
+                            speech_logit=sp_speech,
+                            music_logit=sp_music,
                         )
                     )
                 continue

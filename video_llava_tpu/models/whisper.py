@@ -158,8 +158,10 @@ def _mha(p, x, kv, num_heads, causal=False, scale_q=True):
     return linear(p["o"], out.reshape(b, s, d))
 
 
-def encode(params, mel: jax.Array, cfg: WhisperConfig) -> jax.Array:
-    """mel: (b, n_mels, n_frames) -> encoder states (b, frames//2, d)."""
+def encode(params, mel: jax.Array, cfg: WhisperConfig,
+           return_layer_states: bool = False):
+    """mel: (b, n_mels, n_frames) -> encoder states (b, frames//2, d);
+    with return_layer_states also the per-layer states (L, b, T, d)."""
     enc = params["encoder"]
     x = mel.transpose(0, 2, 1)  # (b, frames, mels) NWC
     dn = ("NWC", "WIO", "NWC")
@@ -180,10 +182,15 @@ def encode(params, mel: jax.Array, cfg: WhisperConfig) -> jax.Array:
         h = h + _mha(lp["attn"], hn, hn, cfg.num_heads)
         h = h + linear(lp["fc2"], jax.nn.gelu(linear(lp["fc1"],
                                                      layer_norm(lp["ln2"], h))))
-        return h, None
+        return h, h
 
-    x, _ = jax.lax.scan(body, x, enc["layers"])
-    return layer_norm(enc["ln_post"], x)
+    x, layer_states = jax.lax.scan(body, x, enc["layers"])
+    out = layer_norm(enc["ln_post"], x)
+    if return_layer_states:
+        # (L, b, T, d) post-block representations — what whisper-at's
+        # TL-TR head consumes (one tap per encoder layer).
+        return out, layer_states
+    return out
 
 
 class DecoderCache(NamedTuple):
@@ -248,10 +255,178 @@ def decoder_forward(
 
 
 def audio_tag_logits(params, enc_states: jax.Array) -> jax.Array:
-    """whisper-at-style tagging: time-pooled encoder states -> tag
-    logits (b, num_tags)."""
+    """Legacy linear tagging probe: time-pooled last-layer encoder
+    states -> tag logits (b, num_tags). Superseded by the TL-TR head
+    (audio_tag_logits_tltr) for real whisper-at checkpoints."""
     pooled = jnp.mean(enc_states, axis=1)
     return linear(params["at_head"]["proj"], pooled)
+
+
+# -- whisper-at TL-TR tagging head --------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class WhisperATConfig:
+    """whisper-at's time-and-layer transformer (TL-TR) head (Gong et
+    al., Interspeech 2023; the reference's tagging dependency,
+    audio_transcript/transcribe.py:3,:49,:70-77): per encoder layer,
+    time-pooled representations pass a time transformer and mean-pool;
+    the per-layer tokens then pass a layer transformer, mean-pool, and a
+    LayerNorm+Linear AudioSet classifier."""
+
+    n_class: int = 527  # AudioSet ontology
+    rep_dim: int = 1280  # whisper encoder d_model (large)
+    att_dim: int = 512  # low-dim projection variant (tl_down_tr_512)
+    num_heads: int = 4
+    time_blocks: int = 1
+    layer_blocks: int = 1
+    pool_stride: int = 20  # 1500 encoder frames -> 75 tokens (0.4 s each)
+
+    @classmethod
+    def tiny_test(cls, rep_dim=64):
+        return cls(n_class=16, rep_dim=rep_dim, att_dim=32, num_heads=2)
+
+
+def _tr_block_init(key, d, ffn, dtype):
+    ks = jax.random.split(key, 4)
+    return {
+        "norm1": layer_norm_init(d, dtype),
+        "qkv": linear_init(ks[0], d, 3 * d, dtype=dtype),
+        "proj": linear_init(ks[1], d, d, dtype=dtype),
+        "norm2": layer_norm_init(d, dtype),
+        "fc1": linear_init(ks[2], d, ffn, dtype=dtype),
+        "fc2": linear_init(ks[3], ffn, d, dtype=dtype),
+    }
+
+
+def _tr_block(p, x, num_heads):
+    """Pre-LN ViT/timm-style block (the AST/whisper-at Block): fused-qkv
+    MHA + 4x-GELU MLP, residuals."""
+    b, s, d = x.shape
+    hd = d // num_heads
+    hn = layer_norm(p["norm1"], x)
+    qkv = linear(p["qkv"], hn).reshape(b, s, 3, num_heads, hd)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    attn = multi_head_attention(q, k, v, causal=False)
+    x = x + linear(p["proj"], attn.reshape(b, s, d))
+    hn = layer_norm(p["norm2"], x)
+    # exact (erf) GELU: timm/torch nn.GELU default, unlike whisper's
+    # tanh approximation.
+    return x + linear(
+        p["fc2"], jax.nn.gelu(linear(p["fc1"], hn), approximate=False)
+    )
+
+
+def init_at_head_tltr(key, atcfg: WhisperATConfig, dtype=jnp.float32):
+    ks = jax.random.split(key, 6)
+    d = atcfg.att_dim
+    head = {
+        "time_tr": [
+            _tr_block_init(jax.random.fold_in(ks[0], i), d, 4 * d, dtype)
+            for i in range(atcfg.time_blocks)
+        ],
+        "layer_tr": [
+            _tr_block_init(jax.random.fold_in(ks[1], i), d, 4 * d, dtype)
+            for i in range(atcfg.layer_blocks)
+        ],
+        "ln": layer_norm_init(d, dtype),
+        "head": linear_init(ks[2], d, atcfg.n_class, dtype=dtype),
+    }
+    if atcfg.att_dim != atcfg.rep_dim:
+        head["down"] = linear_init(
+            ks[3], atcfg.rep_dim, atcfg.att_dim, dtype=dtype
+        )
+    return head
+
+
+def audio_tag_logits_tltr(
+    at_params,
+    layer_states: jax.Array,  # (L, b, T, rep_dim) from encode(...)
+    atcfg: WhisperATConfig,
+    window_tokens: int = 0,
+) -> jax.Array:
+    """TL-TR forward -> (b, n_class), or (b, n_windows, n_class) when
+    window_tokens > 0 (whisper-at's at_time_res: tag fixed windows of
+    pooled tokens; 25 tokens = 10 s at the default pool_stride)."""
+    L, b, T, D = layer_states.shape
+    p = atcfg.pool_stride
+    tp = T // p
+    x = layer_states[:, :, : tp * p].reshape(L, b, tp, p, D).mean(axis=3)
+    if "down" in at_params:
+        x = linear(at_params["down"], x)
+    d = x.shape[-1]
+    if window_tokens:
+        nw = tp // window_tokens
+        x = x[:, :, : nw * window_tokens].reshape(
+            L, b * nw, window_tokens, d
+        )
+    else:
+        nw = 1
+        x = x.reshape(L, b, tp, d)
+    # Time transformer: layers fold into the batch dim.
+    t = x.reshape(L * b * nw, x.shape[2], d)
+    for blk in at_params["time_tr"]:
+        t = _tr_block(blk, t, atcfg.num_heads)
+    tokens = t.mean(axis=1).reshape(L, b * nw, d).transpose(1, 0, 2)
+    for blk in at_params["layer_tr"]:
+        tokens = _tr_block(blk, tokens, atcfg.num_heads)
+    pooled = tokens.mean(axis=1)
+    logits = linear(at_params["head"], layer_norm(at_params["ln"], pooled))
+    if window_tokens:
+        return logits.reshape(b, nw, atcfg.n_class)
+    return logits
+
+
+def convert_whisper_at(sd, atcfg: WhisperATConfig, dtype=jnp.float32):
+    """whisper-at TL-TR checkpoint (torch state_dict) -> at_head pytree.
+
+    Expected layout (timm-Block naming, the AST/whisper-at lineage):
+      [mlp_down.weight]                      optional rep->att projection
+      time_tr.{i}.{norm1,attn.qkv,attn.proj,norm2,mlp.fc1,mlp.fc2}
+      layer_tr.{i}.{...}
+      mlp_head.0 (LayerNorm), mlp_head.1 (Linear)
+    Raises KeyError on a missing tensor so a layout drift in a released
+    checkpoint is loud; random-weight parity vs the torch formulation is
+    tested in tests/test_whisper_at.py."""
+    import numpy as np
+
+    sd = {k: (v.detach().cpu().numpy() if hasattr(v, "detach") else
+              np.asarray(v))
+          for k, v in sd.items()}
+
+    def lin(name):
+        p = {"kernel": jnp.asarray(sd[f"{name}.weight"].T, dtype)}
+        if f"{name}.bias" in sd:
+            p["bias"] = jnp.asarray(sd[f"{name}.bias"], dtype)
+        return p
+
+    def ln(name):
+        return {
+            "scale": jnp.asarray(sd[f"{name}.weight"], dtype),
+            "bias": jnp.asarray(sd[f"{name}.bias"], dtype),
+        }
+
+    def block(prefix):
+        return {
+            "norm1": ln(f"{prefix}.norm1"),
+            "qkv": lin(f"{prefix}.attn.qkv"),
+            "proj": lin(f"{prefix}.attn.proj"),
+            "norm2": ln(f"{prefix}.norm2"),
+            "fc1": lin(f"{prefix}.mlp.fc1"),
+            "fc2": lin(f"{prefix}.mlp.fc2"),
+        }
+
+    head = {
+        "time_tr": [block(f"time_tr.{i}") for i in range(atcfg.time_blocks)],
+        "layer_tr": [
+            block(f"layer_tr.{i}") for i in range(atcfg.layer_blocks)
+        ],
+        "ln": ln("mlp_head.0"),
+        "head": lin("mlp_head.1"),
+    }
+    if "mlp_down.weight" in sd:
+        head["down"] = lin("mlp_down")
+    return head
 
 
 def _decoder_step_cached(
@@ -410,8 +585,16 @@ def greedy_decode(
 # -- HF weight conversion -----------------------------------------------------
 
 
-def convert_hf_whisper(sd, cfg: WhisperConfig, dtype=jnp.float32):
-    """transformers.WhisperModel state dict -> our params pytree."""
+def convert_hf_whisper(sd, cfg: WhisperConfig, dtype=jnp.float32,
+                       at_sd=None, at_cfg: "WhisperATConfig" = None):
+    """transformers.WhisperModel state dict -> our params pytree.
+
+    at_sd/at_cfg: optional whisper-at TL-TR head checkpoint (separate
+    release from the ASR weights) -> converted via convert_whisper_at
+    and attached as params['at_head']. Without it the params carry NO
+    at_head: the transcript speech/music filter then keeps every
+    segment instead of silently running an untrained probe (a zero
+    head's 0-0 logit gap would DROP all speech)."""
     import numpy as np
 
     def t(w):
@@ -486,11 +669,10 @@ def convert_hf_whisper(sd, cfg: WhisperConfig, dtype=jnp.float32):
             "layers": stack(dec_layers),
             "ln_post": ln("decoder.layer_norm."),
         },
-        "at_head": {
-            "proj": {
-                "kernel": np.zeros((cfg.d_model, cfg.num_audio_tags), np.float32),
-                "bias": np.zeros((cfg.num_audio_tags,), np.float32),
-            }
-        },
     }
-    return _jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
+    params = _jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
+    if at_sd is not None:
+        params["at_head"] = convert_whisper_at(
+            at_sd, at_cfg or WhisperATConfig(rep_dim=cfg.d_model), dtype
+        )
+    return params
