@@ -44,8 +44,10 @@ class ChatModel:
     # Prompt-lookup speculative decoding for non-streaming requests with
     # token-id stops (greedy-exact / sampling distribution-exact; see
     # engine/speculative.py). Judge prompts quote the QA pair back, so
-    # acceptance is typically high.
-    speculative: bool = False
+    # acceptance is typically high. DEFAULT ON (measured 3.4x decode in
+    # the high-acceptance regime, ~4% worst case); opt out with
+    # speculative=False.
+    speculative: bool = True
 
     def chat(
         self,
