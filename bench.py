@@ -216,7 +216,7 @@ def build():
 
 
 def main():
-    from video_llava_tpu.utils.timing import measure
+    from video_llava_tpu.utils.timing import measure, sync
 
     cfg, params, frames, input_ids, seq_lens, rng, fns = build()
     encode_jit, prefill_jit, e2e_jit = fns
@@ -227,6 +227,17 @@ def main():
         ),
         iters=5,
     )
+
+    # BENCH_PROFILE=DIR captures a jax.profiler trace of one warm e2e
+    # iteration (view with tensorboard/xprof or perfetto).
+    profile_dir = os.environ.get("BENCH_PROFILE")
+    if profile_dir:
+        with jax.profiler.trace(profile_dir):
+            sync(
+                e2e_jit(params, frames, input_ids, seq_lens,
+                        jax.random.PRNGKey(0))
+            )
+        print(f"# profiler trace written to {profile_dir}")
 
     # Stage breakdown (diagnostics, not the headline).
     t_encode = measure(lambda i: encode_jit(params, frames), iters=5)

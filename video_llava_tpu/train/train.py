@@ -75,6 +75,12 @@ def parse_args(argv=None):
     p.add_argument("--mesh_model", type=int, default=None)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument(
+        "--profile", default=None, metavar="DIR",
+        help="Capture a jax.profiler trace of one steady-state training "
+        "step (step 3, past compilation) into DIR; view with "
+        "tensorboard/xprof or perfetto.",
+    )
+    p.add_argument(
         "--llm_weights", default="bf16", choices=["bf16", "int8"],
         help="Weight format for the FROZEN LLM body during projector/"
         "embedding tuning. int8 halves weight HBM so single-chip 7B "
@@ -191,7 +197,18 @@ def main(argv=None):
         ):
             if step - start_step == 0:
                 print(f"first batch shapes: { {k: v.shape for k, v in batch.items()} }")
-            state, metrics = step_fn(state, batch)
+            if args.profile and step - start_step == 3:
+                # step 3: compilation and data-pipeline warmup are done,
+                # so the trace shows one steady-state device step.
+                with jax.profiler.trace(args.profile):
+                    state, metrics = step_fn(state, batch)
+                    jax.tree.map(
+                        lambda x: x.block_until_ready(),
+                        metrics,
+                    )
+                print(f"profiler trace written to {args.profile}")
+            else:
+                state, metrics = step_fn(state, batch)
             step += 1
             if step % 10 == 0:
                 loss = float(metrics["loss"])
