@@ -1,0 +1,191 @@
+"""Grounding-pipeline benchmark (BASELINE.md config 5) on real TPU.
+
+Measures the per-stage device cost of the spatial-grounding hot loop the
+reference runs per frame in Python (grounding_evaluation/
+grounding_new_api.py:448-521): GroundingDINO detection every
+`detect_every` frames, SAM box-prompted masks on detection frames, and
+learned (XMem) mask propagation on the rest, then projects the cost of
+a 100-frame clip (the dataset cap, hcstvg_dataset.py:147).
+
+Weights are random (zero-egress environment) — latency is weight-value
+independent. Prints one JSON line with metric `grounding_clip_p50`
+(bench.py's `e2e_video_qa_p50` is unaffected). Run manually:
+    python bench_grounding.py
+Stage sizes follow the reference config (grounding_new_api.py:40-108):
+shorter side 480 (frames padded to 480x832 for the stride-16 tracker),
+detector at 800px, detect_every=5, SAM best-of-3 masks.
+"""
+
+import json
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+import os
+
+NUM_FRAMES = 100
+DETECT_EVERY = 5
+H, W = 480, 832  # shorter-side-480, stride-16 aligned
+N_BOXES = 4  # typical per-frame detections after NMS
+# GROUNDING_DTYPE=bf16 casts detector/SAM/XMem weights to bfloat16
+# (halves HBM stream + doubles MXU rate; parity validated by the
+# bf16-checkpoint smoke tests).
+DTYPE = os.environ.get("GROUNDING_DTYPE", "f32")
+
+
+def _cast(params):
+    import jax.numpy as jnp
+
+    if DTYPE != "bf16":
+        return params
+    return jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+        params,
+    )
+
+
+def main():
+    from video_llava_tpu.grounding.builders import build_sam
+    from video_llava_tpu.models import grounding_dino as gdino_mod
+    from video_llava_tpu.models import xmem
+    from video_llava_tpu.utils.timing import measure
+
+    rng = np.random.default_rng(0)
+    frame = rng.integers(0, 255, size=(H, W, 3)).astype(np.uint8)
+    frame_f = frame.astype(np.float32) / 255.0
+
+    # Two numbers per detection stage: `device` = the jitted program with
+    # device-resident inputs (the TPU cost that matters for design), and
+    # `pipeline` = the shipped __call__ including host I/O — inflated
+    # here by the tunneled link (~26 ms RTT, ~MB/s-scale transfers), not
+    # representative of a local TPU host.
+
+    # -- GroundingDINO (SwinT-OGC size, 800px) -------------------------------
+    print("building detector...", flush=True)
+    detector = gdino_mod.build_detector(None)
+    detector.params = _cast(detector.params)
+    det = lambda: detector(frame, ["person", "dog"])  # noqa: E731
+    det()  # compile
+    t_detect = measure(lambda i: jnp.float32(det()[1].sum() + 0 * i), iters=3)
+    # device-only: precomputed pixels/ids through the jitted forward
+    from video_llava_tpu.ops.image import normalize_clip, resize_bicubic
+
+    dsize = detector.image_size
+    pixels = normalize_clip(
+        jnp.clip(jnp.round(resize_bicubic(
+            jnp.asarray(frame.astype(np.float32)), dsize, dsize
+        )), 0, 255)
+    )[None].astype(detector.params["level_embed"].dtype)
+    ids = np.asarray([detector.tokenize("person . dog .")], np.int64)
+    t_detect_dev = measure(
+        lambda i: gdino_mod.forward(
+            detector.params, detector.cfg, pixels + 0.0 * i, ids
+        )[0],
+        iters=3,
+    )
+
+    # -- SAM (ViT-B, 1024px, best-of-3) --------------------------------------
+    print("building sam...", flush=True)
+    sam = build_sam(None)
+    sam.params = _cast(sam.params)
+    boxes = np.asarray(
+        [[40 + 10 * i, 60, 240 + 10 * i, 300] for i in range(N_BOXES)],
+        np.float32,
+    )
+    seg = lambda: sam(frame, boxes)  # noqa: E731
+    seg()
+    t_sam = measure(lambda i: jnp.float32(seg().sum() + 0 * i), iters=3)
+    ssz = sam.cfg.vision.image_size
+    spix = normalize_clip(
+        jnp.clip(jnp.round(resize_bicubic(
+            jnp.asarray(frame.astype(np.float32)), ssz, ssz
+        )), 0, 255)
+    )[None].astype(next(iter(jax.tree.leaves(sam.params))).dtype)
+    sboxes = jnp.asarray(boxes)[None]
+    t_sam_dev = measure(
+        lambda i: sam._predict(sam.params, spix + 0.0 * i, sboxes)[0],
+        iters=3,
+    )
+
+    # -- learned propagation (XMem) ------------------------------------------
+    print("building xmem...", flush=True)
+    xcfg = xmem.XMemConfig(max_objects=N_BOXES)
+    # XMem stays f32: at ~19 ms/frame it is not the bottleneck, and its
+    # state/frame plumbing is f32.
+    xparams = jax.jit(
+        lambda k: xmem.init_params(k, xcfg, jnp.float32)
+    )(jax.random.PRNGKey(0))
+    state = xmem.init_state(xcfg, H // 16, W // 16)
+    masks = np.zeros((N_BOXES, H, W), np.float32)
+    masks[:, 100:300, 100:400] = 1.0
+    state = xmem.add_reference_step(
+        xparams, state, jnp.asarray(frame_f), jnp.asarray(masks),
+        jnp.int32(N_BOXES), xcfg,
+    )
+    fj = jnp.asarray(frame_f)
+
+    def prop(i, update):
+        out, _ = xmem.propagate_step(
+            xparams, state, fj + 0.0 * i, xcfg, update_memory=update,
+            deep_update=update,
+        )
+        return out
+
+    prop(0, False)
+    prop(0, True)
+    t_prop = measure(lambda i: prop(i, False), iters=3)
+    t_prop_write = measure(lambda i: prop(i, True), iters=3)
+
+    # -- handcrafted STM (comparison) ----------------------------------------
+    from video_llava_tpu.grounding.memory_tracker import (
+        MemoryTracker, TrackerConfig,
+    )
+
+    from video_llava_tpu.grounding.memory_tracker import _default_step
+
+    stm = MemoryTracker(TrackerConfig(max_objects=N_BOXES))
+    stm.add_reference(frame_f, masks)
+    fj32 = jnp.asarray(frame_f, jnp.float32)
+    _default_step(stm.state, fj32, stm.cfg, False)
+    t_stm = measure(
+        lambda i: _default_step(stm.state, fj32 + 0.0 * i, stm.cfg, False)[0],
+        iters=3,
+    )
+
+    n_det = -(-NUM_FRAMES // DETECT_EVERY)
+    n_prop = NUM_FRAMES - n_det
+    n_writes = n_prop // xcfg.mem_every
+    # Headline = device programs only (the TPU cost; host I/O here rides
+    # a tunneled link whose transfer time says nothing about the design).
+    clip_s = (
+        n_det * (t_detect_dev + t_sam_dev)
+        + (n_prop - n_writes) * t_prop
+        + n_writes * t_prop_write
+    )
+    result = {
+        "metric": "grounding_clip_p50",
+        "value": round(clip_s, 3),
+        "unit": "s/100-frame clip",
+        "detail": {
+            "detect_device_ms": round(t_detect_dev * 1e3, 1),
+            "sam_device_ms": round(t_sam_dev * 1e3, 1),
+            "detect_pipeline_ms": round(t_detect * 1e3, 1),
+            "sam_pipeline_ms": round(t_sam * 1e3, 1),
+            "xmem_propagate_ms": round(t_prop * 1e3, 1),
+            "xmem_propagate_write_ms": round(t_prop_write * 1e3, 1),
+            "handcrafted_stm_ms": round(t_stm * 1e3, 1),
+            "detect_every": DETECT_EVERY,
+            "frames": NUM_FRAMES,
+            "boxes_per_detection": N_BOXES,
+            "models": f"gdino-swint-800px + sam-vit-b 1024px + "
+                      f"xmem r50/r18 {H}x{W}, {DTYPE}",
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

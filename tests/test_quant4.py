@@ -241,3 +241,53 @@ def test_fuse_skips_mixed_layout_groups():
     got, _ = llama.forward(fused, cfg, input_ids=ids)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+# -- W4A8 decode path ---------------------------------------------------------
+
+
+def test_quantize_activation_int8_roundtrip():
+    from video_llava_tpu.ops.quant4 import quantize_activation_int8
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(1, 256)).astype(np.float32))
+    xq, sx = quantize_activation_int8(x, 4)
+    assert xq.dtype == jnp.int8 and sx.shape == (4, 1)
+    deq = (
+        np.asarray(xq, np.float32).reshape(4, 64)
+        * np.asarray(sx)
+    ).reshape(1, 256)
+    err = np.abs(deq - np.asarray(x)).max()
+    assert err <= np.abs(np.asarray(x)).max() / 127 + 1e-6
+
+
+@pytest.mark.parametrize("group_size", [32, None])
+def test_w4a8_pallas_interpret_matches_xla_twin(group_size):
+    from video_llava_tpu.ops.quant4 import int4_matmul_w4a8_xla
+
+    rng = np.random.default_rng(1)
+    d, f = 128, 256
+    w = jnp.asarray(rng.normal(size=(d, f)).astype(np.float32))
+    packed, scales = quantize_tensor_int4(w, group_size=group_size)
+    x = jnp.asarray(rng.normal(size=(1, d)).astype(np.float32))
+    want = np.asarray(int4_matmul_w4a8_xla(x, packed, scales))
+    got = np.asarray(
+        int4_matmul_pallas(x, packed, scales, interpret=True, a8=True)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_w4a8_accuracy_vs_full_precision():
+    """One extra int8 rounding on top of int4 weights: the a8 result
+    stays close to the dense-dequant matmul."""
+    from video_llava_tpu.ops.quant4 import dequantize_int4, int4_matmul_w4a8_xla
+
+    rng = np.random.default_rng(2)
+    d, f = 256, 128
+    w = jnp.asarray(rng.normal(size=(d, f)).astype(np.float32) * 0.05)
+    packed, scales = quantize_tensor_int4(w, group_size=64)
+    x = jnp.asarray(rng.normal(size=(1, d)).astype(np.float32))
+    dense = np.asarray(x @ dequantize_int4(packed, scales, jnp.float32))
+    a8 = np.asarray(int4_matmul_w4a8_xla(x, packed, scales))
+    denom = np.maximum(np.abs(dense), 1e-3)
+    assert np.median(np.abs(a8 - dense) / denom) < 0.02

@@ -234,17 +234,47 @@ def build_grounding_stack(
     sam_checkpoint: Optional[str] = None,
     swin_checkpoint: Optional[str] = None,
     clip_checkpoint: Optional[str] = None,
+    xmem_checkpoint: Optional[str] = None,
     detection_every: int = 5,
     temporal_setting: str = "online",
     max_objects: int = 5,
 ) -> Tuple[GroundedTracker, TaggingModule, EntityMatchingModule]:
     """Wire the full PGVideoLLaVA grounding stack
-    (reference chat.py:243-252)."""
+    (reference chat.py:243-252).
+
+    xmem_checkpoint: optional XMem/DEVA-propagation .pth — switches mask
+    propagation from the handcrafted-feature STM to the trained XMem
+    network (reference deva.step, grounding_new_api.py:503-509)."""
     from video_llava_tpu.models import grounding_dino as gdino_mod
 
     detector = gdino_mod.build_detector(dino_checkpoint)
     segmenter = build_sam(sam_checkpoint)
     crop_filter = build_clip_filter(clip_checkpoint)
+    propagator = None
+    if xmem_checkpoint:
+        import os
+
+        import torch
+
+        from video_llava_tpu.grounding.memory_tracker import (
+            LearnedMemoryTracker,
+        )
+        from video_llava_tpu.models import xmem as xmem_mod
+
+        if os.path.isfile(xmem_checkpoint):
+            sd = torch.load(xmem_checkpoint, map_location="cpu",
+                            weights_only=True)
+            if isinstance(sd, dict) and "network" in sd:
+                sd = sd["network"]
+            cfg = xmem_mod.XMemConfig(max_objects=max_objects)
+            propagator = LearnedMemoryTracker(
+                xmem_mod.convert_xmem_checkpoint(sd, cfg), cfg
+            )
+        else:
+            import warnings
+
+            warnings.warn(f"xmem checkpoint {xmem_checkpoint} not found; "
+                          "using handcrafted-feature propagation")
     tracker = GroundedTracker(
         detector=detector,
         segmenter=segmenter,
@@ -252,6 +282,7 @@ def build_grounding_stack(
         detection_every=detection_every,
         temporal_setting=temporal_setting,
         tracker_cfg=TrackerConfig(max_objects=max_objects),
+        propagator=propagator,
     )
     tagger = build_tagger(swin_checkpoint)
     matcher = EntityMatchingModule()

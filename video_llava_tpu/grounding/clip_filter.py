@@ -63,6 +63,18 @@ class ClipCropFilter:
         self.score_threshold = score_threshold
         self.templates = templates
         self._text_cache: Dict[Tuple[str, ...], jax.Array] = {}
+        # Whole-tower jits: eager dispatch costs one host round trip per
+        # op on a tunneled TPU; crop batches pad to power-of-2 buckets so
+        # the vision program compiles a handful of times total.
+        self._text_jit = jax.jit(
+            lambda p, ids: clip_mod.text_forward(p, ids, self.text_cfg)
+        )
+        self._embed_jit = jax.jit(
+            lambda p, proj, batch: linear(
+                proj,
+                clip_mod.vision_pooled_embedding(p, batch, self.vision_cfg),
+            )
+        )
 
     def zeroshot_weights(self, classes: Sequence[str]) -> jax.Array:
         """(proj_dim, n_classes) L2-normalized ensemble embeddings
@@ -78,9 +90,7 @@ class ClipCropFilter:
             for i, t in enumerate(toks):
                 t = t[:maxlen]
                 ids[i, : len(t)] = t
-            emb = clip_mod.text_forward(
-                self.text_params, jnp.asarray(ids), self.text_cfg
-            )
+            emb = self._text_jit(self.text_params, jnp.asarray(ids))
             emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
             mean = jnp.mean(emb, axis=0)
             cols.append(mean / jnp.linalg.norm(mean))
@@ -102,11 +112,14 @@ class ClipCropFilter:
                     resize_bicubic(jnp.asarray(crop.astype(np.float32)), size, size)
                 )
             )
+        n = len(crops)
+        # pad to a power-of-2 bucket: one compiled program per bucket
+        bucket = 1 << (n - 1).bit_length()
+        crops.extend([crops[-1]] * (bucket - n))
         batch = normalize_clip(jnp.asarray(np.stack(crops)))
-        pooled = clip_mod.vision_pooled_embedding(
-            self.vision_params, batch, self.vision_cfg
-        )
-        emb = linear(self.visual_projection, pooled)
+        emb = self._embed_jit(
+            self.vision_params, self.visual_projection, batch
+        )[:n]
         return emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
 
     def __call__(

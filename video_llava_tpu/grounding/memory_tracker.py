@@ -107,8 +107,44 @@ def write_memory(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "update_memory"))
+def _default_step(
+    state: TrackerState,
+    frame: jax.Array,
+    cfg: TrackerConfig,
+    update_memory: bool,
+):
+    """Whole tracker step as ONE device program (features + memory read
+    + optional confident write + mask upsample): the eager composition
+    costs a ~26 ms host round trip PER OP on a tunneled TPU (measured
+    368 ms/frame eager vs ~3 ms jitted)."""
+    feats = default_features(frame, cfg)
+    grid = _propagate(state, feats, cfg)
+    if update_memory:
+        conf = jnp.where(grid > 0.5, grid, 0.0)
+        state = write_memory(state, feats, conf, state.num_objects)
+    masks = grid_to_masks(grid, (frame.shape[0], frame.shape[1]), cfg)
+    return masks, state
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _default_add_reference(
+    state: TrackerState, frame: jax.Array, masks: jax.Array,
+    num_objects: jax.Array, cfg: TrackerConfig,
+) -> TrackerState:
+    feats = default_features(frame, cfg)
+    grid = masks_to_grid(masks, cfg)
+    return write_memory(state, feats, grid, num_objects)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def propagate_step(
+    state: TrackerState, feats: jax.Array, cfg: TrackerConfig
+) -> jax.Array:
+    return _propagate(state, feats, cfg)
+
+
+def _propagate(
     state: TrackerState, feats: jax.Array, cfg: TrackerConfig
 ) -> jax.Array:
     """Read the memory with the query frame -> (N, O) object scores."""
@@ -142,6 +178,9 @@ class MemoryTracker:
     def __init__(self, cfg: TrackerConfig = TrackerConfig(),
                  feature_fn: Optional[Callable] = None):
         self.cfg = cfg
+        # Default features run through fused whole-step jits; a custom
+        # feature_fn falls back to the composable (eager) path.
+        self._fused = feature_fn is None
         self.feature_fn = feature_fn or (
             lambda f: default_features(f, self.cfg)
         )
@@ -163,10 +202,18 @@ class MemoryTracker:
         masks = jnp.asarray(
             np.pad(masks.astype(np.float32), ((0, pad), (0, 0), (0, 0)))
         )
-        feats = self.feature_fn(frame)
-        if self.state is None or self._hw != frame.shape[:2]:
-            self.state = init_state(self.cfg, feats.shape[0], feats.shape[1])
+        if self.state is None or self._hw != tuple(frame.shape[:2]):
+            feats_shape = jax.eval_shape(self.feature_fn, frame)
+            self.state = init_state(
+                self.cfg, feats_shape.shape[0], feats_shape.shape[1]
+            )
             self._hw = tuple(frame.shape[:2])
+        if self._fused:
+            self.state = _default_add_reference(
+                self.state, frame, masks, jnp.int32(o), self.cfg
+            )
+            return
+        feats = self.feature_fn(frame)
         grid = masks_to_grid(masks, self.cfg)
         self.state = write_memory(
             self.state, feats, grid, jnp.int32(o)
@@ -176,6 +223,11 @@ class MemoryTracker:
         """Propagate to a new frame -> (max_objects, H, W) soft masks."""
         assert self.state is not None, "add_reference first"
         frame = jnp.asarray(frame, jnp.float32)
+        if self._fused:
+            masks, self.state = _default_step(
+                self.state, frame, self.cfg, bool(update_memory)
+            )
+            return np.asarray(masks)
         feats = self.feature_fn(frame)
         grid = propagate_step(self.state, feats, self.cfg)
         if update_memory:

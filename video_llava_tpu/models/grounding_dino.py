@@ -23,6 +23,7 @@ implemented in full.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 import os
 from typing import Callable, List, Optional, Sequence, Tuple
@@ -391,25 +392,50 @@ def forward(
     text_attention_mask: Optional[np.ndarray] = None,  # (b, text_len) 1=real
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """-> (logits (b, num_queries, max_text_len), boxes cxcywh in [0,1]
-    (b, num_queries, 4))."""
-    b = pixels.shape[0]
-    d = cfg.d_model
-    eps = cfg.layer_norm_eps
+    (b, num_queries, 4)).
 
+    Host wrapper: text masks derive from token VALUES (special-token
+    block structure), so they are computed host-side; everything else is
+    ONE jitted device program per (batch, image, text-len) shape — on a
+    tunneled TPU the previous eager dispatch cost a host round trip per
+    op across the whole detector."""
     input_ids = np.asarray(input_ids)
     if text_attention_mask is None:
         text_attention_mask = np.ones_like(input_ids)
     text_self_mask_np, position_ids_np = generate_text_masks(input_ids)
-    text_pad_mask = jnp.asarray(text_attention_mask == 0)  # True = pad
-    text_self_mask = jnp.asarray(text_self_mask_np)
-    position_ids = jnp.asarray(position_ids_np)
+    return _forward_device(
+        params,
+        cfg,
+        pixels,
+        jnp.asarray(input_ids),
+        jnp.asarray(text_attention_mask == 0),  # True = pad
+        jnp.asarray(text_self_mask_np),
+        jnp.asarray(position_ids_np),
+        jnp.asarray(text_attention_mask == 1),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _forward_device(
+    params,
+    cfg: GroundingDinoConfig,
+    pixels: jnp.ndarray,
+    input_ids: jnp.ndarray,
+    text_pad_mask: jnp.ndarray,
+    text_self_mask: jnp.ndarray,
+    position_ids: jnp.ndarray,
+    text_token_mask: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    b = pixels.shape[0]
+    d = cfg.d_model
+    eps = cfg.layer_norm_eps
 
     # text backbone (block-diagonal self-attention + restarted position
     # ids) + projection
     bert_bias = jnp.where(text_self_mask[:, None], 0.0, -1e9)
     text_features = bert_mod.forward(
         params["text_backbone"],
-        jnp.asarray(input_ids),
+        input_ids,
         None,
         cfg.text,
         attention_bias=bert_bias,
@@ -509,7 +535,6 @@ def forward(
         eps,
     )
 
-    text_token_mask = jnp.asarray(text_attention_mask == 1)
     enc_logits = _contrastive(
         object_query, text, text_token_mask, cfg.max_text_len
     )

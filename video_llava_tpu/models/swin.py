@@ -214,19 +214,31 @@ def _window_attention(p, x, heads, window, shift_mask: Optional[np.ndarray]):
 
 def _block(p, x, hh, ww, heads, window, shift, eps):
     b, L, c = x.shape
+    # HF parity for non-window-divisible maps (e.g. GroundingDINO at
+    # 800px -> 200x200 patches, window 7): shrink the window when it
+    # exceeds the resolution, right/bottom zero-pad to a window
+    # multiple, attend, crop back (transformers SwinLayer.maybe_pad).
+    if min(hh, ww) <= window:
+        window, shift = min(hh, ww), 0
+    pad_b, pad_r = -hh % window, -ww % window
+    hp, wp = hh + pad_b, ww + pad_r
     shortcut = x
     x = layer_norm(p["ln1"], x, eps)
     x = x.reshape(b, hh, ww, c)
+    if pad_b or pad_r:
+        x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
     if shift > 0:
         x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
-        mask = _shift_attn_mask(hh, ww, window, shift)
+        mask = _shift_attn_mask(hp, wp, window, shift)
     else:
         mask = None
     wins = _window_partition(x, window)
     wins = _window_attention(p, wins, heads, window, mask)
-    x = _window_reverse(wins, window, hh, ww)
+    x = _window_reverse(wins, window, hp, wp)
     if shift > 0:
         x = jnp.roll(x, (shift, shift), axis=(1, 2))
+    if pad_b or pad_r:
+        x = x[:, :hh, :ww]
     x = shortcut + x.reshape(b, L, c)
     h = layer_norm(p["ln2"], x, eps)
     x = x + linear(p["fc2"], jax.nn.gelu(linear(p["fc1"], h), approximate=False))
@@ -234,15 +246,19 @@ def _block(p, x, hh, ww, heads, window, shift, eps):
 
 
 def _patch_merge(p, x, hh, ww, eps):
-    """(b, h*w, c) -> (b, h/2*w/2, 2c), HF ordering (x0 x1 x2 x3 =
-    [0::2,0::2], [1::2,0::2], [0::2,1::2], [1::2,1::2])."""
+    """(b, h*w, c) -> (b, ceil(h/2)*ceil(w/2), 2c), HF ordering
+    (x0 x1 x2 x3 = [0::2,0::2], [1::2,0::2], [0::2,1::2], [1::2,1::2]);
+    odd dims zero-pad first (transformers SwinPatchMerging.maybe_pad)."""
     b, L, c = x.shape
     x = x.reshape(b, hh, ww, c)
+    if hh % 2 or ww % 2:
+        x = jnp.pad(x, ((0, 0), (0, hh % 2), (0, ww % 2), (0, 0)))
     x0 = x[:, 0::2, 0::2]
     x1 = x[:, 1::2, 0::2]
     x2 = x[:, 0::2, 1::2]
     x3 = x[:, 1::2, 1::2]
-    x = jnp.concatenate([x0, x1, x2, x3], axis=-1).reshape(b, L // 4, 4 * c)
+    x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
+    x = x.reshape(b, x.shape[1] * x.shape[2], 4 * c)
     x = layer_norm(p["norm"], x, eps)
     return linear(p["reduction"], x)
 
@@ -279,7 +295,7 @@ def forward_features(
         outputs.append(x.reshape(b, hh, ww, dim))
         if "downsample" in stage:
             x = _patch_merge(stage["downsample"], x, hh, ww, cfg.layer_norm_eps)
-            hh, ww, dim = hh // 2, ww // 2, dim * 2
+            hh, ww, dim = (hh + 1) // 2, (ww + 1) // 2, dim * 2
     return outputs
 
 

@@ -219,6 +219,96 @@ def _w4_matvec_kernel(xc_ref, w_ref, s_ref, o_ref, *, groups_half: int):
     o_ref[:] = acc
 
 
+def _w4a8_matvec_kernel(xq_ref, sx_ref, w_ref, s_ref, o_ref, *,
+                        groups_half: int):
+    """Decode (batch=1) W4A8 variant: activations are pre-quantized to
+    int8 (per contraction group), so the per-group partials run as int8
+    MXU dots (2x the bf16 MXU rate) and the nibble unpack stays in int8
+    (two 1-byte-lane shifts per byte, ~4x the f32 VPU width). The f32
+    VPU matvec above is compute-bound well past the int4 HBM stream
+    time; this formulation brings compute under the stream for the 13B
+    single-chip target (BASELINE north star).
+
+    y = sum_g (sx[g] * sw[g, :]) * (xq_g . q_g)  [int32 dot, f32 scale]
+
+    xq_ref: (1, 2*Dh) int8; sx_ref: (G, 1) f32 activation scales;
+    w_ref: (Dh, bf) packed int8; s_ref: (G, bf) weight scales;
+    o_ref: (1, bf) f32.
+    """
+    dh, bf = w_ref.shape
+    # Mosaic rejects 1-byte-lane shifts: unpack via int32 shifts, then
+    # narrow to int8 for the MXU int8 dot.
+    p = w_ref[:].astype(jnp.int32)
+    lo = jax.lax.shift_right_arithmetic(
+        jax.lax.shift_left(p, 28), 28
+    ).astype(jnp.int8)
+    hi = jax.lax.shift_right_arithmetic(p, 4).astype(jnp.int8)
+    s = s_ref[:].astype(jnp.float32)  # (G, bf)
+    n = max(groups_half, 1)
+    g = dh // n
+    acc = jnp.zeros((1, bf), jnp.float32)
+    for gi in range(n):
+        r0 = gi * g
+        d_lo = jnp.dot(
+            xq_ref[0:1, r0 : r0 + g], lo[r0 : r0 + g],
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+        d_hi = jnp.dot(
+            xq_ref[0:1, dh + r0 : dh + r0 + g], hi[r0 : r0 + g],
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+        if groups_half == 0:
+            acc += sx_ref[0, 0] * d_lo + sx_ref[1, 0] * d_hi
+        else:
+            acc += (sx_ref[gi, 0] * s[gi : gi + 1]) * d_lo
+            acc += (
+                sx_ref[groups_half + gi, 0]
+                * s[groups_half + gi : groups_half + gi + 1]
+            ) * d_hi
+    if groups_half == 0:
+        acc *= s[0:1]
+    o_ref[:] = acc
+
+
+def quantize_activation_int8(x: jax.Array, n_groups: int):
+    """x: (1, D) -> (int8 (1, D), (G, 1) f32 scales): symmetric absmax
+    per contraction group (matching the weight group layout, so the
+    kernel applies one fused scale per (group, channel))."""
+    b, d = x.shape
+    g = d // max(n_groups, 1)
+    xg = x.astype(jnp.float32).reshape(b, max(n_groups, 1), g)
+    absmax = jnp.max(jnp.abs(xg), axis=-1, keepdims=True)
+    sx = jnp.maximum(absmax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(xg / sx), -127, 127).astype(jnp.int8)
+    return q.reshape(b, d), sx.reshape(max(n_groups, 1), 1)[: n_groups or 2]
+
+
+def int4_matmul_w4a8_xla(x: jax.Array, packed: jax.Array, scales: jax.Array):
+    """XLA twin of the W4A8 decode math (activation-quantization error
+    included) — the parity reference for the Pallas kernel and the CPU
+    fallback when a8 semantics are requested. x: (1, D) -> (1, F) f32."""
+    dh, f = packed.shape
+    n_groups = scales.shape[-2]
+    xq, sx = quantize_activation_int8(
+        x.reshape(1, -1), n_groups if n_groups > 1 else 2
+    )
+    p = packed.astype(jnp.int32)
+    lo = jax.lax.shift_right_arithmetic(jax.lax.shift_left(p, 28), 28)
+    hi = jax.lax.shift_right_arithmetic(p, 4)
+    q = jnp.concatenate([lo, hi], axis=0).astype(jnp.float32)  # (D, F)
+    if n_groups > 1:
+        g = 2 * dh // n_groups
+        sw = jnp.repeat(scales.astype(jnp.float32), g, axis=-2)  # (D, F)
+    else:
+        sw = jnp.broadcast_to(scales.astype(jnp.float32), (2 * dh, f))
+    # per-row combined scale: activation group scale broadcast over rows
+    sx_rows = jnp.repeat(sx[:, 0], 2 * dh // sx.shape[0])  # (D,)
+    return jnp.dot(
+        xq.astype(jnp.float32) * sx_rows[None, :], q * sw,
+        preferred_element_type=jnp.float32,
+    )
+
+
 def _pick_block(
     n: int, candidates: Sequence[int], max_elems: Optional[int] = None,
     other_dim: int = 1,
@@ -229,15 +319,20 @@ def _pick_block(
     return n
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "a8"))
 def int4_matmul_pallas(
     x: jax.Array,
     packed: jax.Array,
     scales: jax.Array,
     interpret: bool = False,
+    a8: bool = False,
 ):
     """x: (B, D) -> (B, F) f32. Grid over (B blocks, F blocks); packed
-    weights and scales stream HBM->VMEM once per F block per B block."""
+    weights and scales stream HBM->VMEM once per F block per B block.
+
+    a8 (batch=1 only): quantize activations to int8 per contraction
+    group and run int8 MXU dots (_w4a8_matvec_kernel) — compute drops
+    under the int4 HBM stream time."""
     dh, f = packed.shape
     n_groups = scales.shape[0]
     b, d = x.shape
@@ -247,6 +342,29 @@ def int4_matmul_pallas(
     # holds packed (Dh, bf) int8 (double-buffered) plus two dequantized
     # bf16 halves (Dh, bf) each -> cap Dh * bf at 1.5M elements.
     groups_half = n_groups // 2 if n_groups > 1 else 0
+
+    if b == 1 and a8:  # decode: int8-MXU W4A8 kernel
+        xq, sx = quantize_activation_int8(
+            x, n_groups if n_groups > 1 else 2
+        )
+        g2 = sx.shape[0]
+        bf = _pick_block(f, (512, 256, 128), max_elems=1 << 21, other_dim=dh)
+        return pl.pallas_call(
+            functools.partial(_w4a8_matvec_kernel, groups_half=groups_half),
+            grid=(f // bf,),
+            in_specs=[
+                pl.BlockSpec((1, d), lambda j: (0, 0)),
+                pl.BlockSpec((g2, 1), lambda j: (0, 0)),
+                pl.BlockSpec((dh, bf), lambda j: (0, j)),
+                pl.BlockSpec((n_groups, bf), lambda j: (0, j)),
+            ],
+            out_specs=pl.BlockSpec((1, bf), lambda j: (0, j)),
+            out_shape=jax.ShapeDtypeStruct((1, f), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            interpret=interpret,
+        )(xq, sx, packed, scales)
 
     if b == 1:  # decode: VPU matvec kernel (see _w4_matvec_kernel)
         bf = _pick_block(f, (512, 256, 128), max_elems=1 << 21, other_dim=dh)
@@ -289,6 +407,15 @@ def int4_matmul_pallas(
     return out
 
 
+# Decode-path activation quantization (W4A8): ON by default — the int8
+# MXU formulation is the one that reaches the int4 bandwidth roofline;
+# the extra activation error is one int8 round on top of int4 weights.
+# Opt out with VLT_INT4_A8=0 (falls back to the f32 VPU matvec).
+import os as _os
+
+_A8_DECODE = _os.environ.get("VLT_INT4_A8", "1") == "1"
+
+
 def int4_matmul(x: jax.Array, packed: jax.Array, scales: jax.Array):
     """Dispatch: Pallas on TPU, XLA twin elsewhere. x (..., D) -> f32."""
     lead = x.shape[:-1]
@@ -296,7 +423,9 @@ def int4_matmul(x: jax.Array, packed: jax.Array, scales: jax.Array):
     if jax.default_backend() != "tpu" or packed.shape[-1] % 128:
         return int4_matmul_xla(x, packed, scales)
     xb = x.reshape(-1, d)
-    y = int4_matmul_pallas(xb, packed, scales)
+    y = int4_matmul_pallas(
+        xb, packed, scales, a8=_A8_DECODE and xb.shape[0] == 1
+    )
     return y.reshape(lead + (packed.shape[-1],))
 
 

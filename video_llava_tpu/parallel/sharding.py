@@ -153,6 +153,8 @@ def divisible_spec(spec: P, shape, mesh: Mesh) -> P:
         size = int(_np.prod([mesh.shape[n] for n in names]))
         if shape[i] % size:
             axes[i] = None
+    while axes and axes[-1] is None:
+        axes.pop()
     return P(*axes)
 
 
