@@ -48,3 +48,51 @@ def test_int8_cache_matches_dequantized_reference():
         q, kq, vq, lens, k_scale=ks, v_scale=vs, block_l=32, interpret=True
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
+
+
+# -- MXU (block-diagonal matmul) decode kernel --------------------------------
+
+
+def test_mxu_bf16_cache_matches_reference():
+    from video_llava_tpu.ops.attention import decode_attention_mxu
+
+    rng = np.random.default_rng(3)
+    q, k, v, lens = _data(rng, 2, 96, 8, 8, 32)
+    want = attention_reference(q, k, v, kv_valid_len=lens)
+    got = decode_attention_mxu(q, k, v, lens, block_l=32, interpret=True)
+    # bf16 MXU dots vs f32 reference
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-2, rtol=3e-2)
+
+
+def test_mxu_int8_cache_matches_dequantized_reference():
+    from video_llava_tpu.ops.attention import decode_attention_mxu
+
+    rng = np.random.default_rng(4)
+    q, k, v, lens = _data(rng, 2, 64, 4, 4, 32)
+    kq, ks = _quantize_kv(k)
+    vq, vs = _quantize_kv(v)
+    want = attention_reference(
+        q, _dequantize_kv(kq, ks, jnp.float32),
+        _dequantize_kv(vq, vs, jnp.float32), kv_valid_len=lens,
+    )
+    got = decode_attention_mxu(
+        q, kq, vq, lens, k_scale=ks, v_scale=vs, block_l=32, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-2, rtol=3e-2)
+
+
+def test_mxu_full_and_single_block_lengths():
+    """Length masking across blocks: len < one block, len == L."""
+    from video_llava_tpu.ops.attention import decode_attention_mxu
+
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.normal(size=(2, 1, 4, 32)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(2, 128, 4, 32)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(2, 128, 4, 32)).astype(np.float32))
+    lens = jnp.asarray([7, 128], jnp.int32)
+    want = attention_reference(q, k, v, kv_valid_len=lens)
+    got = decode_attention_mxu(q, k, v, lens, block_l=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-2, rtol=3e-2)

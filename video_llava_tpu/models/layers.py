@@ -30,7 +30,19 @@ def linear_init(key, in_dim: int, out_dim: int, use_bias: bool = True,
 
 def linear(p, x):
     kernel = p["kernel"]
-    if isinstance(kernel, dict) and "qvalues_packed" in kernel:  # int4
+    if isinstance(kernel, dict) and "stacked_packed" in kernel:
+        # int4 kernel kept scan-stacked (L, Dh, F) with a traced layer
+        # index — see llama.split_stacked_int4: scan-slicing a packed
+        # weight into a pallas_call makes XLA materialize the slice as
+        # a per-token copy; the stacked kernel indexes the layer block
+        # via scalar prefetch instead (zero-copy).
+        from video_llava_tpu.ops.quant4 import int4_matmul_stacked
+
+        y = int4_matmul_stacked(
+            x, kernel["stacked_packed"], kernel["stacked_scales"],
+            kernel["layer"],
+        )
+    elif isinstance(kernel, dict) and "qvalues_packed" in kernel:  # int4
         from video_llava_tpu.ops.quant4 import int4_matmul
 
         y = int4_matmul(x, kernel["qvalues_packed"], kernel["scales"])

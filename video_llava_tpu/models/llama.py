@@ -321,6 +321,49 @@ def pad_vocab(params, multiple: int):
     return p
 
 
+def split_stacked_int4(layers):
+    """Partition scan-stacked layer params into (scanned, stacked_int4).
+
+    int4-packed kernels feed Pallas kernels — opaque custom calls a
+    scan-sliced operand cannot fuse into, so XLA materializes every
+    layer's 25-45 MB weight slice as a copy each decode step (~3x the
+    int4 weight traffic; profiled on chip). The fix: keep those kernels
+    OUT of the scan xs, close over the whole stacked array, and let
+    int4_matmul_stacked select the layer block inside the kernel via
+    scalar prefetch. Returns the scanned remainder plus
+    {name: (packed (L,Dh,F), scales (L,G,F))}.
+    """
+    scanned, stacked = {}, {}
+    for name, p in layers.items():
+        kernel = p.get("kernel") if isinstance(p, dict) else None
+        if isinstance(kernel, dict) and "qvalues_packed" in kernel:
+            stacked[name] = (kernel["qvalues_packed"], kernel["scales"])
+            rest = {k: v for k, v in p.items() if k != "kernel"}
+            if rest:
+                scanned[name] = rest
+        else:
+            scanned[name] = p
+    return scanned, stacked
+
+
+def _inject_stacked_int4(layer_params, stacked, li):
+    """Rebuild a per-layer param dict inside the scan body: each
+    stacked-int4 kernel becomes a marker dict layers.linear dispatches
+    on (whole stacked arrays are scan-invariant closures)."""
+    if not stacked:
+        return layer_params
+    out = dict(layer_params)
+    for name, (packed, scales) in stacked.items():
+        entry = dict(out.get(name, {}))
+        entry["kernel"] = {
+            "stacked_packed": packed,
+            "stacked_scales": scales,
+            "layer": li,
+        }
+        out[name] = entry
+    return out
+
+
 def forward_hidden(
     params,
     inputs_embeds: jax.Array,
@@ -339,10 +382,17 @@ def forward_hidden(
     """
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
 
+    scanned_layers, stacked_int4 = split_stacked_int4(params["layers"])
+    layer_ids = jnp.arange(cfg.num_layers, dtype=jnp.int32)
+
     x = inputs_embeds
     if cache is None:
 
-        def body_no_cache(h, layer_params):
+        def body_no_cache(h, layer_in):
+            li, layer_params = layer_in
+            layer_params = _inject_stacked_int4(
+                layer_params, stacked_int4, li
+            )
             attn, *_ = _attention_block(
                 layer_params,
                 rms_norm(layer_params["input_norm"], h, cfg.rms_norm_eps),
@@ -365,7 +415,7 @@ def forward_hidden(
                 body_no_cache,
                 policy=jax.checkpoint_policies.nothing_saveable,
             )
-        x, _ = jax.lax.scan(body_no_cache, x, params["layers"])
+        x, _ = jax.lax.scan(body_no_cache, x, (layer_ids, scanned_layers))
         new_cache = None
     else:
         write_pos = cache.length
@@ -374,7 +424,10 @@ def forward_hidden(
         )
 
         def body(h, layer_in):
-            layer_params, layer_k, layer_v, layer_ks, layer_vs = layer_in
+            li, layer_params, layer_k, layer_v, layer_ks, layer_vs = layer_in
+            layer_params = _inject_stacked_int4(
+                layer_params, stacked_int4, li
+            )
             attn, nk, nv, nks, nvs = _attention_block(
                 layer_params,
                 rms_norm(layer_params["input_norm"], h, cfg.rms_norm_eps),
@@ -396,7 +449,8 @@ def forward_hidden(
 
         x, (new_k, new_v, new_ks, new_vs) = jax.lax.scan(
             body, x,
-            (params["layers"], cache.k, cache.v, cache.k_scale, cache.v_scale),
+            (layer_ids, scanned_layers, cache.k, cache.v, cache.k_scale,
+             cache.v_scale),
         )
         new_cache = KVCache(
             k=new_k, v=new_v, length=cache_len, k_scale=new_ks, v_scale=new_vs

@@ -219,8 +219,8 @@ def _w4_matvec_kernel(xc_ref, w_ref, s_ref, o_ref, *, groups_half: int):
     o_ref[:] = acc
 
 
-def _w4a8_matvec_kernel(xq_ref, sx_ref, w_ref, s_ref, o_ref, *,
-                        groups_half: int):
+def _w4a8_matvec_kernel(x_ref, w_ref, s_ref, o_ref, *,
+                        groups_half: int, ga: int):
     """Decode (batch=1) W4A8 variant: activations are pre-quantized to
     int8 (per contraction group), so the per-group partials run as int8
     MXU dots (2x the bf16 MXU rate) and the nibble unpack stays in int8
@@ -231,43 +231,82 @@ def _w4a8_matvec_kernel(xq_ref, sx_ref, w_ref, s_ref, o_ref, *,
 
     y = sum_g (sx[g] * sw[g, :]) * (xq_g . q_g)  [int32 dot, f32 scale]
 
-    xq_ref: (1, 2*Dh) int8; sx_ref: (G, 1) f32 activation scales;
-    w_ref: (Dh, bf) packed int8; s_ref: (G, bf) weight scales;
-    o_ref: (1, bf) f32.
+    The per-group int32 dots run as ONE MXU pass: the quantized
+    activation row is expanded to a block-diagonal (G, D) int8 matrix
+    (row g holds xq over group g's columns, zeros elsewhere) so a single
+    (G, D) @ (D, bf) int8 dot yields every group partial at once. The
+    G-fold zero padding costs ~G x the useful int8 MXU work —
+    microseconds against the int4 HBM stream — whereas G *sequential*
+    (1, g) dots (the first formulation) ran the MXU one row at a time
+    and left decode compute-bound (~45 tok/s on 13B, ~int8 parity).
+
+    Activation quantization happens IN the kernel (x is one 16 KB row;
+    the per-F-block recompute is free VPU work) — hoisting it to XLA
+    cost ~100 us/layer of small-op dispatch between the pallas calls.
+
+    x_ref: (1, 2*Dh) f32 activations; w_ref: (Dh, bf) packed int8;
+    s_ref: (G, bf) weight scales; o_ref: (1, bf) f32.
+    ga: number of activation groups (== weight groups, or 2 when the
+    weight scale is per-tensor).
     """
-    dh, bf = w_ref.shape
+    _w4a8_matvec_body(
+        x_ref, w_ref[:], s_ref[:], o_ref, groups_half=groups_half, ga=ga
+    )
+
+
+def _w4a8_matvec_body(x_ref, w, s_raw, o_ref, *, groups_half: int, ga: int):
+    dh, bf = w.shape
+    d = 2 * dh
     # Mosaic rejects 1-byte-lane shifts: unpack via int32 shifts, then
-    # narrow to int8 for the MXU int8 dot.
-    p = w_ref[:].astype(jnp.int32)
+    # narrow to int8 for the MXU int8 dot. Row order of q is the
+    # ORIGINAL kernel row order (lo nibbles = rows [0, Dh), hi nibbles =
+    # rows [Dh, 2Dh)), matching both x's and the scale groups' layout.
+    p = w.astype(jnp.int32)
     lo = jax.lax.shift_right_arithmetic(
         jax.lax.shift_left(p, 28), 28
     ).astype(jnp.int8)
     hi = jax.lax.shift_right_arithmetic(p, 4).astype(jnp.int8)
-    s = s_ref[:].astype(jnp.float32)  # (G, bf)
-    n = max(groups_half, 1)
-    g = dh // n
-    acc = jnp.zeros((1, bf), jnp.float32)
-    for gi in range(n):
-        r0 = gi * g
-        d_lo = jnp.dot(
-            xq_ref[0:1, r0 : r0 + g], lo[r0 : r0 + g],
-            preferred_element_type=jnp.int32,
-        ).astype(jnp.float32)
-        d_hi = jnp.dot(
-            xq_ref[0:1, dh + r0 : dh + r0 + g], hi[r0 : r0 + g],
-            preferred_element_type=jnp.int32,
-        ).astype(jnp.float32)
-        if groups_half == 0:
-            acc += sx_ref[0, 0] * d_lo + sx_ref[1, 0] * d_hi
-        else:
-            acc += (sx_ref[gi, 0] * s[gi : gi + 1]) * d_lo
-            acc += (
-                sx_ref[groups_half + gi, 0]
-                * s[groups_half + gi : groups_half + gi + 1]
-            ) * d_hi
+    q = jnp.concatenate([lo, hi], axis=0)  # (d, bf) int8
+    g_rows = d // ga
+    col_group = jax.lax.broadcasted_iota(jnp.int32, (ga, d), 1) // g_rows
+    row_id = jax.lax.broadcasted_iota(jnp.int32, (ga, d), 0)
+    x_rows = jnp.broadcast_to(
+        x_ref[0:1, :].astype(jnp.float32), (ga, d)
+    )
+    # block-diagonal spread of x (row g = group g's columns, else 0),
+    # then per-group absmax scales as row reductions — the f32 select is
+    # layout-safe (i1 and f32 share (8,128) tiling; selecting in i8 hit
+    # "Invalid relayout" against i8's (32,128) tiling).
+    xm = jnp.where(col_group == row_id, x_rows, 0.0)  # (ga, d) f32
+    sx = jnp.maximum(
+        jnp.max(jnp.abs(xm), axis=1, keepdims=True), 1e-8
+    ) / 127.0  # (ga, 1)
+    xdiag = (
+        jnp.clip(jnp.round(xm / sx), -127, 127)
+        .astype(jnp.int32)
+        .astype(jnp.int8)
+    )
+    part = jnp.dot(
+        xdiag, q, preferred_element_type=jnp.int32
+    ).astype(jnp.float32)  # (ga, bf) per-group partials
+    sw = s_raw.astype(jnp.float32)  # (G, bf)
     if groups_half == 0:
-        acc *= s[0:1]
+        # per-tensor weight scale (s has one row), 2 activation groups
+        acc = jnp.sum(part * sx, axis=0, keepdims=True) * sw[0:1]
+    else:
+        acc = jnp.sum(part * sx * sw, axis=0, keepdims=True)
     o_ref[:] = acc
+
+
+def _w4a8_matvec_stacked_kernel(li_ref, x_ref, w_ref, s_ref, o_ref, *,
+                                groups_half: int, ga: int):
+    """Stacked-layer wrapper of _w4a8_matvec_kernel: w_ref/s_ref blocks
+    carry a leading singleton layer dim selected by the scalar-prefetch
+    layer index (see int4_matmul_stacked)."""
+    del li_ref
+    _w4a8_matvec_body(
+        x_ref, w_ref[0], s_ref[0], o_ref, groups_half=groups_half, ga=ga
+    )
 
 
 def quantize_activation_int8(x: jax.Array, n_groups: int):
@@ -344,17 +383,15 @@ def int4_matmul_pallas(
     groups_half = n_groups // 2 if n_groups > 1 else 0
 
     if b == 1 and a8:  # decode: int8-MXU W4A8 kernel
-        xq, sx = quantize_activation_int8(
-            x, n_groups if n_groups > 1 else 2
-        )
-        g2 = sx.shape[0]
+        ga = n_groups if n_groups > 1 else 2
         bf = _pick_block(f, (512, 256, 128), max_elems=1 << 21, other_dim=dh)
         return pl.pallas_call(
-            functools.partial(_w4a8_matvec_kernel, groups_half=groups_half),
+            functools.partial(
+                _w4a8_matvec_kernel, groups_half=groups_half, ga=ga
+            ),
             grid=(f // bf,),
             in_specs=[
                 pl.BlockSpec((1, d), lambda j: (0, 0)),
-                pl.BlockSpec((g2, 1), lambda j: (0, 0)),
                 pl.BlockSpec((dh, bf), lambda j: (0, j)),
                 pl.BlockSpec((n_groups, bf), lambda j: (0, j)),
             ],
@@ -364,7 +401,7 @@ def int4_matmul_pallas(
                 dimension_semantics=("arbitrary",),
             ),
             interpret=interpret,
-        )(xq, sx, packed, scales)
+        )(x.astype(jnp.float32), packed, scales)
 
     if b == 1:  # decode: VPU matvec kernel (see _w4_matvec_kernel)
         bf = _pick_block(f, (512, 256, 128), max_elems=1 << 21, other_dim=dh)
@@ -427,6 +464,88 @@ def int4_matmul(x: jax.Array, packed: jax.Array, scales: jax.Array):
         xb, packed, scales, a8=_A8_DECODE and xb.shape[0] == 1
     )
     return y.reshape(lead + (packed.shape[-1],))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _int4_matvec_stacked_pallas(
+    x: jax.Array,  # (1, D) f32
+    packed: jax.Array,  # (L, Dh, F) int8
+    scales: jax.Array,  # (L, G, F)
+    layer: jax.Array,  # () int32
+    interpret: bool = False,
+):
+    """W4A8 decode matvec against ONE layer of a scan-stacked weight:
+    the layer block is selected inside the pallas grid via a
+    scalar-prefetch index_map, so the stacked array is passed WHOLE and
+    only the selected layer's bytes ever move.
+
+    Motivation (profiled on chip): inside `lax.scan` over layers, a
+    dynamic-slice feeding a pallas_call cannot fuse — XLA materializes
+    each layer's 25-45 MB weight slice as a copy before the kernel
+    reads it, tripling decode weight traffic (12.4 -> ~7 ms/step at 7B
+    int4). XLA's own dequant-einsum (int8 path) fuses the slice and
+    never pays this.
+    """
+    nl, dh, f = packed.shape
+    n_groups = scales.shape[1]
+    d = x.shape[-1]
+    assert d == 2 * dh, (d, dh)
+    groups_half = n_groups // 2 if n_groups > 1 else 0
+    ga = n_groups if n_groups > 1 else 2
+    bf = _pick_block(f, (512, 256, 128), max_elems=1 << 21, other_dim=dh)
+    li = layer.reshape(1).astype(jnp.int32)
+    return pl.pallas_call(
+        functools.partial(
+            _w4a8_matvec_stacked_kernel, groups_half=groups_half, ga=ga
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(f // bf,),
+            in_specs=[
+                pl.BlockSpec((1, d), lambda j, li_ref: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, dh, bf),
+                             lambda j, li_ref: (li_ref[0], 0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n_groups, bf),
+                             lambda j, li_ref: (li_ref[0], 0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, bf), lambda j, li_ref: (0, j),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((1, f), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(li, x.astype(jnp.float32), packed, scales)
+
+
+def int4_matmul_stacked(
+    x: jax.Array, packed: jax.Array, scales: jax.Array, layer: jax.Array
+):
+    """int4 matmul against layer `layer` of scan-stacked weights
+    packed (L, Dh, F) / scales (L, G, F). x (..., D) -> (..., F) f32.
+
+    Decode (one row, TPU): zero-copy stacked Pallas kernel. Otherwise
+    (prefill, CPU): explicit layer slice + the regular dispatch — the
+    slice copy is once per prefill, not once per generated token."""
+    lead = x.shape[:-1]
+    d = x.shape[-1]
+    xb = x.reshape(-1, d)
+    f = packed.shape[-1]
+    if (
+        jax.default_backend() == "tpu"
+        and not f % 128
+        and xb.shape[0] == 1
+        and _A8_DECODE
+    ):
+        y = _int4_matvec_stacked_pallas(xb, packed, scales, layer)
+        return y.reshape(lead + (f,))
+    packed_l = jax.lax.dynamic_index_in_dim(packed, layer, 0, keepdims=False)
+    scales_l = jax.lax.dynamic_index_in_dim(scales, layer, 0, keepdims=False)
+    return int4_matmul(x, packed_l, scales_l)
 
 
 # ---------------------------------------------------------------------------
