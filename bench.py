@@ -43,14 +43,14 @@ CACHE_LEN = PROMPT_LEN + NEW_TOKENS
 LAYERS = int(os.environ.get("BENCH_LAYERS", "0"))  # 0 = full depth
 
 
-# LLM weight format: int8 (weights-only, per-channel) halves HBM bytes
-# per decode step — decode is bandwidth-bound. int4 (nibble-packed,
-# g=128, Pallas decode matmul) halves weight HBM again but measured
-# SLOWER end to end (67.6 vs 91 tok/s: the unpack compute exceeds the
-# bandwidth saved), so it is opt-in. BENCH_LLM_DTYPE selects
-# int8 (default) / int4 / bf16. BENCH_FUSE=0 disables the fused
+# LLM weight format: decode is bandwidth-bound, so narrower weights win
+# as long as the kernel stays on the HBM roofline. int4 (nibble-packed,
+# g=128, W4A8 stacked Pallas matvec with scalar-prefetch layer select —
+# zero per-layer slice copies) is the default: measured 8.31 ms/step 7B
+# (vs int8's 11.42) and 14.85 ms/step 13B (vs 22.24). BENCH_LLM_DTYPE
+# selects int4 (default) / int8 / bf16. BENCH_FUSE=0 disables the fused
 # wqkv / gate_up decode layouts.
-LLM_DTYPE = os.environ.get("BENCH_LLM_DTYPE", "int8")
+LLM_DTYPE = os.environ.get("BENCH_LLM_DTYPE", "int4")
 FUSE = os.environ.get("BENCH_FUSE", "1") == "1"
 # BENCH_MODEL=13b benches Vicuna-13B (the reference's larger config);
 # int8 weights (~13 GB) are tight on a 16 GB chip, int4 (~6.6 GB) is
