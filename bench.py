@@ -56,6 +56,15 @@ FUSE = os.environ.get("BENCH_FUSE", "1") == "1"
 # int8 weights (~13 GB) are tight on a 16 GB chip, int4 (~6.6 GB) is
 # the intended single-chip 13B format.
 MODEL_SIZE = os.environ.get("BENCH_MODEL", "7b")
+# KV cache dtype: bf16 measures fastest at bench lengths (the int8
+# cache pays quantize-on-write + scale-stream overhead that exceeds its
+# DMA saving until contexts get long/batched); int8 weights keep the
+# int8 cache for 13B HBM headroom. BENCH_KV_DTYPE=int8|bf16 overrides.
+_KV_ENV = os.environ.get("BENCH_KV_DTYPE", "")
+if _KV_ENV:
+    CACHE_DTYPE = "int8" if _KV_ENV == "int8" else "bf16"
+else:
+    CACHE_DTYPE = "int8" if LLM_DTYPE == "int8" else "bf16"
 # BENCH_MESH=DxM (e.g. 1x8) runs the same pipeline TP/DP-sharded over a
 # ('data','model') mesh — the v5e-8 serving configuration. Requires D*M
 # visible devices (real chips, or a virtual CPU mesh for correctness
@@ -191,12 +200,11 @@ def build():
 
     encode_jit = jax.jit(encode)
 
-    cache_dtype = jnp.int8 if LLM_DTYPE in ("int8", "int4") else jnp.bfloat16
-
     def prefill(params, input_ids, seq_lens, feats):
         return video_llava.prefill(
             params, cfg, input_ids, seq_lens, feats[None], CACHE_LEN,
-            cache_dtype, mesh=mesh,
+            jnp.int8 if CACHE_DTYPE == "int8" else jnp.bfloat16,
+            mesh=mesh,
         )
 
     prefill_jit = jax.jit(prefill)
@@ -265,10 +273,11 @@ def main():
                    else "1 chip")
                 + ", clip bf16, llm "
                 + {
-                    "int4": "int4 weights-only (g=128, Pallas matmul) "
-                            "+ int8 kv cache",
-                    "int8": "int8 weights-only + int8 kv cache",
+                    "int4": "int4 W4A8 (g=128, stacked Pallas matvec)",
+                    "int8": "int8 weights-only",
                 }.get(LLM_DTYPE, "bf16")
+                + f" + {CACHE_DTYPE}"
+                  " kv cache"
                 + ("" if FUSE or LLM_DTYPE == "bf16" else ", unfused")
             ),
             "new_tokens": NEW_TOKENS,

@@ -44,8 +44,11 @@ def test_int8_cache_matches_dequantized_reference():
         q, _dequantize_kv(kq, ks, jnp.float32),
         _dequantize_kv(vq, vs, jnp.float32), kv_valid_len=lens,
     )
+    # llama._quantize_kv returns the 4D KVCache scale layout; per-layer
+    # kernels take the broadcastable (..., h, 1) form
     got = decode_attention_pallas(
-        q, kq, vq, lens, k_scale=ks, v_scale=vs, block_l=32, interpret=True
+        q, kq, vq, lens, k_scale=ks[..., None], v_scale=vs[..., None],
+        block_l=32, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
 
@@ -96,3 +99,61 @@ def test_mxu_full_and_single_block_lengths():
     got = decode_attention_mxu(q, k, v, lens, block_l=32, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=3e-2, rtol=3e-2)
+
+
+def test_mxu_stacked_matches_per_layer():
+    """Whole-cache scalar-prefetch variant == slicing each layer into
+    the per-layer MXU kernel (bf16 and int8 caches)."""
+    from video_llava_tpu.ops.attention import (
+        decode_attention_mxu,
+        decode_attention_mxu_stacked,
+    )
+
+    rng = np.random.default_rng(6)
+    nl, b, L, h, d = 3, 2, 64, 4, 32
+    q = jnp.asarray(rng.normal(size=(b, 1, h, d)).astype(np.float32))
+    kf = jnp.asarray(rng.normal(size=(nl, b, L, h, d)).astype(np.float32))
+    vf = jnp.asarray(rng.normal(size=(nl, b, L, h, d)).astype(np.float32))
+    lens = jnp.asarray([23, 64], jnp.int32)
+    for li in range(nl):
+        want = decode_attention_mxu(
+            q, kf[li], vf[li], lens, block_l=32, interpret=True
+        )
+        got = decode_attention_mxu_stacked(
+            q, kf, vf, jnp.int32(li), lens, block_l=32, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-6
+        )
+
+
+def test_mxu_stacked_int8_cache_matches_per_layer():
+    from video_llava_tpu.ops.attention import (
+        decode_attention_mxu,
+        decode_attention_mxu_stacked,
+    )
+
+    rng = np.random.default_rng(7)
+    nl, b, L, h, d = 2, 1, 64, 4, 32
+    q = jnp.asarray(rng.normal(size=(b, 1, h, d)).astype(np.float32))
+    k = rng.normal(size=(nl, b, L, h, d)).astype(np.float32)
+    v = rng.normal(size=(nl, b, L, h, d)).astype(np.float32)
+    ks = np.abs(k).max(-1, keepdims=True) / 127.0 + 1e-8
+    vs = np.abs(v).max(-1, keepdims=True) / 127.0 + 1e-8
+    kq = jnp.asarray(np.clip(np.round(k / ks), -127, 127).astype(np.int8))
+    vq = jnp.asarray(np.clip(np.round(v / vs), -127, 127).astype(np.int8))
+    ks, vs = jnp.asarray(ks), jnp.asarray(vs)
+    lens = jnp.asarray([50], jnp.int32)
+    for li in range(nl):
+        want = decode_attention_mxu(
+            q, kq[li], vq[li], lens, k_scale=ks[li], v_scale=vs[li],
+            block_l=32, interpret=True,
+        )
+        # stacked variant takes the KVCache 4D scale layout (no unit dim)
+        got = decode_attention_mxu_stacked(
+            q, kq, vq, jnp.int32(li), lens, k_scale=ks[..., 0],
+            v_scale=vs[..., 0], block_l=32, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-6
+        )

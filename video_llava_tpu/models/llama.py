@@ -37,6 +37,7 @@ from video_llava_tpu.models.layers import (
 )
 from video_llava_tpu.ops.attention import (
     decode_attention,
+    decode_attention_stacked,
     multi_head_attention,
 )
 
@@ -48,13 +49,16 @@ class KVCache(NamedTuple):
     length: (batch,) int32 — number of valid entries per sequence.
     With dtype=jnp.int8 the cache stores symmetric per-(position, head)
     quantized values plus fp32 scales — decode is HBM-bound and the
-    cache read halves.
+    cache read halves. Scales are stored 4D (no trailing unit dim) so
+    the head axis rides the TPU lane dimension: a (bl, h, 1) Pallas
+    block is a 1-lane DMA and measurably stalls the decode kernel's
+    pipeline (~2.4 ms/step at a 2048 cache).
     """
 
     k: jax.Array
     v: jax.Array
     length: jax.Array
-    k_scale: Optional[jax.Array] = None  # (L, b, max_len, h_kv, 1) f32
+    k_scale: Optional[jax.Array] = None  # (L, b, max_len, h_kv) f32
     v_scale: Optional[jax.Array] = None
 
     @classmethod
@@ -63,7 +67,7 @@ class KVCache(NamedTuple):
     ) -> "KVCache":
         shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
         if dtype == jnp.int8:
-            sshape = shape[:-1] + (1,)
+            sshape = shape[:-1]
             return cls(
                 k=jnp.zeros(shape, jnp.int8),
                 v=jnp.zeros(shape, jnp.int8),
@@ -79,15 +83,16 @@ class KVCache(NamedTuple):
 
 
 def _quantize_kv(x: jax.Array):
-    """(b, s, h_kv, hd) -> (int8 values, (b, s, h_kv, 1) f32 scales)."""
+    """(b, s, h_kv, hd) -> (int8 values, (b, s, h_kv) f32 scales)."""
     absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
     scale = jnp.maximum(absmax, 1e-8) / 127.0
     q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
-    return q.astype(jnp.int8), scale
+    return q.astype(jnp.int8), scale[..., 0]
 
 
 def _dequantize_kv(q: jax.Array, scale: jax.Array, dtype=jnp.bfloat16):
-    return (q.astype(jnp.float32) * scale).astype(dtype)
+    """q (..., h, hd) x scale (..., h) -> dequantized values."""
+    return (q.astype(jnp.float32) * scale[..., None]).astype(dtype)
 
 
 def _layer_init(key, cfg: LlamaConfig, dtype):
@@ -120,26 +125,53 @@ def init_params(key, cfg: LlamaConfig, dtype=jnp.bfloat16):
     }
 
 
+def _write_full_cache(full, new, pos, li):
+    """Write new (b, s, h, hd) into the scan-carried full cache
+    (NL, b, ML, h, hd) at (layer=li, row i, position pos_i).
+
+    A static Python loop over the batch dim chains plain
+    dynamic_update_slice ops, which XLA performs IN PLACE on a loop
+    carry. (A vmap-of-dus over the batch axis lowers to a scatter that
+    copies the whole cache — measured 6-13x slower per decode step.)
+    Handles both the 5D value cache and the 4D scale cache."""
+    zero = jnp.int32(0)
+    trail = (zero,) * (full.ndim - 3)
+    for i in range(new.shape[0]):
+        full = jax.lax.dynamic_update_slice(
+            full,
+            new[i][None, None].astype(full.dtype),
+            (li, jnp.int32(i), pos[i]) + trail,
+        )
+    return full
+
+
 def _attention_block(
     p,
     x: jax.Array,
     cos: jax.Array,
     sin: jax.Array,
     cfg: LlamaConfig,
-    layer_k: Optional[jax.Array],
-    layer_v: Optional[jax.Array],
+    cache_k: Optional[jax.Array],  # (NL, b, ML, h_kv, hd) full cache
+    cache_v: Optional[jax.Array],
     cache_len: Optional[jax.Array],
     write_pos: Optional[jax.Array],
-    layer_k_scale: Optional[jax.Array] = None,
-    layer_v_scale: Optional[jax.Array] = None,
+    li: Optional[jax.Array] = None,  # () int32 layer index
+    cache_k_scale: Optional[jax.Array] = None,
+    cache_v_scale: Optional[jax.Array] = None,
 ):
     """Self-attention with optional KV-cache read/write.
 
-    Returns (output, new_k, new_v, new_k_scale, new_v_scale). With a
-    cache, new keys are written at write_pos (per-batch offsets) and
-    attention runs over the cache masked to cache_len. int8 caches
-    quantize on write (per position/head) and dequantize fused into the
-    attention reads.
+    Returns (output, new_k, new_v, new_k_scale, new_v_scale) where the
+    new_* are the FULL stacked cache arrays updated at layer li. The
+    cache stays whole through the layer scan (carry, not xs/ys):
+    scan-slicing it cost a materialized per-layer copy into the Pallas
+    decode kernel plus xs/ys roll copies at the loop boundary — the
+    carry + indexed-update form keeps every update in place, and the
+    decode read selects the layer block via scalar prefetch
+    (ops.attention.decode_attention_stacked). New keys are written at
+    write_pos (per-batch offsets) and attention runs over the cache
+    masked to cache_len. int8 caches quantize on write (per
+    position/head) and dequantize fused into the attention reads.
     """
     b, s, d = x.shape
     h, h_kv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -157,49 +189,58 @@ def _attention_block(
     k = apply_rope(k, cos, sin)
 
     new_k = new_v = new_ks = new_vs = None
-    if layer_k is None:
+    if cache_k is None:
         out = multi_head_attention(q, k, v, causal=True)
     else:
-        # Write the new keys/values into the cache at write_pos.
-        def write_one(cache, new, pos):
-            return jax.lax.dynamic_update_slice(cache, new, (pos, 0, 0))
-
-        if layer_k_scale is not None:  # int8 cache
+        if cache_k_scale is not None:  # int8 cache
             kq, ks = _quantize_kv(k)
             vq, vs = _quantize_kv(v)
-            new_k = jax.vmap(write_one)(layer_k, kq, write_pos)
-            new_v = jax.vmap(write_one)(layer_v, vq, write_pos)
-            new_ks = jax.vmap(write_one)(layer_k_scale, ks, write_pos)
-            new_vs = jax.vmap(write_one)(layer_v_scale, vs, write_pos)
+            new_k = _write_full_cache(cache_k, kq, write_pos, li)
+            new_v = _write_full_cache(cache_v, vq, write_pos, li)
+            new_ks = _write_full_cache(cache_k_scale, ks, write_pos, li)
+            new_vs = _write_full_cache(cache_v_scale, vs, write_pos, li)
             if s == 1:
-                out = linear(p["wo"], decode_attention(
-                    q, new_k, new_v, cache_len, k_scale=new_ks,
+                out = linear(p["wo"], decode_attention_stacked(
+                    q, new_k, new_v, li, cache_len, k_scale=new_ks,
                     v_scale=new_vs,
                 ).reshape(b, s, h * hd))
                 return out, new_k, new_v, new_ks, new_vs
             # Not a materialized copy: the s>1 cached path below goes
             # through multi_head_attention's XLA-reference dispatch
             # (kv_valid_len/q_offset force it off Pallas), and XLA
-            # fuses this elementwise dequant into the einsum operand
-            # read. Measured: the 9-token speculative verify forward
-            # costs 11.04 ms vs 10.82 ms for an s=1 step.
-            k_read = _dequantize_kv(new_k, new_ks, q.dtype)
-            v_read = _dequantize_kv(new_v, new_vs, q.dtype)
-        else:
-            new_k = jax.vmap(write_one)(layer_k, k.astype(layer_k.dtype),
-                                        write_pos)
-            new_v = jax.vmap(write_one)(layer_v, v.astype(layer_v.dtype),
-                                        write_pos)
-            k_read, v_read = new_k, new_v
-        if s == 1:
-            out = decode_attention(q, k_read, v_read, cache_len)
-        else:
-            # (Chunked) prefill: row b's queries occupy cache positions
-            # [write_pos_b, write_pos_b + s).
-            out = multi_head_attention(
-                q, k_read, v_read, causal=True, kv_valid_len=cache_len,
-                q_offset=write_pos,
+            # fuses the layer slice + elementwise dequant into the
+            # einsum operand read. Measured: the 9-token speculative
+            # verify forward costs 11.04 ms vs 10.82 ms for an s=1
+            # step.
+            layer_of = lambda a: jax.lax.dynamic_index_in_dim(
+                a, li, 0, keepdims=False
             )
+            k_read = _dequantize_kv(layer_of(new_k), layer_of(new_ks),
+                                    q.dtype)
+            v_read = _dequantize_kv(layer_of(new_v), layer_of(new_vs),
+                                    q.dtype)
+        else:
+            new_k = _write_full_cache(
+                cache_k, k.astype(cache_k.dtype), write_pos, li
+            )
+            new_v = _write_full_cache(
+                cache_v, v.astype(cache_v.dtype), write_pos, li
+            )
+            if s == 1:
+                out = linear(p["wo"], decode_attention_stacked(
+                    q, new_k, new_v, li, cache_len,
+                ).reshape(b, s, h * hd))
+                return out, new_k, new_v, new_ks, new_vs
+            layer_of = lambda a: jax.lax.dynamic_index_in_dim(
+                a, li, 0, keepdims=False
+            )
+            k_read, v_read = layer_of(new_k), layer_of(new_v)
+        # (Chunked) prefill: row b's queries occupy cache positions
+        # [write_pos_b, write_pos_b + s).
+        out = multi_head_attention(
+            q, k_read, v_read, causal=True, kv_valid_len=cache_len,
+            q_offset=write_pos,
+        )
     out = linear(p["wo"], out.reshape(b, s, h * hd))
     return out, new_k, new_v, new_ks, new_vs
 
@@ -423,34 +464,40 @@ def forward_hidden(
             cache.length + inputs_embeds.shape[1]
         )
 
-        def body(h, layer_in):
-            li, layer_params, layer_k, layer_v, layer_ks, layer_vs = layer_in
+        def body(carry, layer_in):
+            h, ck, cv, cks, cvs = carry
+            li, layer_params = layer_in
             layer_params = _inject_stacked_int4(
                 layer_params, stacked_int4, li
             )
-            attn, nk, nv, nks, nvs = _attention_block(
+            attn, ck, cv, cks, cvs = _attention_block(
                 layer_params,
                 rms_norm(layer_params["input_norm"], h, cfg.rms_norm_eps),
                 cos,
                 sin,
                 cfg,
-                layer_k,
-                layer_v,
+                ck,
+                cv,
                 cache_len,
                 write_pos,
-                layer_ks,
-                layer_vs,
+                li,
+                cks,
+                cvs,
             )
             h = h + attn
             h = h + _mlp_block(
                 layer_params, rms_norm(layer_params["post_norm"], h, cfg.rms_norm_eps)
             )
-            return h, (nk, nv, nks, nvs)
+            return (h, ck, cv, cks, cvs), None
 
-        x, (new_k, new_v, new_ks, new_vs) = jax.lax.scan(
-            body, x,
-            (layer_ids, scanned_layers, cache.k, cache.v, cache.k_scale,
-             cache.v_scale),
+        # The cache rides the CARRY (updated in place at layer li), not
+        # the scan xs/ys: the xs/ys form paid a read+write roll of the
+        # whole cache every step plus a materialized per-layer slice
+        # into the Pallas decode kernel.
+        (x, new_k, new_v, new_ks, new_vs), _ = jax.lax.scan(
+            body,
+            (x, cache.k, cache.v, cache.k_scale, cache.v_scale),
+            (layer_ids, scanned_layers),
         )
         new_cache = KVCache(
             k=new_k, v=new_v, length=cache_len, k_scale=new_ks, v_scale=new_vs

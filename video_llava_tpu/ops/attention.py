@@ -841,6 +841,10 @@ def _decode_attn_mxu_kernel(
     qd_ref: (1, h, h*d) bf16 (pre-scaled, block-diagonal);
     k_ref/v_ref: (1, bl, h*d) int8|any; ks/vs_ref: (1, bl, h) f32;
     o_ref: (1, 1, h*d); scratch: m/l (1, h) f32, acc (h, h*d) f32.
+
+    The whole-cache variant used inside the layer scan is a separate
+    kernel (_decode_attn_mxu_stacked_kernel) operating on native
+    (bl, h, d) blocks.
     """
     bi = pl.program_id(0)
     li = pl.program_id(1)
@@ -970,6 +974,216 @@ def decode_attention_mxu(
         interpret=interpret,
     )(cache_len, qd, kf, ks, vf, vs)
     return out.reshape(b, 1, h, d)
+
+
+def _decode_attn_mxu_stacked_kernel(
+    len_ref, li_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref,
+    m_ref, l_ref, acc_ref, *,
+    block_l: int, quantized: bool, h: int, d: int,
+):
+    """Whole-cache MXU decode attention over NATIVE (bl, h, d) cache
+    blocks (no flattening of the cache in HBM: merging (h, d) into one
+    axis is a sublane->lane relayout, and doing it outside the kernel
+    materialized the full 168 MB cache per layer — profiled at ~366 us
+    per layer, 12 ms/step).
+
+    Inside the kernel only LEADING dims merge ((bl, h, d) -> (bl*h, d),
+    layout-preserving), and both contractions still ride the MXU by
+    computing all head-pair products and masking the diagonal:
+
+      sc(bl*h, h)  = K2(bl*h, d) @ Q^T(d, h)     # all (pos*head, head)
+      s(bl, h)     = diag_j(sc.reshape(bl, h, h))  # j == head
+      acc(h, d)   += P2t^T(h, bl*h) @ V2(bl*h, d)
+
+    where P2t(bl*h, h) spreads p(bl, h) onto the head diagonal. The
+    h-fold redundant MXU work is ~0.2 us/block; per-(position, head)
+    int8 cache scales fold into s (k) and into p (v) after the dots.
+
+    len_ref/li_ref: scalar prefetch ((b,) lengths, (1,) layer index);
+    q_ref: (1, h, d) bf16 pre-scaled; k/v_ref: (1, 1, bl, h, d);
+    ks/vs_ref: (1, 1, bl, h) f32 — 4D, h in lanes: a (bl, h, 1)
+    trailing-unit block is a 1-lane DMA that stalls the pipeline;
+    o_ref: (1, 1, h, d); scratch: m/l (1, h) f32, acc (h, d) f32.
+    """
+    del li_ref  # consumed by the index maps
+    bi = pl.program_id(0)
+    lb = pl.program_id(1)
+    num_lb = pl.num_programs(1)
+    length = len_ref[bi]
+
+    @pl.when(lb == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(lb * block_l < length)
+    def _step():
+        k2 = k_ref[0, 0].reshape(block_l * h, d).astype(jnp.bfloat16)
+        sc = jax.lax.dot_general(
+            k2, q_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(block_l, h, h)  # [l, i, j] = k_{l,i} . q_j
+        eye = jax.lax.broadcasted_iota(
+            jnp.int32, (block_l, h, h), 1
+        ) == jax.lax.broadcasted_iota(jnp.int32, (block_l, h, h), 2)
+        s = jnp.sum(jnp.where(eye, sc, 0.0), axis=2)  # (bl, h)
+        if quantized:
+            s = s * ks_ref[0, 0]
+        pos = lb * block_l + jax.lax.broadcasted_iota(
+            jnp.int32, (block_l, h), 0
+        )
+        s = jnp.where(pos < length, s, DEFAULT_MASK_VALUE)
+        m_prev = m_ref[:]  # (1, h)
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=0, keepdims=True))
+        p = jnp.exp(s - m_new)  # (bl, h) f32
+        alpha = jnp.exp(m_prev - m_new)  # (1, h)
+        l_ref[:] = alpha * l_ref[:] + jnp.sum(p, axis=0, keepdims=True)
+        m_ref[:] = m_new
+        pv = p * vs_ref[0, 0] if quantized else p  # (bl, h)
+        # spread pv onto the head diagonal: P2t[l*h+j, i] = pv[l,i]δij
+        p2t = jnp.where(eye, pv[:, None, :], 0.0).reshape(
+            block_l * h, h
+        )
+        v2 = v_ref[0, 0].reshape(block_l * h, d).astype(jnp.bfloat16)
+        acc_ref[:] = alpha.T * acc_ref[:] + jax.lax.dot_general(
+            p2t.astype(jnp.bfloat16), v2, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (h, d)
+
+    @pl.when(lb == num_lb - 1)
+    def _finalize():
+        o_ref[0, 0] = (
+            acc_ref[:] / jnp.maximum(l_ref[:].T, 1e-30)
+        ).astype(o_ref.dtype)
+
+
+def decode_attention_mxu_stacked(
+    q: jax.Array,  # (b, 1, h, d)
+    k_cache: jax.Array,  # (NL, b, L, h, d) bf16 or int8 (MHA)
+    v_cache: jax.Array,
+    layer: jax.Array,  # () int32
+    cache_len: jax.Array,  # (b,)
+    k_scale: Optional[jax.Array] = None,  # (NL, b, L, h) when int8
+    v_scale: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+    block_l: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    """MXU decode attention against ONE layer of the whole stacked KV
+    cache: the layer block is selected by a scalar-prefetch index_map,
+    so the scan passes the full (NL, ...) cache untouched — no
+    per-layer slice, no cache-wide relayout. -> (b, 1, h, d). MHA
+    only. block_l caps at 128: the all-head-pair temporaries are h x
+    bigger than the flat kernel's, and 256 overflows the 16 MB scoped
+    VMEM at h=32."""
+    b, _, h, d = q.shape
+    nl, _, L, h_kv = k_cache.shape[:4]
+    assert h_kv == h, "MXU decode kernel is MHA-only"
+    scale = scale if scale is not None else 1.0 / (d**0.5)
+    quantized = k_scale is not None
+    block_l = next(
+        (bl for bl in (block_l, 128, 64, 32, 16) if L % bl == 0), L
+    )
+
+    qs = (q[:, 0] * scale).astype(jnp.bfloat16)  # (b, h, d)
+    if quantized:
+        ks = k_scale.astype(jnp.float32)
+        vs = v_scale.astype(jnp.float32)
+    else:  # dummy operands keep one kernel signature
+        ks = jnp.ones((1, b, 1, h), jnp.float32)
+        vs = ks
+
+    s_bl = block_l if quantized else 1
+    li = layer.reshape(1).astype(jnp.int32)
+
+    def kv_map(bi, lb, len_ref, li_ref):
+        return (li_ref[0], bi, lb, 0, 0)
+
+    def s_map(bi, lb, len_ref, li_ref):
+        if quantized:
+            return (li_ref[0], bi, lb, 0)
+        return (0, bi, 0, 0)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _decode_attn_mxu_stacked_kernel, block_l=block_l,
+            quantized=quantized, h=h, d=d,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b, L // block_l),
+            in_specs=[
+                pl.BlockSpec((1, h, d),
+                             lambda bi, lb, len_ref, li_ref: (bi, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_l, h, d), kv_map,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, s_bl, h), s_map,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_l, h, d), kv_map,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, s_bl, h), s_map,
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, h, d),
+                lambda bi, lb, len_ref, li_ref: (bi, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((1, h), jnp.float32),
+                pltpu.VMEM((1, h), jnp.float32),
+                pltpu.VMEM((h, d), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, 1, h, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(cache_len, li, qs, k_cache, ks, v_cache, vs)
+    return out
+
+
+def decode_attention_stacked(
+    q: jax.Array,  # (b, 1, h, d)
+    k_cache: jax.Array,  # (NL, b, L, h_kv, d)
+    v_cache: jax.Array,
+    layer: jax.Array,  # () int32
+    cache_len: jax.Array,  # (b,)
+    k_scale: Optional[jax.Array] = None,  # (NL, b, L, h_kv) when int8
+    v_scale: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """decode_attention against layer `layer` of the scan-carried full
+    KV cache. TPU MHA takes the zero-copy scalar-prefetch MXU kernel;
+    everything else slices the layer and reuses decode_attention (the
+    slice then fuses into XLA's einsums, so nothing is lost there).
+    Scales arrive 4D (KVCache layout) and regain the trailing unit dim
+    at the per-layer boundary."""
+    h, h_kv = q.shape[2], k_cache.shape[3]
+    L = k_cache.shape[2]
+    if (
+        _DEFAULT_IMPL != "xla"
+        and jax.default_backend() == "tpu"
+        and h == h_kv
+        and (h * q.shape[3]) % 128 == 0
+        and L % 16 == 0
+    ):
+        return decode_attention_mxu_stacked(
+            q, k_cache, v_cache, layer, cache_len,
+            k_scale=k_scale, v_scale=v_scale, scale=scale,
+        )
+    idx = lambda a: (
+        None if a is None
+        else jax.lax.dynamic_index_in_dim(a, layer, 0, keepdims=False)
+    )
+    idx_s = lambda a: None if a is None else idx(a)[..., None]
+    return decode_attention(
+        q, idx(k_cache), idx(v_cache), cache_len,
+        k_scale=idx_s(k_scale), v_scale=idx_s(v_scale), scale=scale,
+    )
 
 
 def decode_attention_pallas(

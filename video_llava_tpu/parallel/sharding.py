@@ -138,6 +138,11 @@ def cache_spec() -> P:
     return P(None, "data", None, "model", None)
 
 
+def cache_scale_spec() -> P:
+    """int8 KV-cache scales (L, b, len, h_kv) — 4D, same sharding."""
+    return P(None, "data", None, "model")
+
+
 def divisible_spec(spec: P, shape, mesh: Mesh) -> P:
     """Drop mesh axes from dims they don't evenly divide (e.g. a 32006
     vocab on an 8-way 'model' axis): the dim falls back to replicated
@@ -174,8 +179,8 @@ def constrain_kv_cache(cache, mesh: Mesh):
         k=pin(cache.k, cache_spec()),
         v=pin(cache.v, cache_spec()),
         length=pin(cache.length, P("data")),
-        k_scale=pin(cache.k_scale, cache_spec()),
-        v_scale=pin(cache.v_scale, cache_spec()),
+        k_scale=pin(cache.k_scale, cache_scale_spec()),
+        v_scale=pin(cache.v_scale, cache_scale_spec()),
     )
 
 
