@@ -366,3 +366,53 @@ def test_stacked_int4_decode_step_matches_unstacked_matmul():
             int4_matmul_stacked(x, packed, scales, jnp.int32(li))
         )
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("nb", [2, 4])
+def test_w4a8_batched_matches_xla_twin(nb):
+    """Batched decode W4A8 kernel: per-row static loop, weights stream
+    once — each row must match the per-row XLA twin."""
+    from video_llava_tpu.ops.quant4 import int4_matmul_w4a8_xla
+
+    rng = np.random.default_rng(8)
+    d, f = 128, 256
+    w = jnp.asarray(rng.normal(size=(d, f)).astype(np.float32))
+    packed, scales = quantize_tensor_int4(w, group_size=32)
+    x = jnp.asarray(rng.normal(size=(nb, d)).astype(np.float32))
+    got = np.asarray(
+        int4_matmul_pallas(x, packed, scales, interpret=True, a8=True)
+    )
+    for r in range(nb):
+        want = np.asarray(int4_matmul_w4a8_xla(x[r : r + 1], packed, scales))
+        np.testing.assert_allclose(got[r : r + 1], want, rtol=1e-4, atol=1e-4)
+
+
+def test_int4_stacked_batched_matches_per_layer():
+    from video_llava_tpu.ops.quant4 import (
+        _int4_matvec_stacked_pallas,
+        int4_matmul_w4a8_xla,
+    )
+
+    rng = np.random.default_rng(9)
+    nl, nb, d, f = 2, 3, 128, 256
+    packed_l, scales_l = [], []
+    for _ in range(nl):
+        w = jnp.asarray(rng.normal(size=(d, f)).astype(np.float32))
+        p, s = quantize_tensor_int4(w, group_size=32)
+        packed_l.append(p)
+        scales_l.append(s)
+    packed, scales = jnp.stack(packed_l), jnp.stack(scales_l)
+    x = jnp.asarray(rng.normal(size=(nb, d)).astype(np.float32))
+    for li in range(nl):
+        got = np.asarray(
+            _int4_matvec_stacked_pallas(
+                x, packed, scales, jnp.int32(li), interpret=True
+            )
+        )
+        for r in range(nb):
+            want = np.asarray(
+                int4_matmul_w4a8_xla(x[r : r + 1], packed[li], scales[li])
+            )
+            np.testing.assert_allclose(
+                got[r : r + 1], want, rtol=1e-4, atol=1e-4
+            )

@@ -220,8 +220,8 @@ def _w4_matvec_kernel(xc_ref, w_ref, s_ref, o_ref, *, groups_half: int):
 
 
 def _w4a8_matvec_kernel(x_ref, w_ref, s_ref, o_ref, *,
-                        groups_half: int, ga: int):
-    """Decode (batch=1) W4A8 variant: activations are pre-quantized to
+                        groups_half: int, ga: int, nb: int):
+    """Small-batch decode W4A8 variant: activations are pre-quantized to
     int8 (per contraction group), so the per-group partials run as int8
     MXU dots (2x the bf16 MXU rate) and the nibble unpack stays in int8
     (two 1-byte-lane shifts per byte, ~4x the f32 VPU width). The f32
@@ -244,17 +244,26 @@ def _w4a8_matvec_kernel(x_ref, w_ref, s_ref, o_ref, *,
     the per-F-block recompute is free VPU work) — hoisting it to XLA
     cost ~100 us/layer of small-op dispatch between the pallas calls.
 
-    x_ref: (1, 2*Dh) f32 activations; w_ref: (Dh, bf) packed int8;
-    s_ref: (G, bf) weight scales; o_ref: (1, bf) f32.
+    Batch rows (nb <= A8_MAX_BATCH) run as a STATIC per-row loop: the
+    weight block still streams once per step for the whole batch, while
+    VMEM temporaries stay at their batch-1 size (a fused (nb*G, D) f32
+    spread would hit 15 MB for `down` at nb=4, and caching the spread
+    in scratch measured SLOWER — the (G, 1) scale scratch reads are
+    1-lane stalls).
+
+    x_ref: (nb, 2*Dh) f32 activations; w_ref: (Dh, bf) packed int8;
+    s_ref: (G, bf) weight scales; o_ref: (nb, bf) f32.
     ga: number of activation groups (== weight groups, or 2 when the
     weight scale is per-tensor).
     """
     _w4a8_matvec_body(
-        x_ref, w_ref[:], s_ref[:], o_ref, groups_half=groups_half, ga=ga
+        x_ref, w_ref[:], s_ref[:], o_ref,
+        groups_half=groups_half, ga=ga, nb=nb,
     )
 
 
-def _w4a8_matvec_body(x_ref, w, s_raw, o_ref, *, groups_half: int, ga: int):
+def _w4a8_matvec_body(x_ref, w, s_raw, o_ref, *,
+                      groups_half: int, ga: int, nb: int):
     dh, bf = w.shape
     d = 2 * dh
     # Mosaic rejects 1-byte-lane shifts: unpack via int32 shifts, then
@@ -270,42 +279,46 @@ def _w4a8_matvec_body(x_ref, w, s_raw, o_ref, *, groups_half: int, ga: int):
     g_rows = d // ga
     col_group = jax.lax.broadcasted_iota(jnp.int32, (ga, d), 1) // g_rows
     row_id = jax.lax.broadcasted_iota(jnp.int32, (ga, d), 0)
-    x_rows = jnp.broadcast_to(
-        x_ref[0:1, :].astype(jnp.float32), (ga, d)
-    )
-    # block-diagonal spread of x (row g = group g's columns, else 0),
-    # then per-group absmax scales as row reductions — the f32 select is
-    # layout-safe (i1 and f32 share (8,128) tiling; selecting in i8 hit
-    # "Invalid relayout" against i8's (32,128) tiling).
-    xm = jnp.where(col_group == row_id, x_rows, 0.0)  # (ga, d) f32
-    sx = jnp.maximum(
-        jnp.max(jnp.abs(xm), axis=1, keepdims=True), 1e-8
-    ) / 127.0  # (ga, 1)
-    xdiag = (
-        jnp.clip(jnp.round(xm / sx), -127, 127)
-        .astype(jnp.int32)
-        .astype(jnp.int8)
-    )
-    part = jnp.dot(
-        xdiag, q, preferred_element_type=jnp.int32
-    ).astype(jnp.float32)  # (ga, bf) per-group partials
+    diag = col_group == row_id
     sw = s_raw.astype(jnp.float32)  # (G, bf)
-    if groups_half == 0:
-        # per-tensor weight scale (s has one row), 2 activation groups
-        acc = jnp.sum(part * sx, axis=0, keepdims=True) * sw[0:1]
-    else:
-        acc = jnp.sum(part * sx * sw, axis=0, keepdims=True)
-    o_ref[:] = acc
+    for r in range(nb):  # static: nb is a compile-time constant
+        x_rows = jnp.broadcast_to(
+            x_ref[r : r + 1, :].astype(jnp.float32), (ga, d)
+        )
+        # block-diagonal spread of row r (spread row g = group g's
+        # columns, else 0), then per-group absmax scales as row
+        # reductions — the f32 select is layout-safe (i1 and f32 share
+        # (8,128) tiling; selecting in i8 hit "Invalid relayout"
+        # against i8's (32,128) tiling).
+        xm = jnp.where(diag, x_rows, 0.0)  # (ga, d) f32
+        sx = jnp.maximum(
+            jnp.max(jnp.abs(xm), axis=1, keepdims=True), 1e-8
+        ) / 127.0  # (ga, 1)
+        xdiag = (
+            jnp.clip(jnp.round(xm / sx), -127, 127)
+            .astype(jnp.int32)
+            .astype(jnp.int8)
+        )
+        part = jnp.dot(
+            xdiag, q, preferred_element_type=jnp.int32
+        ).astype(jnp.float32)  # (ga, bf) per-group partials
+        if groups_half == 0:
+            # per-tensor weight scale (s has one row), 2 groups
+            acc = jnp.sum(part * sx, axis=0, keepdims=True) * sw[0:1]
+        else:
+            acc = jnp.sum(part * sx * sw, axis=0, keepdims=True)
+        o_ref[r : r + 1] = acc
 
 
 def _w4a8_matvec_stacked_kernel(li_ref, x_ref, w_ref, s_ref, o_ref, *,
-                                groups_half: int, ga: int):
+                                groups_half: int, ga: int, nb: int):
     """Stacked-layer wrapper of _w4a8_matvec_kernel: w_ref/s_ref blocks
     carry a leading singleton layer dim selected by the scalar-prefetch
     layer index (see int4_matmul_stacked)."""
     del li_ref
     _w4a8_matvec_body(
-        x_ref, w_ref[0], s_ref[0], o_ref, groups_half=groups_half, ga=ga
+        x_ref, w_ref[0], s_ref[0], o_ref,
+        groups_half=groups_half, ga=ga, nb=nb,
     )
 
 
@@ -382,21 +395,21 @@ def int4_matmul_pallas(
     # bf16 halves (Dh, bf) each -> cap Dh * bf at 1.5M elements.
     groups_half = n_groups // 2 if n_groups > 1 else 0
 
-    if b == 1 and a8:  # decode: int8-MXU W4A8 kernel
+    if b <= A8_MAX_BATCH and a8:  # (batched) decode: int8-MXU W4A8
         ga = n_groups if n_groups > 1 else 2
         bf = _pick_block(f, (512, 256, 128), max_elems=1 << 21, other_dim=dh)
         return pl.pallas_call(
             functools.partial(
-                _w4a8_matvec_kernel, groups_half=groups_half, ga=ga
+                _w4a8_matvec_kernel, groups_half=groups_half, ga=ga, nb=b
             ),
             grid=(f // bf,),
             in_specs=[
-                pl.BlockSpec((1, d), lambda j: (0, 0)),
+                pl.BlockSpec((b, d), lambda j: (0, 0)),
                 pl.BlockSpec((dh, bf), lambda j: (0, j)),
                 pl.BlockSpec((n_groups, bf), lambda j: (0, j)),
             ],
-            out_specs=pl.BlockSpec((1, bf), lambda j: (0, j)),
-            out_shape=jax.ShapeDtypeStruct((1, f), jnp.float32),
+            out_specs=pl.BlockSpec((b, bf), lambda j: (0, j)),
+            out_shape=jax.ShapeDtypeStruct((b, f), jnp.float32),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),
             ),
@@ -451,6 +464,14 @@ def int4_matmul_pallas(
 import os as _os
 
 _A8_DECODE = _os.environ.get("VLT_INT4_A8", "1") == "1"
+A8_MAX_BATCH = int(_os.environ.get("VLT_INT4_A8_MAX_B", "8"))
+# Max batch rows the W4A8 decode kernels take (static per-row loop;
+# weights stream once per step for the whole batch). Past this, or with
+# VLT_INT4_A8_MAX_B=1, the MXU block kernel takes over. NOTE: measured
+# on chip, batched decode (b>=4) runs FASTER on int8 weights than int4
+# (11.7 vs 12.9 ms/step at b=4, 7B) — batching amortizes the weight
+# stream, so int4's unpack compute stops paying; prefer int8 weights
+# for throughput-oriented batched serving, int4 for latency.
 
 
 def int4_matmul(x: jax.Array, packed: jax.Array, scales: jax.Array):
@@ -461,14 +482,14 @@ def int4_matmul(x: jax.Array, packed: jax.Array, scales: jax.Array):
         return int4_matmul_xla(x, packed, scales)
     xb = x.reshape(-1, d)
     y = int4_matmul_pallas(
-        xb, packed, scales, a8=_A8_DECODE and xb.shape[0] == 1
+        xb, packed, scales, a8=_A8_DECODE and xb.shape[0] <= A8_MAX_BATCH
     )
     return y.reshape(lead + (packed.shape[-1],))
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _int4_matvec_stacked_pallas(
-    x: jax.Array,  # (1, D) f32
+    x: jax.Array,  # (nb, D) f32, nb <= A8_MAX_BATCH
     packed: jax.Array,  # (L, Dh, F) int8
     scales: jax.Array,  # (L, G, F)
     layer: jax.Array,  # () int32
@@ -488,7 +509,7 @@ def _int4_matvec_stacked_pallas(
     """
     nl, dh, f = packed.shape
     n_groups = scales.shape[1]
-    d = x.shape[-1]
+    nb, d = x.shape
     assert d == 2 * dh, (d, dh)
     groups_half = n_groups // 2 if n_groups > 1 else 0
     ga = n_groups if n_groups > 1 else 2
@@ -496,13 +517,14 @@ def _int4_matvec_stacked_pallas(
     li = layer.reshape(1).astype(jnp.int32)
     return pl.pallas_call(
         functools.partial(
-            _w4a8_matvec_stacked_kernel, groups_half=groups_half, ga=ga
+            _w4a8_matvec_stacked_kernel, groups_half=groups_half, ga=ga,
+            nb=nb,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(f // bf,),
             in_specs=[
-                pl.BlockSpec((1, d), lambda j, li_ref: (0, 0),
+                pl.BlockSpec((nb, d), lambda j, li_ref: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, dh, bf),
                              lambda j, li_ref: (li_ref[0], 0, j),
@@ -511,10 +533,10 @@ def _int4_matvec_stacked_pallas(
                              lambda j, li_ref: (li_ref[0], 0, j),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, bf), lambda j, li_ref: (0, j),
+            out_specs=pl.BlockSpec((nb, bf), lambda j, li_ref: (0, j),
                                    memory_space=pltpu.VMEM),
         ),
-        out_shape=jax.ShapeDtypeStruct((1, f), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nb, f), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
@@ -528,9 +550,11 @@ def int4_matmul_stacked(
     """int4 matmul against layer `layer` of scan-stacked weights
     packed (L, Dh, F) / scales (L, G, F). x (..., D) -> (..., F) f32.
 
-    Decode (one row, TPU): zero-copy stacked Pallas kernel. Otherwise
-    (prefill, CPU): explicit layer slice + the regular dispatch — the
-    slice copy is once per prefill, not once per generated token."""
+    Decode (up to A8_MAX_BATCH rows, TPU): zero-copy stacked Pallas
+    kernel — weights stream once per step for the whole batch.
+    Otherwise (prefill, CPU): explicit layer slice + the regular
+    dispatch — the slice copy is once per prefill, not once per
+    generated token."""
     lead = x.shape[:-1]
     d = x.shape[-1]
     xb = x.reshape(-1, d)
@@ -538,7 +562,7 @@ def int4_matmul_stacked(
     if (
         jax.default_backend() == "tpu"
         and not f % 128
-        and xb.shape[0] == 1
+        and xb.shape[0] <= A8_MAX_BATCH
         and _A8_DECODE
     ):
         y = _int4_matvec_stacked_pallas(xb, packed, scales, layer)
