@@ -416,3 +416,21 @@ def test_int4_stacked_batched_matches_per_layer():
             np.testing.assert_allclose(
                 got[r : r + 1], want, rtol=1e-4, atol=1e-4
             )
+
+
+def test_int4_matmul_pallas_odd_batch():
+    """9-row (speculative-verify) forward: the batch block must fall
+    back to the whole batch dim (bb in (4,2,1) violates Mosaic's
+    multiple-of-8-or-full tiling rule); regression for a crash."""
+    rng = np.random.default_rng(10)
+    x = jnp.asarray(rng.normal(size=(9, 256)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(256, 128)).astype(np.float32))
+    packed, scales = quantize_tensor_int4(w, group_size=32)
+    want = np.asarray(
+        jnp.dot(x, dequantize_int4(packed, scales, jnp.float32))
+    )
+    rms = float(np.sqrt((want**2).mean()))
+    got = np.asarray(
+        int4_matmul_pallas(x, packed, scales, interpret=True, a8=False)
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=0.05 * rms)

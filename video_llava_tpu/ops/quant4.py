@@ -434,9 +434,14 @@ def int4_matmul_pallas(
             interpret=interpret,
         )(x.reshape(d, 1), packed, scales)
 
-    bb = _pick_block(
-        b, (256, 128, 64, 32, 16, 8, 4, 2, 1), max_elems=2 << 20, other_dim=d
-    )
+    # Batch blocks must be a multiple of 8 OR the whole batch dim
+    # (Mosaic tiling rule — bb in (4, 2, 1) lowers only when b == bb,
+    # e.g. a 9-row speculative-verify forward must take bb = 9).
+    bb = _pick_block(b, (256, 128, 64, 32, 16, 8), max_elems=2 << 20,
+                     other_dim=d)
+    if bb == b and b * d > 2 << 20:
+        # un-blockable odd batch too big for one VMEM block
+        return int4_matmul_xla(x, packed, scales)
     bf = _pick_block(f, (512, 256, 128), max_elems=3 << 19, other_dim=dh)
 
     out = pl.pallas_call(
