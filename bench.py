@@ -56,6 +56,10 @@ FUSE = os.environ.get("BENCH_FUSE", "1") == "1"
 # int8 weights (~13 GB) are tight on a 16 GB chip, int4 (~6.6 GB) is
 # the intended single-chip 13B format.
 MODEL_SIZE = os.environ.get("BENCH_MODEL", "7b")
+# CLIP tower dtype: bf16 (default) or int8 (W8A8 — activations+weights
+# int8 on the MXU at 2x the bf16 rate; the encoder is compute-bound at
+# ~91% of the bf16 roofline, so weights-only int8 buys nothing there).
+CLIP_DTYPE = os.environ.get("BENCH_CLIP_DTYPE", "bf16")
 # KV cache dtype: bf16 measures fastest at bench lengths (the int8
 # cache pays quantize-on-write + scale-stream overhead that exceeds its
 # DMA saving until contexts get long/batched); int8 weights keep the
@@ -110,10 +114,17 @@ def _init_quantized_direct(key, cfg):
     import video_llava_tpu.models.projector as proj_mod
 
     k1, k2 = jax.random.split(key)
+
+    def make_vision(k):
+        v = clip_mod.init_vision_params(k, cfg.vision, jnp.bfloat16)
+        if CLIP_DTYPE == "int8":
+            from video_llava_tpu.ops.quant import quantize_params as qp
+
+            v = qp(v, a8=True)
+        return v
+
     return {
-        "vision": jax.jit(
-            lambda k: clip_mod.init_vision_params(k, cfg.vision, jnp.bfloat16)
-        )(k1),
+        "vision": jax.jit(make_vision)(k1),
         "projector": proj_mod.init_params(k2, cfg.projector, jnp.bfloat16),
         "llm": llm,
     }
@@ -135,6 +146,13 @@ def build():
         params = jax.jit(
             lambda k: video_llava.init_params(k, cfg, jnp.bfloat16)
         )(jax.random.PRNGKey(0))
+        if CLIP_DTYPE == "int8":
+            from video_llava_tpu.ops.quant import quantize_params as _qp
+
+            params = dict(params)
+            params["vision"] = jax.jit(
+                lambda v: _qp(v, a8=True)
+            )(params["vision"])
 
     mesh = None
     if MESH_ENV:
@@ -271,7 +289,7 @@ def main():
                 f"vicuna-{MODEL_SIZE} + clip-vit-l/14-224, "
                 + (f"mesh {MESH_ENV} (dataxmodel TP)" if MESH_ENV
                    else "1 chip")
-                + ", clip bf16, llm "
+                + f", clip {'int8 W8A8' if CLIP_DTYPE == 'int8' else 'bf16'}, llm "
                 + {
                     "int4": "int4 W4A8 (g=128, stacked Pallas matvec)",
                     "int8": "int8 weights-only",

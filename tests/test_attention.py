@@ -83,3 +83,32 @@ def test_decode_attention_masks_cache_tail():
     want1 = attention_reference(q[1:], k[1:], v[1:])
     np.testing.assert_allclose(np.asarray(got[:1]), np.asarray(want0), atol=2e-5)
     np.testing.assert_allclose(np.asarray(got[1:]), np.asarray(want1), atol=2e-5)
+
+
+def test_flash_bhsd_matches_bshd():
+    """Pre-transposed/pre-padded entry == the BSHD flash path on the
+    valid rows (pad keys masked via kv_len)."""
+    import numpy as np
+    from video_llava_tpu.ops.attention import (
+        flash_attention,
+        flash_attention_bhsd,
+    )
+
+    rng = np.random.default_rng(0)
+    b, s, h, d = 2, 23, 4, 32
+    s_pad = 32
+    q = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    want = flash_attention(q, k, v, causal=False, interpret=True)
+
+    pad = lambda a: jnp.pad(
+        a.transpose(0, 2, 1, 3), ((0, 0), (0, 0), (0, s_pad - s), (0, 0))
+    )
+    got = flash_attention_bhsd(
+        pad(q), pad(k), pad(v), kv_len=s, interpret=True
+    )
+    got = got[:, :, :s].transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5
+    )

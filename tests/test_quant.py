@@ -57,3 +57,29 @@ def test_quantized_llama_logits_close():
         np.argmax(np.asarray(full)[0], -1) == np.argmax(np.asarray(quant)[0], -1)
     ).mean()
     assert agree > 0.7, agree
+
+
+def test_clip_vision_w8a8_close_to_fp():
+    """W8A8 (qvalues_a8) CLIP tower stays within PTQ-int8 tolerance of
+    the fp forward (cosine similarity on penultimate patches)."""
+    import numpy as np
+    from video_llava_tpu.config import CLIPVisionConfig
+    from video_llava_tpu.models import clip
+
+    cfg = CLIPVisionConfig(
+        image_size=32, patch_size=8, hidden_size=64,
+        intermediate_size=128, num_layers=3, num_heads=4,
+    )
+    p = clip.init_vision_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    q = quantize_params(p, min_size=1024, a8=True)
+    flat = jax.tree_util.tree_leaves_with_path(q)
+    assert any("qvalues_a8" in str(path) for path, _ in flat)
+    px = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 32, 32, 3)).astype(
+            np.float32
+        )
+    )
+    a = np.asarray(clip.vision_penultimate_patches(p, px, cfg)).ravel()
+    b = np.asarray(clip.vision_penultimate_patches(q, px, cfg)).ravel()
+    cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert cos > 0.98, cos

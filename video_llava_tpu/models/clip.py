@@ -33,7 +33,10 @@ from video_llava_tpu.models.layers import (
     linear,
     linear_init,
 )
-from video_llava_tpu.ops.attention import multi_head_attention
+from video_llava_tpu.ops.attention import (
+    flash_attention_bhsd,
+    multi_head_attention,
+)
 
 
 # -- encoder layer (shared by vision and text towers) ------------------------
@@ -67,12 +70,138 @@ def _encoder_layer(p, x, *, num_heads: int, act, eps: float, causal: bool):
     return x
 
 
-def _run_encoder(stacked_layers, x, num_layers: int, **kw):
-    """Scan `num_layers` of the parameter-stacked encoder."""
+def _quantize_rows(x):
+    """Per-row symmetric int8 activations: (..., K) -> (int8, f32
+    (..., 1) scales). Rounds to nearest-EVEN — jnp.round's
+    half-away-from-zero tie-break compiles for minutes on TPU and runs
+    5x slower (see ops.quant.quantized_matmul_a8)."""
+    sx = jnp.maximum(
+        jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True),
+        1e-8,
+    ) / 127.0
+    xq = jnp.clip(
+        jax.lax.round(
+            x.astype(jnp.float32) / sx,
+            jax.lax.RoundingMethod.TO_NEAREST_EVEN,
+        ),
+        -127, 127,
+    ).astype(jnp.int8)
+    return xq, sx
+
+
+def _proj_heads(pp, x, h: int):
+    """Head-major projection: x (b, s, K) -> (b, h, s, hd).
+
+    The head transpose rides the matmul's output permutation (einsum
+    'bsk,khf->bhsf') instead of a separate transpose op — a transpose
+    feeding the flash kernel's custom call must otherwise materialize
+    (profiled: ~48 ms of the 181 ms CLIP 100-frame encode across
+    q/k/v/out copies + pads). Handles raw, weights-only-int8 and W8A8
+    kernel layouts."""
+    kern = pp["kernel"]
+    if isinstance(kern, dict) and "qvalues_a8" in kern:
+        # int8 path: a PLAIN-layout int8 dot (the permuted-output int8
+        # einsum falls off XLA's native int8 matmul and compiles for
+        # minutes), then scale/bias/transpose as one elementwise+copy
+        # fusion into the head-major flash input.
+        b, s, kdim = x.shape
+        w8 = kern["qvalues_a8"]
+        f = w8.shape[-1]
+        hd = f // h
+        xq, sx = _quantize_rows(x)
+        y = jnp.dot(
+            xq.reshape(b * s, kdim), w8, preferred_element_type=jnp.int32
+        ).astype(jnp.float32).reshape(b, s, h, hd)
+        y = y * sx[..., None] * kern["scales"].reshape(1, 1, h, hd)
+        if "bias" in pp:
+            y = y + pp["bias"].astype(jnp.float32).reshape(1, 1, h, hd)
+        return y.astype(x.dtype).transpose(0, 2, 1, 3)
+    else:
+        if isinstance(kern, dict):  # weights-only int8: dequant fuses
+            w = kern["qvalues"].astype(jnp.float32) * kern["scales"]
+            w = w.astype(x.dtype)
+        else:
+            w = kern
+        f = w.shape[-1]
+        hd = f // h
+        y = jnp.einsum(
+            "bsk,khf->bhsf", x, w.reshape(w.shape[0], h, hd),
+            preferred_element_type=jnp.float32,
+        )
+    if "bias" in pp:
+        y = y + pp["bias"].astype(jnp.float32).reshape(1, h, 1, hd)
+    return y.astype(x.dtype)
+
+
+def _unproj_heads(pp, attn, dm: int):
+    """Output projection from head-major attn (b, h, s, hd) ->
+    (b, s, dm), the transpose again fused into the matmul."""
+    kern = pp["kernel"]
+    b, h, s, hd = attn.shape
+    if isinstance(kern, dict) and "qvalues_a8" in kern:
+        # head-minor restore (one copy), then the plain-layout int8 dot
+        x = attn.transpose(0, 2, 1, 3).reshape(b, s, h * hd)
+        xq, sx = _quantize_rows(x)
+        y = jnp.dot(
+            xq.reshape(b * s, h * hd), kern["qvalues_a8"],
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32).reshape(b, s, dm)
+        y = y * sx * kern["scales"].astype(jnp.float32)[0]
+    else:
+        if isinstance(kern, dict):
+            w = kern["qvalues"].astype(jnp.float32) * kern["scales"]
+            w = w.astype(attn.dtype)
+        else:
+            w = kern
+        y = jnp.einsum(
+            "bhsf,hfk->bsk", attn, w.reshape(h, hd, dm),
+            preferred_element_type=jnp.float32,
+        )
+    if "bias" in pp:
+        y = y + pp["bias"].astype(jnp.float32)
+    return y.astype(attn.dtype)
+
+
+def _encoder_layer_bhsd(p, x, *, num_heads: int, act, eps: float,
+                        seq_valid: int):
+    """Non-causal encoder layer over a once-padded sequence: q/k/v are
+    produced head-major straight out of the projection einsums and feed
+    ops.attention.flash_attention_bhsd with zero layout work; the pad
+    tail (rows >= seq_valid) is masked out of the attention keys and
+    sliced off after the final layer."""
+    b, s, d = x.shape
+    h = layer_norm(p["ln1"], x, eps)
+    q = _proj_heads(p["q"], h, num_heads)
+    k = _proj_heads(p["k"], h, num_heads)
+    v = _proj_heads(p["v"], h, num_heads)
+    attn = flash_attention_bhsd(q, k, v, kv_len=seq_valid)
+    x = x + _unproj_heads(p["o"], attn, d)
+    h = layer_norm(p["ln2"], x, eps)
+    x = x + linear(p["fc2"], act(linear(p["fc1"], h)))
+    return x
+
+
+def _run_encoder(stacked_layers, x, num_layers: int, *, seq_valid=None,
+                 **kw):
+    """Scan `num_layers` of the parameter-stacked encoder. With
+    seq_valid set (non-causal towers), x is padded along the sequence
+    and the bhsd layer variant runs."""
     sliced = jax.tree.map(lambda a: a[:num_layers], stacked_layers)
 
-    def body(h, layer_params):
-        return _encoder_layer(layer_params, h, **kw), None
+    if seq_valid is not None:
+        kw.pop("causal", None)
+
+        def body(h, layer_params):
+            return (
+                _encoder_layer_bhsd(
+                    layer_params, h, seq_valid=seq_valid, **kw
+                ),
+                None,
+            )
+    else:
+
+        def body(h, layer_params):
+            return _encoder_layer(layer_params, h, **kw), None
 
     out, _ = jax.lax.scan(body, x, sliced)
     return out
@@ -144,15 +273,23 @@ def vision_forward(
     x = vision_embeddings(params, pixels, cfg)
     x = layer_norm(params["pre_layernorm"], x, cfg.layer_norm_eps)
     act = ACTIVATIONS[cfg.hidden_act]
-    return _run_encoder(
+    # Pad the sequence ONCE to a 16-sublane multiple and run the whole
+    # stack at the padded length (pad keys masked in attention, junk
+    # pad rows sliced off here) — per-layer padding materialized 3
+    # pads + copies per layer around the flash kernel.
+    s = x.shape[1]
+    s_pad = -(-s // 16) * 16
+    x = jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0)))
+    out = _run_encoder(
         params["layers"],
         x,
         num_layers,
         num_heads=cfg.num_heads,
         act=act,
         eps=cfg.layer_norm_eps,
-        causal=False,
+        seq_valid=s,
     )
+    return out[:, :s]
 
 
 def vision_penultimate_patches(params, pixels, cfg: CLIPVisionConfig):

@@ -46,6 +46,12 @@ def linear(p, x):
         from video_llava_tpu.ops.quant4 import int4_matmul
 
         y = int4_matmul(x, kernel["qvalues_packed"], kernel["scales"])
+    elif isinstance(kernel, dict) and "qvalues_a8" in kernel:  # W8A8
+        from video_llava_tpu.ops.quant import quantized_matmul_a8
+
+        y = quantized_matmul_a8(
+            x, kernel["qvalues_a8"], kernel["scales"]
+        ).astype(jnp.float32)
     elif isinstance(kernel, dict) and "qvalues" in kernel:  # int8 weights
         from video_llava_tpu.ops.quant import quantized_matmul
 

@@ -83,10 +83,19 @@ class KVCache(NamedTuple):
 
 
 def _quantize_kv(x: jax.Array):
-    """(b, s, h_kv, hd) -> (int8 values, (b, s, h_kv) f32 scales)."""
+    """(b, s, h_kv, hd) -> (int8 values, (b, s, h_kv) f32 scales).
+    Rounds to nearest-EVEN (the hardware conversion — jnp.round's
+    half-away-from-zero tie-break compiles and runs pathologically on
+    TPU; see ops.quant.quantized_matmul_a8)."""
     absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
     scale = jnp.maximum(absmax, 1e-8) / 127.0
-    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+    q = jnp.clip(
+        jax.lax.round(
+            x.astype(jnp.float32) / scale,
+            jax.lax.RoundingMethod.TO_NEAREST_EVEN,
+        ),
+        -127, 127,
+    )
     return q.astype(jnp.int8), scale[..., 0]
 
 

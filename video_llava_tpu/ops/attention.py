@@ -338,6 +338,98 @@ def _flash_forward(
     return out, lse
 
 
+def flash_attention_bhsd(
+    q: jax.Array,  # (b, h, s_pad, d) — heads leading, s_pad % 16 == 0
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    kv_len: Optional[int] = None,  # true kv length (masks the pad tail)
+    scale: Optional[float] = None,
+    block_q: int = 256,
+    block_k: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """Non-causal flash attention over PRE-TRANSPOSED, PRE-PADDED
+    operands -> (b, h, s_pad, d).
+
+    The BSHD entry (flash_attention) transposes q/k/v to head-major and
+    pads the sequence per call; inside an encoder layer scan those
+    materialize as three operand copies + pads per layer — profiled at
+    ~48 ms of the 181 ms CLIP 100-frame encode. Encoders that keep the
+    sequence padded across the whole stack (models/clip.py pads once
+    after the embeddings and produces q/k/v head-major straight out of
+    the projection einsum) skip all of it. On non-TPU backends this
+    falls back to the masked XLA reference (correctness path for the
+    CPU test suite)."""
+    b, h, s, d = q.shape
+    kv_len = s if kv_len is None else kv_len
+    scale = scale if scale is not None else 1.0 / (d**0.5)
+    if jax.default_backend() != "tpu" and not interpret:
+        lens = jnp.full((b,), kv_len, jnp.int32)
+        out = attention_reference(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3), kv_valid_len=lens, scale=scale,
+        )
+        return out.transpose(0, 2, 1, 3)
+    assert s % 16 == 0, s
+
+    def _fit(block, n):
+        tight = pl.cdiv(n, 16) * 16
+        if tight <= 512:
+            return tight
+        return max(16, min(block, tight))
+
+    block_q = _fit(block_q, s)
+    block_k = _fit(block_k, s)
+    qf = q.reshape(b * h, s, d)
+    kf = k.reshape(b * h, s, d)
+    vf = v.reshape(b * h, s, d)
+
+    per_head_bytes = (2 * s + 2 * block_q) * d * 2
+    G = max(1, min(h, (4 << 20) // max(per_head_bytes, 1)))
+    while h % G:
+        G -= 1
+    grid = (b * h // G, s // block_q)
+    kernel = functools.partial(
+        _flash_fwd_kernel,
+        causal=False,
+        scale=scale,
+        block_k=block_k,
+        kv_len=s,
+        kv_len_real=kv_len,
+        q_offset=0,
+    )
+    out, _ = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((G, block_q, d), lambda i, qi: (i, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, s, d), lambda i, qi: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, s, d), lambda i, qi: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((G, block_q, d), lambda i, qi: (i, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, block_q, 1), lambda i, qi: (i, qi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, s, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, s, 1), jnp.float32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * s * s * d,
+            bytes_accessed=(qf.size + kf.size + vf.size) * 4,
+            transcendentals=b * h * s * s,
+        ),
+    )(qf, kf, vf)
+    return out.reshape(b, h, s, d)
+
+
 # ---------------------------------------------------------------------------
 # Pallas flash attention (backward)
 # ---------------------------------------------------------------------------

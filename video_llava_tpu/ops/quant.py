@@ -40,6 +40,36 @@ def quantized_matmul(x: jax.Array, qvalues: jax.Array, scales: jax.Array):
     return (y * scales.astype(jnp.float32)[0]).astype(x.dtype)
 
 
+def quantized_matmul_a8(x: jax.Array, qvalues: jax.Array, scales: jax.Array):
+    """W8A8: per-token (row) symmetric int8 activations x per-channel
+    int8 weights, accumulated in int32 on the MXU — 2x the bf16 MXU
+    rate, the lever for compute-bound encoders (CLIP ViT runs ~91% of
+    the bf16 roofline, so weights-only int8 buys nothing there).
+
+    x: (..., in) -> (..., out), rescaled to x.dtype. One extra rounding
+    vs weights-only int8 (per-row absmax); accuracy cost on ViT
+    encoders is the standard PTQ-int8 regime."""
+    sx = jnp.maximum(
+        jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True),
+        1e-8,
+    ) / 127.0
+    # round-to-nearest-EVEN: the hardware conversion. jnp.round's
+    # half-away-from-zero tie-break makes XLA compile this fusion for
+    # ~6 MINUTES and run 5x slower (measured); ties are noise for
+    # quantization.
+    xq = jnp.clip(
+        jax.lax.round(
+            x.astype(jnp.float32) / sx,
+            jax.lax.RoundingMethod.TO_NEAREST_EVEN,
+        ),
+        -127, 127,
+    ).astype(jnp.int8)
+    y = jnp.dot(xq, qvalues, preferred_element_type=jnp.int32)
+    return (
+        y.astype(jnp.float32) * sx * scales.astype(jnp.float32)[0]
+    ).astype(x.dtype)
+
+
 def is_quantized(p: Any) -> bool:
     return isinstance(p, dict) and "qvalues" in p
 
@@ -48,9 +78,17 @@ def quantize_params(
     params,
     min_size: int = 1 << 16,
     skip_keys: Sequence[str] = ("class_embedding", "position_embedding"),
+    a8: bool = False,
 ):
     """Quantize every 2D kernel / embedding table leaf >= min_size
-    elements. Norms, biases and small tensors stay as-is."""
+    elements. Norms, biases and small tensors stay as-is.
+
+    a8=True stores kernels under 'qvalues_a8': layers.linear then runs
+    the W8A8 int8-MXU matmul (quantized_matmul_a8) instead of the
+    weights-only dequant form — the right mode for compute-bound
+    encoders (CLIP); decode stays weights-only (activation quantize
+    per step buys nothing when the matmul is HBM-bound). Embedding
+    tables keep the gather layout either way."""
 
     def visit(path, leaf):
         keys = [str(getattr(p, "key", getattr(p, "idx", p))) for p in path]
@@ -62,6 +100,8 @@ def quantize_params(
         if name == "kernel":
             # contraction axis: -2 (supports stacked (L, in, out) kernels)
             q, s = quantize_tensor(leaf, axis=-2)
+            if a8:
+                return {"qvalues_a8": q, "scales": s}
             return {"qvalues": q, "scales": s}
         if name == "weight" and leaf.ndim == 2:  # embedding table
             q, s = quantize_tensor(leaf, axis=1)  # per-row scales

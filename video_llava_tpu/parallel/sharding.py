@@ -54,7 +54,7 @@ _PROJECTOR_RULES = [
 ]
 
 
-_QUANT_LEAVES = ("qvalues", "qvalues_packed", "scales")
+_QUANT_LEAVES = ("qvalues", "qvalues_a8", "qvalues_packed", "scales")
 
 
 def _spec_for_path(path: str, shape, rules, fsdp: bool) -> P:
