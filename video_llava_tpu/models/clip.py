@@ -89,6 +89,16 @@ def _quantize_rows(x):
     return xq, sx
 
 
+def _f32_accum_operands(*arrs):
+    """CPU's DotThunk can't execute bf16 x bf16 -> f32 dots; upcast the
+    operands on non-TPU backends (XLA folds the converts into the dot
+    read on TPU anyway, so this is gated to keep the TPU program
+    bf16-in)."""
+    if jax.default_backend() != "tpu":
+        return tuple(a.astype(jnp.float32) for a in arrs)
+    return arrs
+
+
 def _proj_heads(pp, x, h: int):
     """Head-major projection: x (b, s, K) -> (b, h, s, hd).
 
@@ -124,8 +134,9 @@ def _proj_heads(pp, x, h: int):
             w = kern
         f = w.shape[-1]
         hd = f // h
+        xe, we = _f32_accum_operands(x, w)
         y = jnp.einsum(
-            "bsk,khf->bhsf", x, w.reshape(w.shape[0], h, hd),
+            "bsk,khf->bhsf", xe, we.reshape(we.shape[0], h, hd),
             preferred_element_type=jnp.float32,
         )
     if "bias" in pp:
@@ -153,8 +164,9 @@ def _unproj_heads(pp, attn, dm: int):
             w = w.astype(attn.dtype)
         else:
             w = kern
+        ae, we = _f32_accum_operands(attn, w)
         y = jnp.einsum(
-            "bhsf,hfk->bsk", attn, w.reshape(h, hd, dm),
+            "bhsf,hfk->bsk", ae, we.reshape(h, hd, dm),
             preferred_element_type=jnp.float32,
         )
     if "bias" in pp:
@@ -247,8 +259,9 @@ def patchify(pixels: jax.Array, patch_size: int) -> jax.Array:
 def vision_embeddings(params, pixels: jax.Array, cfg: CLIPVisionConfig):
     """pixels: (b, H, W, 3) normalized -> (b, 1+num_patches, hidden)."""
     patches = patchify(pixels, cfg.patch_size)
+    pe, ke = _f32_accum_operands(patches, params["patch_embedding"])
     x = jnp.dot(
-        patches, params["patch_embedding"], preferred_element_type=jnp.float32
+        pe, ke, preferred_element_type=jnp.float32
     ).astype(params["patch_embedding"].dtype)
     cls = jnp.broadcast_to(
         params["class_embedding"], (x.shape[0], 1, cfg.hidden_size)

@@ -117,9 +117,14 @@ def attention_reference(
     """
     b, sq, h, d = q.shape
     skv = k.shape[1]
+    out_dtype = q.dtype
     scale = scale if scale is not None else 1.0 / (d**0.5)
     k = _repeat_kv(k, h)
     v = _repeat_kv(v, h)
+    if jax.default_backend() != "tpu" and q.dtype == jnp.bfloat16:
+        # CPU's DotThunk can't execute bf16 x bf16 -> f32 batched dots;
+        # upcast there (TPU keeps bf16 operands into the MXU).
+        q, k, v = (a.astype(jnp.float32) for a in (q, k, v))
     logits = jnp.einsum(
         "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
     ) * scale
@@ -141,7 +146,7 @@ def attention_reference(
         "bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
         preferred_element_type=jnp.float32,
     )
-    return out.astype(q.dtype)
+    return out.astype(out_dtype)
 
 
 # ---------------------------------------------------------------------------
