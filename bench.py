@@ -179,6 +179,15 @@ def build():
         # engine/weights; here the transient device-0 copy is acceptable
         # (13B int8 = 12.8 GB still fits one 16 GB chip).
         params = shard_params(params, videollava_param_specs(params), mesh)
+        # Register the mesh so the Pallas attention/pooling kernels stay
+        # fused per-shard (auto dispatch still requires the TPU backend;
+        # virtual CPU meshes keep the XLA attention path and run the
+        # sharded pooling in interpret mode).
+        from video_llava_tpu.ops.attention import set_attention_mesh
+        from video_llava_tpu.ops.pooling import set_pooling_mesh
+
+        set_attention_mesh(mesh)
+        set_pooling_mesh(mesh)
 
     rng = np.random.default_rng(0)
     frames = jnp.asarray(

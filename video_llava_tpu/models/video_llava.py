@@ -42,7 +42,9 @@ def encode_video(
     """(t, H, W, 3) normalized frames -> pooled spatio-temporal features
     (video_token_len, mm_hidden): CLIP penultimate patches + pooling
     (reference inference.py:92-95). The fused Pallas pooling kernel runs
-    on a single TPU chip; sharded/CPU paths use the XLA formulation."""
+    on a single TPU chip; under a registered multi-chip mesh the
+    shard_map wrapper keeps it fused per-shard (frame axis on 'data',
+    spatial partials psum'd); CPU paths use the XLA formulation."""
     import jax as _jax
 
     feats = clip.encode_frames(params["vision"], pixels, cfg.vision, frame_batch)
@@ -54,6 +56,20 @@ def encode_video(
             num_valid_frames=num_valid_frames,
             max_temporal_tokens=cfg.max_temporal_tokens,
             out_dtype=feats.dtype,
+        )
+    from video_llava_tpu.ops.pooling import get_pooling_mesh
+
+    mesh = get_pooling_mesh()
+    if mesh is not None and "data" in mesh.shape:
+        from video_llava_tpu.ops.pooling import spatio_temporal_pool_sharded
+
+        return spatio_temporal_pool_sharded(
+            feats,
+            num_valid_frames,
+            mesh,
+            max_temporal_tokens=cfg.max_temporal_tokens,
+            out_dtype=feats.dtype,
+            interpret=_jax.default_backend() != "tpu",
         )
     return spatio_temporal_pool(
         feats,

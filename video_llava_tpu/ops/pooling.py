@@ -26,6 +26,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 from video_llava_tpu.constants import MAX_TEMPORAL_TOKENS
 
+# Mesh registered by the engine (runtime/model_init.py) so encode_video
+# can keep the fused kernel under multi-chip meshes via the shard_map
+# wrapper instead of silently dropping to the XLA path.
+_GLOBAL_MESH = None
+
+
+def set_pooling_mesh(mesh) -> None:
+    global _GLOBAL_MESH
+    _GLOBAL_MESH = mesh
+
+
+def get_pooling_mesh():
+    return _GLOBAL_MESH
+
 
 def spatio_temporal_pool(
     features: jax.Array,
@@ -79,7 +93,12 @@ def spatio_temporal_pool(
 def _pool_kernel(n_ref, x_ref, temporal_ref, spatial_ref, acc_ref):
     """Grid = (c_blocks, s_blocks); s is the inner (fastest) dimension so
     the temporal accumulator for a c-block stays live in VMEM across all
-    of its s-blocks."""
+    of its s-blocks.
+
+    n_ref: (2,) int32 [n_mask, n_denom] — rows >= n_mask are padding;
+    the spatial mean divides by n_denom. They differ only under the
+    sharded wrapper, where n_mask counts THIS shard's valid rows but the
+    mean is over the global count (partial sums psum'd outside)."""
     j = pl.program_id(1)
     n_s_blocks = pl.num_programs(1)
     t = x_ref.shape[0]
@@ -93,7 +112,7 @@ def _pool_kernel(n_ref, x_ref, temporal_ref, spatial_ref, acc_ref):
     ).astype(jnp.float32)
 
     # Spatial tokens: mean over valid frames, written once per (s, c) block.
-    denom = jnp.maximum(n.astype(jnp.float32), 1.0)
+    denom = jnp.maximum(n_ref[1].astype(jnp.float32), 1.0)
     spatial_ref[:] = (
         jnp.sum(x * frame_mask[:, :, None], axis=0) / denom
     ).astype(spatial_ref.dtype)
@@ -138,10 +157,25 @@ def spatio_temporal_pool_pallas(
         )
 
     n = (
-        jnp.asarray(num_valid_frames, jnp.int32).reshape((1,))
+        jnp.asarray(num_valid_frames, jnp.int32).reshape(())
         if num_valid_frames is not None
-        else jnp.full((1,), t, jnp.int32)
+        else jnp.asarray(t, jnp.int32)
     )
+    temporal, spatial = _pool_call(
+        features, jnp.stack([n, n]), max_temporal_tokens, out_dtype,
+        block_s, block_c, interpret,
+    )
+    return jnp.concatenate([temporal, spatial], axis=0)
+
+
+def _pool_call(
+    features, n2, max_temporal_tokens, out_dtype, block_s, block_c,
+    interpret,
+):
+    """Invoke the fused kernel; n2 = (2,) int32 [n_mask, n_denom].
+    Returns (temporal (max_temporal_tokens, c), spatial (s, c))."""
+    t, s, c = features.shape
+    n = n2
 
     grid = (c // block_c, s // block_s)
     temporal, spatial = pl.pallas_call(
@@ -176,4 +210,65 @@ def spatio_temporal_pool_pallas(
         ],
         interpret=interpret,
     )(n, features)
+    return temporal, spatial
+
+
+def spatio_temporal_pool_sharded(
+    features: jax.Array,
+    num_valid_frames: Optional[jax.Array],
+    mesh,
+    axis: str = "data",
+    max_temporal_tokens: int = MAX_TEMPORAL_TOKENS,
+    out_dtype: jnp.dtype = jnp.bfloat16,
+    block_s: int = 64,
+    block_c: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused pooling with the frame axis sharded over `axis`: each shard
+    runs the Pallas kernel on its local frame rows (temporal tokens stay
+    frame-sharded), and the spatial mean's partial sums psum over the
+    axis. Same contract as :func:`spatio_temporal_pool` for 3D inputs.
+
+    Requires t == max_temporal_tokens (encode_video always pads frames
+    to the cap first) and t divisible by the axis size; callers fall
+    back to the XLA formulation otherwise."""
+    from jax.sharding import PartitionSpec as P
+
+    t, s, c = features.shape
+    n_sh = int(mesh.shape[axis])
+    if (
+        t != max_temporal_tokens
+        or t % n_sh
+        or s % block_s
+        or c % block_c
+    ):
+        return spatio_temporal_pool(
+            features, num_valid_frames, max_temporal_tokens, out_dtype
+        )
+    tl = t // n_sh
+
+    n_global = (
+        jnp.asarray(num_valid_frames, jnp.int32).reshape((1,))
+        if num_valid_frames is not None
+        else jnp.full((1,), t, jnp.int32)
+    )
+
+    def per_shard(x, nvec):
+        k = jax.lax.axis_index(axis)
+        n = nvec[0]
+        n_local = jnp.clip(n - k * tl, 0, tl)
+        temporal, spatial_part = _pool_call(
+            x, jnp.stack([n_local, n]), tl, out_dtype, block_s,
+            block_c, interpret,
+        )
+        return temporal, jax.lax.psum(spatial_part, axis)
+
+    fn = jax.shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(axis, None, None), P(None)),
+        out_specs=(P(axis, None), P(None, None)),
+        check_vma=False,
+    )
+    temporal, spatial = fn(features, n_global)
     return jnp.concatenate([temporal, spatial], axis=0)

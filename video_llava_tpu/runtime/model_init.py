@@ -85,10 +85,12 @@ def initialize_model(
 
     if mesh_model and mesh_model > 1:
         from video_llava_tpu.ops.attention import set_attention_mesh
+        from video_llava_tpu.ops.pooling import set_pooling_mesh
 
         mesh = make_mesh(1, mesh_model)
         params = shard_params(params, videollava_param_specs(params), mesh)
         set_attention_mesh(mesh)  # enables shard_map'd Pallas attention
+        set_pooling_mesh(mesh)  # keeps pooling fused per-shard
 
     return InferenceEngine(
         params=params,
