@@ -1,0 +1,85 @@
+"""Parity of the Pallas multi-scale deformable attention kernel
+(ops/deformable_pallas.py, interpret mode on CPU) against the XLA
+gather formulation it replaces on TPU."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from video_llava_tpu.ops.deformable import (
+    multi_scale_deformable_attention as msda_xla,
+)
+from video_llava_tpu.ops.deformable_pallas import (
+    multi_scale_deformable_attention_pallas as msda_pallas,
+)
+
+
+def _case(rng, shapes, q, b, nh=4, hd=32, P=4, dtype=jnp.float32):
+    L = len(shapes)
+    sum_hw = sum(h * w for h, w in shapes)
+    value = jnp.asarray(
+        rng.standard_normal((b, sum_hw, nh, hd)), dtype
+    )
+    # Locations straddle the map edges to exercise the zero-padding
+    # semantics (grid_sample padding_mode='zeros').
+    locs = jnp.asarray(
+        rng.uniform(-0.3, 1.3, (b, q, nh, L, P, 2)), jnp.float32
+    )
+    weights = jnp.asarray(
+        rng.uniform(0, 1, (b, q, nh, L, P)), jnp.float32
+    )
+    return value, locs, weights
+
+
+@pytest.mark.parametrize(
+    "shapes,q,b",
+    [
+        (((12, 12), (6, 6), (3, 3)), 50, 2),  # odd q: padding path
+        (((10, 14), (5, 7)), 33, 1),  # non-square, non-aligned
+        (((8, 8),), 16, 1),
+    ],
+)
+def test_pallas_matches_xla(shapes, q, b):
+    rng = np.random.default_rng(0)
+    value, locs, weights = _case(rng, shapes, q, b)
+    ref = msda_xla(value, shapes, locs, weights)
+    out = msda_pallas(
+        value, shapes, locs, weights, interpret=True, query_block=16
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref), np.asarray(out), atol=1e-4, rtol=1e-4
+    )
+
+
+def test_pallas_bf16_value():
+    """bf16 maps (detector checkpoints): PTQ-level tolerance — the
+    2-hot weights round to bf16 inside the MXU dot."""
+    rng = np.random.default_rng(1)
+    shapes = ((9, 9), (4, 4))
+    value, locs, weights = _case(rng, shapes, 21, 1, dtype=jnp.bfloat16)
+    ref = msda_xla(value, shapes, locs, weights)
+    out = msda_pallas(
+        value, shapes, locs, weights, interpret=True, query_block=8
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref, np.float32),
+        np.asarray(out, np.float32),
+        atol=3e-2,
+        rtol=3e-2,
+    )
+
+
+def test_decoder_shape_900_queries():
+    """The GroundingDINO decoder's 900-query cross-attention shape
+    (reference MSDeformAttn usage, grounding_new_api.py:288)."""
+    rng = np.random.default_rng(2)
+    shapes = ((16, 16), (8, 8), (4, 4), (2, 2))
+    value, locs, weights = _case(rng, shapes, 900, 1, nh=8)
+    ref = msda_xla(value, shapes, locs, weights)
+    out = msda_pallas(
+        value, shapes, locs, weights, interpret=True, query_block=64
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref), np.asarray(out), atol=1e-4, rtol=1e-4
+    )
