@@ -1,0 +1,412 @@
+"""Slot-based continuous batching for serving.
+
+The windowed batcher (serving/server.py BatchingChatModel) holds every
+request in a window to the same decode horizon: a long generation
+stalls short ones, and new arrivals wait for the whole window. This
+engine decodes a FIXED batch of B cache slots forever and admits /
+retires requests between chunks — the TPU-native shape of vLLM-style
+continuous batching (static shapes; per-slot lengths drive the masked
+decode attention that already powers chunked prefill):
+
+  * one persistent KVCache of B rows lives on device; a request is
+    admitted by prefilling into a free row (sliced out, filled b=1,
+    donated back in place) and retired by just marking the row free —
+    stale cells past a new prefill's length are masked by cache.length;
+  * decode runs `chunk` steps for all B rows in one jitted lax.scan
+    (inactive rows keep their length; their lane costs nothing extra —
+    the weight stream is shared, which is the whole point of batching);
+  * per-row temperature/top-p sampling is vectorized in the chunk, so
+    greedy judge traffic and sampled QA traffic share a batch;
+  * token chunks arrive host-side as ONE (B, chunk) transfer per chunk
+    (the tunneled-TPU rule: never fetch token-at-a-time); stop ids,
+    max_tokens and substring stops are host concerns.
+
+The reference serves its judge through FastChat's request-at-a-time
+worker (quantitative_evaluation/README.md:5-16); this replaces that AND
+the round-1 "serialize everything behind one lock" note — concurrent
+judge + QA workloads now interleave at chunk granularity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import threading
+from collections import deque
+from typing import Callable, List, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from video_llava_tpu.config import VideoLLaVAConfig
+from video_llava_tpu.models import llama, video_llava
+from video_llava_tpu.models.llama import KVCache
+
+
+# -- device programs ----------------------------------------------------------
+
+
+def _slice_row(cache: KVCache, slot) -> KVCache:
+    """View row `slot` of the stacked (NL, B, ML, ...) cache as a b=1
+    cache (dynamic_slice; XLA keeps it a copy of one row, not the
+    whole cache)."""
+    row = lambda a, axis: jax.lax.dynamic_slice_in_dim(a, slot, 1, axis)
+    return KVCache(
+        k=row(cache.k, 1),
+        v=row(cache.v, 1),
+        length=row(cache.length, 0),
+        k_scale=None if cache.k_scale is None else row(cache.k_scale, 1),
+        v_scale=None if cache.v_scale is None else row(cache.v_scale, 1),
+    )
+
+
+def _insert_row(cache: KVCache, rowc: KVCache, slot) -> KVCache:
+    ins = lambda a, r, axis: jax.lax.dynamic_update_slice_in_dim(
+        a, r, slot, axis
+    )
+    return KVCache(
+        k=ins(cache.k, rowc.k, 1),
+        v=ins(cache.v, rowc.v, 1),
+        length=ins(cache.length, rowc.length, 0),
+        k_scale=(
+            None
+            if cache.k_scale is None
+            else ins(cache.k_scale, rowc.k_scale, 1)
+        ),
+        v_scale=(
+            None
+            if cache.v_scale is None
+            else ins(cache.v_scale, rowc.v_scale, 1)
+        ),
+    )
+
+
+def _sample_rows(logits, rng, temps, top_ps):
+    """Per-row sampling: temps <= 0 rows take argmax; others sample
+    from temperature-scaled, per-row top-p-masked logits. logits:
+    (B, V) f32; temps/top_ps: (B,) f32."""
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    scaled = logits / jnp.maximum(temps, 1e-6)[:, None]
+    sorted_logits = jnp.sort(scaled, axis=-1)[..., ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    cutoff_idx = jnp.sum((cum - probs) < top_ps[:, None], axis=-1) - 1
+    cutoff = jnp.take_along_axis(
+        sorted_logits, cutoff_idx[:, None], axis=-1
+    )
+    masked = jnp.where(scaled < cutoff, -jnp.inf, scaled)
+    sampled = jax.random.categorical(rng, masked, axis=-1).astype(jnp.int32)
+    return jnp.where(temps <= 0.0, greedy, sampled)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg",), donate_argnums=(1,)
+)
+def _prefill_slot(
+    params,
+    cache: KVCache,
+    slot: jax.Array,  # () int32
+    input_ids: jax.Array,  # (1, s_pad)
+    seq_len: jax.Array,  # (1,) int32
+    video_features: Optional[jax.Array],  # (1, n_vid, mm) or None
+    rng: jax.Array,
+    temp: jax.Array,  # () f32
+    top_p: jax.Array,  # () f32
+    cfg: VideoLLaVAConfig,
+):
+    """Prefill one request into cache row `slot` (in place via donation)
+    and sample its first output token. -> (token () int32, cache)."""
+    s = input_ids.shape[1]
+    rowc = _slice_row(cache, slot)
+    rowc = rowc._replace(length=jnp.zeros((1,), jnp.int32))
+    embeds = video_llava.build_inputs_embeds(
+        params, input_ids, video_features, cfg
+    )
+    logits, rowc = llama.forward(
+        params["llm"],
+        cfg.llm,
+        inputs_embeds=embeds,
+        positions=jnp.arange(s, dtype=jnp.int32)[None],
+        cache=rowc,
+        new_length=seq_len,
+    )
+    last = jnp.take_along_axis(
+        logits, (seq_len - 1)[:, None, None], axis=1
+    )[0, 0]
+    tok = _sample_rows(
+        last[None], rng, temp[None], top_p[None]
+    )[0]
+    return tok, _insert_row(cache, rowc, slot)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "chunk"), donate_argnums=(1,)
+)
+def _decode_chunk(
+    params,
+    cache: KVCache,
+    tokens: jax.Array,  # (B,) int32 last token per slot
+    active: jax.Array,  # (B,) bool
+    temps: jax.Array,  # (B,) f32
+    top_ps: jax.Array,  # (B,) f32
+    rng: jax.Array,
+    cfg: VideoLLaVAConfig,
+    chunk: int,
+):
+    """`chunk` decode steps over all slots -> ((B, chunk) tokens, cache).
+    Inactive rows don't advance their cache length; their outputs are
+    garbage and ignored host-side."""
+
+    def body(carry, _):
+        cache, tok, rng = carry
+        logits, cache2 = llama.decode_step(
+            params["llm"], cfg.llm, tok, cache
+        )
+        rng, sub = jax.random.split(rng)
+        nxt = _sample_rows(logits, sub, temps, top_ps)
+        cache2 = cache2._replace(
+            length=jnp.where(active, cache2.length, cache.length)
+        )
+        return (cache2, jnp.where(active, nxt, tok), rng), nxt
+
+    (cache, _, _), toks = jax.lax.scan(
+        body, (cache, tokens, rng), None, length=chunk
+    )
+    return toks.T, cache  # (B, chunk)
+
+
+# -- host-side engine ---------------------------------------------------------
+
+
+@dataclasses.dataclass
+class SlotRequest:
+    input_ids: Sequence[int]
+    max_new_tokens: int = 256
+    temperature: float = 0.0
+    top_p: float = 1.0
+    eos_token_id: int = 2
+    stop_token_ids: Sequence[int] = ()
+    video_features: Optional[np.ndarray] = None  # (n_vid, mm_hidden)
+    on_token: Optional[Callable[[List[int]], None]] = None
+
+
+class RequestHandle:
+    def __init__(self):
+        self.tokens: List[int] = []
+        self._done = threading.Event()
+        self._cancelled = False
+
+    def result(self, timeout: Optional[float] = None) -> List[int]:
+        if not self._done.wait(timeout):
+            raise TimeoutError("generation not finished")
+        return self.tokens
+
+    @property
+    def done(self) -> bool:
+        return self._done.is_set()
+
+    def cancel(self) -> None:
+        """Stop generating for this request at the next chunk boundary
+        (used by serving's host-side substring-stop check). Tokens
+        already delivered stay in `tokens`."""
+        self._cancelled = True
+
+
+class _Slot:
+    __slots__ = ("req", "handle", "last_token", "generated", "prompt_len")
+
+    def __init__(self, req, handle, last_token, prompt_len):
+        self.req = req
+        self.handle = handle
+        self.last_token = int(last_token)
+        self.generated = 1  # prefill sampled the first token
+        self.prompt_len = prompt_len  # post-truncation length in cache
+
+
+class ContinuousEngine:
+    """Continuous batching over `num_slots` persistent cache rows.
+
+    Drive with `step_once()` (deterministic; used by tests and by
+    single-threaded callers) or `start()`/`stop()` for a background
+    scheduler thread. `submit()` is thread-safe either way.
+    """
+
+    def __init__(
+        self,
+        params,
+        cfg: VideoLLaVAConfig,
+        *,
+        num_slots: int = 4,
+        max_cache_len: int = 1024,
+        cache_dtype=jnp.bfloat16,
+        chunk: int = 8,
+        prompt_pad: int = 64,
+        seed: int = 0,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.num_slots = num_slots
+        self.max_cache_len = max_cache_len
+        self.chunk = chunk
+        self.prompt_pad = prompt_pad
+        self.cache = KVCache.create(
+            cfg.llm, num_slots, max_cache_len, cache_dtype
+        )
+        self.slots: List[Optional[_Slot]] = [None] * num_slots
+        self.pending: deque = deque()
+        self.lock = threading.Lock()
+        self.work = threading.Condition(self.lock)
+        self.rng = jax.random.PRNGKey(seed)
+        self._thread = None
+        self._stop = False
+
+    # -- submission ----------------------------------------------------
+
+    def submit(self, req: SlotRequest) -> RequestHandle:
+        handle = RequestHandle()
+        with self.work:
+            self.pending.append((req, handle))
+            self.work.notify()
+        return handle
+
+    # -- scheduling ----------------------------------------------------
+
+    def _next_rng(self):
+        self.rng, sub = jax.random.split(self.rng)
+        return sub
+
+    def _admit(self):
+        """Prefill pending requests into free slots."""
+        while self.pending and None in self.slots:
+            with self.lock:
+                if not self.pending:
+                    break
+                req, handle = self.pending.popleft()
+            slot = self.slots.index(None)
+            ids = list(req.input_ids)
+            if len(ids) + req.max_new_tokens > self.max_cache_len:
+                # Trim the prompt head, keeping room to generate
+                # (mirrors runtime/chat.py's truncation cutoffs).
+                keep = max(1, self.max_cache_len - req.max_new_tokens)
+                ids = ids[-keep:]
+            s_pad = -(-len(ids) // self.prompt_pad) * self.prompt_pad
+            padded = np.zeros((1, s_pad), np.int32)
+            padded[0, : len(ids)] = ids
+            vf = (
+                None
+                if req.video_features is None
+                else jnp.asarray(req.video_features)[None]
+            )
+            tok, self.cache = _prefill_slot(
+                self.params,
+                self.cache,
+                jnp.asarray(slot, jnp.int32),
+                jnp.asarray(padded),
+                jnp.asarray([len(ids)], jnp.int32),
+                vf,
+                self._next_rng(),
+                jnp.asarray(req.temperature, jnp.float32),
+                jnp.asarray(req.top_p, jnp.float32),
+                self.cfg,
+            )
+            st = _Slot(req, handle, np.asarray(tok), len(ids))
+            if self._deliver(st, [st.last_token]):
+                self.slots[slot] = st
+            # else: single-token request finished at prefill
+
+    def _deliver(self, st: _Slot, new_tokens: List[int]) -> bool:
+        """Append tokens to the request, honoring stop conditions.
+        Returns False when the request finished."""
+        req = st.req
+        if st.handle._cancelled:
+            st.handle._done.set()
+            return False
+        stops = {req.eos_token_id, *req.stop_token_ids}
+        emit: List[int] = []
+        alive = True
+        for t in new_tokens:
+            if t in stops:
+                alive = False
+                break
+            emit.append(t)
+            if len(st.handle.tokens) + len(emit) >= req.max_new_tokens:
+                alive = False
+                break
+        if emit:
+            st.handle.tokens.extend(emit)
+            if req.on_token is not None:
+                req.on_token(emit)
+        if st.prompt_len + len(st.handle.tokens) + 1 >= self.max_cache_len:
+            alive = False  # cache row exhausted
+        if not alive:
+            st.handle._done.set()
+        return alive
+
+    def step_once(self) -> bool:
+        """One scheduler iteration: admit pending, run one decode chunk,
+        deliver tokens. Returns True if any work was done."""
+        self._admit()
+        live = [i for i, s in enumerate(self.slots) if s is not None]
+        if not live:
+            return False
+        active = np.zeros((self.num_slots,), bool)
+        tokens = np.zeros((self.num_slots,), np.int32)
+        temps = np.zeros((self.num_slots,), np.float32)
+        top_ps = np.ones((self.num_slots,), np.float32)
+        for i in live:
+            st = self.slots[i]
+            active[i] = True
+            tokens[i] = st.last_token
+            temps[i] = st.req.temperature
+            top_ps[i] = st.req.top_p
+        toks, self.cache = _decode_chunk(
+            self.params,
+            self.cache,
+            jnp.asarray(tokens),
+            jnp.asarray(active),
+            jnp.asarray(temps),
+            jnp.asarray(top_ps),
+            self._next_rng(),
+            self.cfg,
+            self.chunk,
+        )
+        toks = np.asarray(toks)  # ONE host transfer per chunk
+        for i in live:
+            st = self.slots[i]
+            if self._deliver(st, toks[i].tolist()):
+                st.last_token = int(toks[i, -1])
+                st.generated += self.chunk
+            else:
+                self.slots[i] = None
+        return True
+
+    # -- background thread --------------------------------------------
+
+    def start(self):
+        assert self._thread is None
+        self._stop = False
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def stop(self):
+        with self.work:
+            self._stop = True
+            self.work.notify()
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+
+    def _run(self):
+        while True:
+            did = self.step_once()
+            if not did:
+                with self.work:
+                    if self._stop:
+                        return
+                    if not self.pending and not any(self.slots):
+                        self.work.wait(timeout=0.1)
+            with self.lock:
+                if self._stop and not any(self.slots) and not self.pending:
+                    return

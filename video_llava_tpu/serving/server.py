@@ -49,14 +49,8 @@ class ChatModel:
     # speculative=False.
     speculative: bool = True
 
-    def chat(
-        self,
-        messages: List[dict],
-        temperature: float = 0.2,
-        max_tokens: int = 512,
-        seed: Optional[int] = None,
-        on_delta=None,
-    ) -> str:
+    def build_prompt(self, messages: List[dict]):
+        """messages -> (prompt token ids, conversation stop string)."""
         conv = conv_templates[self.conv_mode].copy()
         system = [m["content"] for m in messages if m["role"] == "system"]
         if system:
@@ -67,10 +61,18 @@ class ChatModel:
             elif m["role"] == "assistant":
                 conv.append_message(conv.roles[1], m["content"])
         conv.append_message(conv.roles[1], None)
-        prompt = conv.get_prompt()
+        return self.tokenizer.encode(conv.get_prompt()), conv.stop_string()
 
+    def chat(
+        self,
+        messages: List[dict],
+        temperature: float = 0.2,
+        max_tokens: int = 512,
+        seed: Optional[int] = None,
+        on_delta=None,
+    ) -> str:
+        ids, stop_str = self.build_prompt(messages)
         tok = self.tokenizer
-        ids = tok.encode(prompt)
         s_real = len(ids)
         pad = -s_real % self.seq_pad_multiple
         input_ids = np.full((1, s_real + pad), tok.pad_token_id, np.int32)
@@ -83,7 +85,6 @@ class ChatModel:
             eos_token_id=tok.eos_token_id,
             pad_token_id=tok.pad_token_id,
         )
-        stop_str = conv.stop_string()
         keywords = (stop_str,) if stop_str and stop_str != "</s>" else ()
         if self.speculative and not keywords and on_delta is None:
             from video_llava_tpu.engine.speculative import generate_pld_text
@@ -114,6 +115,96 @@ class ChatModel:
             on_delta=on_delta,
             postprocess=_post,
         )
+        return text
+
+
+class ContinuousChatModel:
+    """Continuous-batching server model (engine/continuous.py): every
+    request — streamed or not, greedy or sampled — shares the same
+    persistent B-slot decode batch, admitted and retired at chunk
+    granularity. Replaces both the request lock and the windowed
+    batcher: concurrent judge + QA traffic interleaves instead of
+    serializing (round-1 VERDICT weak #6).
+
+    Substring stops (non-'</s>' templates) check host-side on the
+    streamed chunks and cancel the slot. Seeded sampling draws from the
+    engine's shared PRNG stream (per-request seeds are not replayable
+    here; use the plain ChatModel for seed-exact sampling)."""
+
+    def __init__(
+        self,
+        model: ChatModel,
+        num_slots: int = 4,
+        max_cache_len: int = 2048,
+        chunk: int = 8,
+    ):
+        from video_llava_tpu.engine.continuous import ContinuousEngine
+
+        self.model = model
+        self.engine = ContinuousEngine(
+            model.params,
+            model.cfg,
+            num_slots=num_slots,
+            max_cache_len=max_cache_len,
+            cache_dtype=model.cache_dtype,
+            chunk=chunk,
+            prompt_pad=model.seq_pad_multiple,
+        )
+        self.engine.start()
+
+    def close(self):
+        self.engine.stop()
+
+    def chat(
+        self,
+        messages: List[dict],
+        temperature: float = 0.2,
+        max_tokens: int = 512,
+        seed: Optional[int] = None,
+        on_delta=None,
+    ) -> str:
+        from video_llava_tpu.engine.continuous import SlotRequest
+
+        del seed  # engine-stream PRNG; see class docstring
+        tok = self.model.tokenizer
+        ids, stop_str = self.model.build_prompt(messages)
+        keyword = stop_str if stop_str and stop_str != "</s>" else None
+
+        state = {"handle": None, "sent": 0}
+
+        def _visible(raw: str) -> str:
+            if keyword and keyword in raw:
+                raw = raw[: raw.index(keyword)]
+            if stop_str and raw.endswith(stop_str):
+                raw = raw[: -len(stop_str)]
+            return raw.strip()
+
+        def on_token(_chunk):
+            h = state["handle"]
+            raw = tok.decode(h.tokens, skip_special_tokens=True)
+            if keyword and keyword in raw:
+                h.cancel()
+            text = _visible(raw)
+            # strip()-progressive emission: trailing whitespace is held
+            # back until non-whitespace follows, so concatenated SSE
+            # deltas equal the final JSON text.
+            if on_delta is not None and len(text) > state["sent"]:
+                on_delta(text[state["sent"] :])
+                state["sent"] = len(text)
+
+        handle = self.engine.submit(
+            SlotRequest(
+                ids,
+                max_new_tokens=max_tokens,
+                temperature=temperature if temperature > 0 else 0.0,
+                eos_token_id=tok.eos_token_id,
+                on_token=on_token,
+            )
+        )
+        state["handle"] = handle
+        text = _visible(tok.decode(handle.result(), skip_special_tokens=True))
+        if on_delta is not None and len(text) > state["sent"]:
+            on_delta(text[state["sent"] :])
         return text
 
 
@@ -149,7 +240,9 @@ def make_handler(model: ChatModel, model_name: str):
             length = int(self.headers.get("Content-Length", 0))
             try:
                 req = json.loads(self.rfile.read(length))
-                serialized = not isinstance(model, BatchingChatModel)
+                serialized = not isinstance(
+                    model, (BatchingChatModel, ContinuousChatModel)
+                )
                 ctx = lock if serialized else _nullcontext()
                 if req.get("stream"):
                     with ctx:
@@ -254,8 +347,15 @@ def serve(
     batching: bool = False,
     max_batch: int = 8,
     window_ms: float = 30.0,
+    continuous: bool = False,
+    num_slots: int = 4,
+    max_cache_len: int = 2048,
 ) -> ThreadingHTTPServer:
-    if batching:
+    if continuous:
+        model = ContinuousChatModel(
+            model, num_slots=num_slots, max_cache_len=max_cache_len
+        )
+    elif batching:
         model = BatchingChatModel(model, max_batch, window_ms)
     server = ThreadingHTTPServer((host, port), make_handler(model, model_name))
     if block:
