@@ -1,0 +1,229 @@
+"""Serving throughput bench: sequential vs windowed vs continuous.
+
+Heterogeneous workload (short judge-style and long QA-style generations
+mixed): windowed batching pays the longest horizon for every row, while
+continuous batching retires short rows and admits pending ones at chunk
+granularity. Run on the chip:
+
+    python bench_serving.py                   # 7B int4, 8 requests, 4 slots
+    BENCH_MODEL=tiny python bench_serving.py  # CPU smoke (random tiny model)
+
+Env: BENCH_MODEL=7b|13b|tiny, BENCH_LLM_DTYPE=int4|int8|bf16,
+BENCH_SLOTS, BENCH_CHUNK, BENCH_REQUESTS, BENCH_PROMPT=prompt len,
+BENCH_MODE=all|sequential|windowed|continuous.
+
+Emits one JSON line per mode: wall_s, aggregate generated tok/s, mean
+and p95 request latency. (bench.py stays the driver-facing metric;
+this file is an auxiliary comparison like bench_grounding.py.)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+MODEL = os.environ.get("BENCH_MODEL", "7b")
+if MODEL == "tiny":
+    jax.config.update("jax_platforms", "cpu")
+
+from video_llava_tpu.config import (  # noqa: E402
+    GenerationConfig,
+    LlamaConfig,
+    VideoLLaVAConfig,
+)
+from video_llava_tpu.engine import generate as gen_mod  # noqa: E402
+from video_llava_tpu.engine.continuous import (  # noqa: E402
+    ContinuousEngine,
+    SlotRequest,
+)
+from video_llava_tpu.models import llama, video_llava  # noqa: E402
+
+LLM_DTYPE = os.environ.get("BENCH_LLM_DTYPE", "int4")
+SLOTS = int(os.environ.get("BENCH_SLOTS", "4"))
+CHUNK = int(os.environ.get("BENCH_CHUNK", "8"))
+REQUESTS = int(os.environ.get("BENCH_REQUESTS", "8"))
+PROMPT = int(os.environ.get("BENCH_PROMPT", "256"))
+MODE = os.environ.get("BENCH_MODE", "all")
+# Alternating short/long generations — the shape continuous batching
+# is built for. Short rows finish and hand their slot to the queue.
+SHORT, LONG = 32, 224
+CACHE_LEN = PROMPT + LONG
+
+
+def build():
+    if MODEL == "tiny":
+        cfg = dataclasses.replace(
+            VideoLLaVAConfig.tiny(),
+            llm=dataclasses.replace(
+                LlamaConfig.tiny(vocab_size=512), num_layers=2,
+                hidden_size=64, intermediate_size=128, num_heads=4,
+                num_kv_heads=4, head_dim=16,
+            ),
+        )
+        params = {
+            "llm": jax.jit(
+                lambda k: llama.init_params(k, cfg.llm, jnp.float32)
+            )(jax.random.PRNGKey(0))
+        }
+        return cfg, params, jnp.float32
+    base = VideoLLaVAConfig() if MODEL == "7b" else VideoLLaVAConfig(
+        llm=LlamaConfig(
+            hidden_size=5120, intermediate_size=13824, num_layers=40,
+            num_heads=40, num_kv_heads=40,
+        )
+    )
+    cfg = base
+
+    from video_llava_tpu.models.llama import fuse_layer_kernels
+
+    if LLM_DTYPE == "int4":
+        from video_llava_tpu.ops.quant4 import quantize_params_int4 as q
+    elif LLM_DTYPE == "int8":
+        from video_llava_tpu.ops.quant import quantize_params as q
+    else:
+        q = lambda t: t  # noqa: E731
+
+    # Materialize weights directly in the final fused+quantized layout
+    # (a bf16 + quantized copy of 7B/13B would OOM a 16 GB chip).
+    shapes = jax.eval_shape(
+        lambda k: llama.init_params(k, cfg.llm, jnp.bfloat16),
+        jax.random.PRNGKey(0),
+    )
+    qshapes = jax.eval_shape(lambda t: fuse_layer_kernels(q(t)), shapes)
+
+    def make(leaf):
+        if leaf.dtype == jnp.int8:
+            return jnp.ones(leaf.shape, jnp.int8) * 3
+        return jnp.full(leaf.shape, 0.01, leaf.dtype)
+
+    llm = jax.jit(
+        lambda: jax.tree.map(make, qshapes)
+    )()
+    return cfg, {"llm": llm}, (
+        jnp.int8 if LLM_DTYPE == "int8" else jnp.bfloat16
+    )
+
+
+def workload(cfg):
+    rng = np.random.default_rng(0)
+    reqs = []
+    for i in range(REQUESTS):
+        ids = rng.integers(3, cfg.llm.vocab_size - 8, size=PROMPT)
+        reqs.append((ids.astype(np.int32).tolist(),
+                     SHORT if i % 2 == 0 else LONG))
+    return reqs
+
+
+def bench_sequential(cfg, params, cache_dtype, reqs):
+    lat, total, t0 = [], 0, time.perf_counter()
+    for ids, max_new in reqs:
+        r0 = time.perf_counter()
+        g = GenerationConfig(
+            max_new_tokens=max_new, do_sample=False, eos_token_id=-1,
+            pad_token_id=0,
+        )
+        arr = np.asarray(ids, np.int32)[None]
+        res = gen_mod.generate(
+            params, cfg, g, jnp.asarray(arr),
+            jnp.asarray([len(ids)], jnp.int32), None,
+            jax.random.PRNGKey(0), cache_dtype=cache_dtype,
+            max_cache_len=CACHE_LEN,
+        )
+        total += int(np.asarray(res.lengths)[0])
+        lat.append(time.perf_counter() - r0)
+    return time.perf_counter() - t0, total, lat
+
+
+def bench_windowed(cfg, params, cache_dtype, reqs):
+    """BatchingChatModel semantics: SLOTS-sized windows decode to the
+    window's max horizon together."""
+    lat, total, t0 = [], 0, time.perf_counter()
+    for w0 in range(0, len(reqs), SLOTS):
+        window = reqs[w0 : w0 + SLOTS]
+        r0 = time.perf_counter()
+        horizon = max(m for _, m in window)
+        s_pad = max(len(i) for i, _ in window)
+        arr = np.zeros((len(window), s_pad), np.int32)
+        lens = np.zeros((len(window),), np.int32)
+        for j, (ids, _) in enumerate(window):
+            arr[j, : len(ids)] = ids
+            lens[j] = len(ids)
+        g = GenerationConfig(
+            max_new_tokens=horizon, do_sample=False, eos_token_id=-1,
+            pad_token_id=0,
+        )
+        res = gen_mod.generate(
+            params, cfg, g, jnp.asarray(arr), jnp.asarray(lens), None,
+            jax.random.PRNGKey(0), cache_dtype=cache_dtype,
+            max_cache_len=CACHE_LEN,
+        )
+        np.asarray(res.tokens)  # sync
+        dt = time.perf_counter() - r0
+        # every request in the window completes when the window does,
+        # but only its own max_new tokens count as useful output
+        total += sum(m for _, m in window)
+        lat.extend([dt] * len(window))
+    return time.perf_counter() - t0, total, lat
+
+
+def bench_continuous(cfg, params, cache_dtype, reqs):
+    eng = ContinuousEngine(
+        params, cfg, num_slots=SLOTS, max_cache_len=CACHE_LEN,
+        cache_dtype=cache_dtype, chunk=CHUNK, prompt_pad=64,
+    )
+    done_at = {}
+    t0 = time.perf_counter()
+    handles = []
+    for i, (ids, max_new) in enumerate(reqs):
+        h = eng.submit(SlotRequest(
+            ids, max_new_tokens=max_new, eos_token_id=-1,
+        ))
+        handles.append(h)
+    while not all(h.done for h in handles):
+        eng.step_once()
+        now = time.perf_counter()
+        for i, h in enumerate(handles):
+            if h.done and i not in done_at:
+                done_at[i] = now
+    wall = time.perf_counter() - t0
+    total = sum(len(h.tokens) for h in handles)
+    lat = [done_at[i] - t0 for i in range(len(handles))]
+    return wall, total, lat
+
+
+def main():
+    cfg, params, cache_dtype = build()
+    reqs = workload(cfg)
+    modes = {
+        "sequential": bench_sequential,
+        "windowed": bench_windowed,
+        "continuous": bench_continuous,
+    }
+    if MODE != "all":
+        modes = {MODE: modes[MODE]}
+    for name, fn in modes.items():
+        # warmup pass compiles every program shape for this mode
+        fn(cfg, params, cache_dtype, reqs[: min(2, len(reqs))])
+        wall, total, lat = fn(cfg, params, cache_dtype, reqs)
+        print(json.dumps({
+            "mode": name,
+            "model": MODEL,
+            "llm_dtype": LLM_DTYPE if MODEL != "tiny" else "f32",
+            "requests": len(reqs),
+            "slots": SLOTS,
+            "wall_s": round(wall, 3),
+            "agg_tok_per_s": round(total / wall, 1),
+            "mean_latency_s": round(float(np.mean(lat)), 3),
+            "p95_latency_s": round(float(np.percentile(lat, 95)), 3),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
