@@ -156,6 +156,47 @@ def test_mixed_sampling_rows(tiny_model):
     assert len(hs.tokens) <= 8
 
 
+def test_video_request_parity(tiny_model):
+    """A request with video features (spliced at <vid_patch> positions)
+    matches the one-shot generate path."""
+    cfg, tok, params = tiny_model
+    rng = np.random.default_rng(3)
+    n_vid = cfg.video_token_len
+    feats = rng.standard_normal(
+        (n_vid, cfg.vision.hidden_size)
+    ).astype(np.float32)
+    ids = (
+        [tok.bos_token_id, tok.vid_start_token_id]
+        + [tok.vid_patch_token_id] * n_vid
+        + [tok.vid_end_token_id]
+        + list(b" describe")
+    )
+    g = GenerationConfig(
+        max_new_tokens=8, do_sample=False,
+        eos_token_id=tok.eos_token_id, pad_token_id=tok.pad_token_id,
+    )
+    arr = np.asarray(ids, np.int32)[None]
+    ref = gen_mod.generate(
+        params, cfg, g, jnp.asarray(arr),
+        jnp.asarray([arr.shape[1]], jnp.int32),
+        jnp.asarray(feats)[None], jax.random.PRNGKey(0),
+        cache_dtype=jnp.float32,
+    )
+    exp = []
+    for t in np.asarray(ref.tokens)[0][: int(np.asarray(ref.lengths)[0])]:
+        if t == tok.eos_token_id:
+            break
+        exp.append(int(t))
+
+    eng = _engine(cfg, params, max_cache_len=512, prompt_pad=64)
+    h = eng.submit(SlotRequest(
+        ids, max_new_tokens=8, eos_token_id=tok.eos_token_id,
+        video_features=feats,
+    ))
+    _drain(eng, [h])
+    assert h.tokens == exp
+
+
 def test_background_thread(tiny_model):
     cfg, tok, params = tiny_model
     eng = _engine(cfg, params)

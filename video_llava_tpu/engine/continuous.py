@@ -86,19 +86,27 @@ def _insert_row(cache: KVCache, rowc: KVCache, slot) -> KVCache:
 def _sample_rows(logits, rng, temps, top_ps):
     """Per-row sampling: temps <= 0 rows take argmax; others sample
     from temperature-scaled, per-row top-p-masked logits. logits:
-    (B, V) f32; temps/top_ps: (B,) f32."""
+    (B, V) f32; temps/top_ps: (B,) f32. The vocab sort only executes
+    when some row actually samples (lax.cond) — all-greedy judge
+    batches pay argmax only."""
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    scaled = logits / jnp.maximum(temps, 1e-6)[:, None]
-    sorted_logits = jnp.sort(scaled, axis=-1)[..., ::-1]
-    probs = jax.nn.softmax(sorted_logits, axis=-1)
-    cum = jnp.cumsum(probs, axis=-1)
-    cutoff_idx = jnp.sum((cum - probs) < top_ps[:, None], axis=-1) - 1
-    cutoff = jnp.take_along_axis(
-        sorted_logits, cutoff_idx[:, None], axis=-1
+
+    def sampled(_):
+        scaled = logits / jnp.maximum(temps, 1e-6)[:, None]
+        sorted_logits = jnp.sort(scaled, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        cutoff_idx = jnp.sum((cum - probs) < top_ps[:, None], axis=-1) - 1
+        cutoff = jnp.take_along_axis(
+            sorted_logits, cutoff_idx[:, None], axis=-1
+        )
+        masked = jnp.where(scaled < cutoff, -jnp.inf, scaled)
+        s = jax.random.categorical(rng, masked, axis=-1).astype(jnp.int32)
+        return jnp.where(temps <= 0.0, greedy, s)
+
+    return jax.lax.cond(
+        jnp.any(temps > 0.0), sampled, lambda _: greedy, None
     )
-    masked = jnp.where(scaled < cutoff, -jnp.inf, scaled)
-    sampled = jax.random.categorical(rng, masked, axis=-1).astype(jnp.int32)
-    return jnp.where(temps <= 0.0, greedy, sampled)
 
 
 @functools.partial(
