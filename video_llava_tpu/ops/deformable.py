@@ -20,6 +20,19 @@ from typing import Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
+# 'auto' currently keeps the XLA gather formulation everywhere; flip to
+# the Pallas matmul kernel (ops/deformable_pallas.py) per-process with
+# set_default_impl('pallas') — interpret-mode parity is tested, but the
+# kernel still awaits its first Mosaic compile + timing on a real chip
+# (the tunnel was down when it landed), so auto doesn't select it yet.
+_DEFAULT_IMPL = "auto"
+
+
+def set_default_impl(impl: str) -> None:
+    global _DEFAULT_IMPL
+    assert impl in ("auto", "xla", "pallas")
+    _DEFAULT_IMPL = impl
+
 
 def _bilinear_sample_level(
     value: jax.Array,  # (b, h, w, heads, d)
@@ -66,6 +79,14 @@ def multi_scale_deformable_attention(
     attention_weights: jax.Array,  # (b, q, heads, levels, points)
 ) -> jax.Array:
     """-> (b, q, heads * d)."""
+    if _DEFAULT_IMPL == "pallas":
+        from video_llava_tpu.ops.deformable_pallas import (
+            multi_scale_deformable_attention_pallas,
+        )
+
+        return multi_scale_deformable_attention_pallas(
+            value, spatial_shapes, sampling_locations, attention_weights
+        )
     b, _, nh, d = value.shape
     q = sampling_locations.shape[1]
     out = jnp.zeros((b, q, nh, d), jnp.float32)

@@ -62,7 +62,10 @@ def _kernel(meta_ref, g_ref, *refs, shapes, qb, p, hd):
         y0, dy, x0, dx, aw = (col(j) for j in range(5))
 
         # -- y interpolation: 2-hot rows x value map, one MXU dot.
-        riota = jax.lax.broadcasted_iota(jnp.float32, (qp, h), 1)
+        # (int32 iota + convert: Mosaic's iota is integer-typed.)
+        riota = jax.lax.broadcasted_iota(jnp.int32, (qp, h), 1).astype(
+            jnp.float32
+        )
         wy = jnp.where(riota == y0, 1.0 - dy, 0.0) + jnp.where(
             riota == y0 + 1.0, dy, 0.0
         )
@@ -95,7 +98,7 @@ def multi_scale_deformable_attention_pallas(
     sampling_locations: jax.Array,  # (b, q, nh, L, P, 2) in [0, 1]
     attention_weights: jax.Array,  # (b, q, nh, L, P)
     *,
-    query_block: int = 64,
+    query_block: int = 32,
     interpret: bool = False,
 ) -> jax.Array:
     """Drop-in twin of ops.deformable.multi_scale_deformable_attention
