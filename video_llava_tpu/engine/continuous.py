@@ -109,8 +109,16 @@ def _sample_rows(logits, rng, temps, top_ps):
     )
 
 
+def _pin(cache: KVCache, mesh) -> KVCache:
+    if mesh is None:
+        return cache
+    from video_llava_tpu.parallel.sharding import constrain_kv_cache
+
+    return constrain_kv_cache(cache, mesh)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("cfg",), donate_argnums=(1,)
+    jax.jit, static_argnames=("cfg", "mesh"), donate_argnums=(1,)
 )
 def _prefill_slot(
     params,
@@ -123,9 +131,14 @@ def _prefill_slot(
     temp: jax.Array,  # () f32
     top_p: jax.Array,  # () f32
     cfg: VideoLLaVAConfig,
+    mesh=None,
 ):
     """Prefill one request into cache row `slot` (in place via donation)
-    and sample its first output token. -> (token () int32, cache)."""
+    and sample its first output token. -> (token () int32, cache).
+
+    mesh: optional ('data','model') Mesh — pins the persistent cache to
+    the TP inference layout (serving meshes use data=1; a data-sharded
+    slot axis would make the row slice a cross-shard gather)."""
     s = input_ids.shape[1]
     rowc = _slice_row(cache, slot)
     rowc = rowc._replace(length=jnp.zeros((1,), jnp.int32))
@@ -146,11 +159,11 @@ def _prefill_slot(
     tok = _sample_rows(
         last[None], rng, temp[None], top_p[None]
     )[0]
-    return tok, _insert_row(cache, rowc, slot)
+    return tok, _pin(_insert_row(cache, rowc, slot), mesh)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "chunk"), donate_argnums=(1,)
+    jax.jit, static_argnames=("cfg", "chunk", "mesh"), donate_argnums=(1,)
 )
 def _decode_chunk(
     params,
@@ -162,6 +175,7 @@ def _decode_chunk(
     rng: jax.Array,
     cfg: VideoLLaVAConfig,
     chunk: int,
+    mesh=None,
 ):
     """`chunk` decode steps over all slots -> ((B, chunk) tokens, cache).
     Inactive rows don't advance their cache length; their outputs are
@@ -174,8 +188,11 @@ def _decode_chunk(
         )
         rng, sub = jax.random.split(rng)
         nxt = _sample_rows(logits, sub, temps, top_ps)
-        cache2 = cache2._replace(
-            length=jnp.where(active, cache2.length, cache.length)
+        cache2 = _pin(
+            cache2._replace(
+                length=jnp.where(active, cache2.length, cache.length)
+            ),
+            mesh,
         )
         return (cache2, jnp.where(active, nxt, tok), rng), nxt
 
@@ -252,6 +269,7 @@ class ContinuousEngine:
         chunk: int = 8,
         prompt_pad: int = 64,
         seed: int = 0,
+        mesh=None,
     ):
         self.params = params
         self.cfg = cfg
@@ -259,9 +277,16 @@ class ContinuousEngine:
         self.max_cache_len = max_cache_len
         self.chunk = chunk
         self.prompt_pad = prompt_pad
+        self.mesh = mesh
         self.cache = KVCache.create(
             cfg.llm, num_slots, max_cache_len, cache_dtype
         )
+        if mesh is not None:
+            from video_llava_tpu.parallel.sharding import shard_kv_cache
+
+            # TP serving (model_init's make_mesh(1, m)): params must
+            # already be sharded by the caller.
+            self.cache = shard_kv_cache(self.cache, mesh)
         self.slots: List[Optional[_Slot]] = [None] * num_slots
         self.pending: deque = deque()
         self.lock = threading.Lock()
@@ -318,6 +343,7 @@ class ContinuousEngine:
                 jnp.asarray(req.temperature, jnp.float32),
                 jnp.asarray(req.top_p, jnp.float32),
                 self.cfg,
+                mesh=self.mesh,
             )
             st = _Slot(req, handle, np.asarray(tok), len(ids))
             if self._deliver(st, [st.last_token]):
@@ -379,6 +405,7 @@ class ContinuousEngine:
             self._next_rng(),
             self.cfg,
             self.chunk,
+            mesh=self.mesh,
         )
         toks = np.asarray(toks)  # ONE host transfer per chunk
         for i in live:

@@ -184,6 +184,28 @@ def constrain_kv_cache(cache, mesh: Mesh):
     )
 
 
+def shard_kv_cache(cache, mesh: Mesh):
+    """device_put a host/default-device KVCache into its mesh layout
+    (same specs as constrain_kv_cache; used when a persistent cache is
+    created OUTSIDE any jit, e.g. the continuous batching engine's
+    slot cache)."""
+
+    def put(x, spec):
+        if x is None:
+            return None
+        return jax.device_put(
+            x, NamedSharding(mesh, divisible_spec(spec, x.shape, mesh))
+        )
+
+    return cache._replace(
+        k=put(cache.k, cache_spec()),
+        v=put(cache.v, cache_spec()),
+        length=put(cache.length, P("data")),
+        k_scale=put(cache.k_scale, cache_scale_spec()),
+        v_scale=put(cache.v_scale, cache_scale_spec()),
+    )
+
+
 def batch_spec(ndim: int) -> P:
     return P(*(["data"] + [None] * (ndim - 1)))
 
