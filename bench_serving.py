@@ -173,10 +173,11 @@ def bench_windowed(cfg, params, cache_dtype, reqs):
     return time.perf_counter() - t0, total, lat
 
 
-def bench_continuous(cfg, params, cache_dtype, reqs):
+def bench_continuous(cfg, params, cache_dtype, reqs, speculative=True):
     eng = ContinuousEngine(
-        params, cfg, num_slots=SLOTS, max_cache_len=CACHE_LEN,
+        params, cfg, num_slots=SLOTS, max_cache_len=CACHE_LEN + 16,
         cache_dtype=cache_dtype, chunk=CHUNK, prompt_pad=64,
+        speculative=speculative,
     )
     done_at = {}
     t0 = time.perf_counter()
@@ -204,6 +205,9 @@ def main():
     modes = {
         "sequential": bench_sequential,
         "windowed": bench_windowed,
+        "continuous_nospec": lambda *a: bench_continuous(
+            *a, speculative=False
+        ),
         "continuous": bench_continuous,
     }
     if MODE != "all":

@@ -156,6 +156,47 @@ def test_mixed_sampling_rows(tiny_model):
     assert len(hs.tokens) <= 8
 
 
+def test_speculative_chunks_used_and_exact(tiny_model):
+    """Greedy requests route through the PLD chunk (stats prove it) and
+    still match the plain-engine output; an echoing prompt accepts
+    multi-token drafts (spec_tokens > chunk * spec_chunks would show
+    >1 token/iteration on average for strong echo)."""
+    cfg, tok, params = tiny_model
+    pattern = list(b"one two three four ") * 4
+    prompt = [tok.bos_token_id] + pattern
+    plain = _engine(cfg, params, speculative=False)
+    hp = plain.submit(SlotRequest(prompt, max_new_tokens=16,
+                                  eos_token_id=tok.eos_token_id))
+    _drain(plain, [hp])
+
+    spec = _engine(cfg, params)  # speculative default on
+    hs = spec.submit(SlotRequest(prompt, max_new_tokens=16,
+                                 eos_token_id=tok.eos_token_id))
+    _drain(spec, [hs])
+    assert hs.tokens == hp.tokens
+    assert spec.stats["spec_chunks"] > 0
+    assert spec.stats["plain_chunks"] == 0
+    assert spec.stats["spec_tokens"] >= len(hs.tokens)
+
+
+def test_mixed_batch_falls_back_to_plain(tiny_model):
+    """A sampled row in the batch routes chunks through the plain path
+    (stats), and the greedy row stays reference-exact."""
+    cfg, tok, params = tiny_model
+    p_greedy = [tok.bos_token_id] + list(b"fallback check")
+    expected = _reference_greedy(params, cfg, tok, p_greedy, 8)
+    eng = _engine(cfg, params)
+    hg = eng.submit(SlotRequest(p_greedy, max_new_tokens=8,
+                                eos_token_id=tok.eos_token_id))
+    hs = eng.submit(SlotRequest(
+        [tok.bos_token_id] + list(b"sampled row"), max_new_tokens=8,
+        temperature=0.8, eos_token_id=tok.eos_token_id,
+    ))
+    _drain(eng, [hg, hs])
+    assert hg.tokens == expected
+    assert eng.stats["plain_chunks"] > 0
+
+
 def test_video_request_parity(tiny_model):
     """A request with video features (spliced at <vid_patch> positions)
     matches the one-shot generate path."""

@@ -202,6 +202,123 @@ def _decode_chunk(
     return toks.T, cache  # (B, chunk)
 
 
+@functools.partial(
+    jax.jit, static_argnames=(), donate_argnums=(0,)
+)
+def _set_ctx_row(ctx, ctx_len, slot, padded_ids, seq_len, tok):
+    """Reset context row `slot` to a freshly admitted prompt + its first
+    sampled token (prompt-lookup state for the speculative chunks)."""
+    b, cap = ctx.shape
+    s = padded_ids.shape[1]
+    row = jnp.zeros((1, cap), jnp.int32)
+    row = jax.lax.dynamic_update_slice(row, padded_ids, (0, 0))
+    row = jax.lax.dynamic_update_slice(
+        row, tok.reshape(1, 1), (jnp.int32(0), seq_len[0])
+    )
+    ctx = jax.lax.dynamic_update_slice(ctx, row, (slot, jnp.int32(0)))
+    ctx_len = jax.lax.dynamic_update_slice(
+        ctx_len, seq_len + 1, (slot,)
+    )
+    return ctx, ctx_len
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _append_ctx(ctx, ctx_len, toks, active):
+    """Append a plain chunk's tokens to the context rows (keeps the
+    prompt-lookup state fresh across non-speculative chunks)."""
+    chunk = toks.shape[1]
+    write = jax.vmap(
+        lambda row, val, pos: jax.lax.dynamic_update_slice(row, val, (pos,))
+    )
+    ctx = write(ctx, toks, ctx_len)
+    return ctx, ctx_len + jnp.where(active, chunk, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "iters", "k", "ngram", "mesh"),
+    donate_argnums=(1, 2),
+)
+def _decode_chunk_pld(
+    params,
+    cache: KVCache,
+    ctx: jax.Array,  # (B, cap) int32 prompt+emitted context
+    ctx_len: jax.Array,  # (B,) int32
+    tokens: jax.Array,  # (B,) int32 last token per slot
+    active: jax.Array,  # (B,) bool
+    cfg: VideoLLaVAConfig,
+    iters: int,
+    k: int,
+    ngram: int,
+    mesh=None,
+):
+    """`iters` greedy prompt-lookup speculative steps over all slots.
+
+    Each iteration feeds (last token + k drafts) per row and keeps the
+    accepted prefix (engine/speculative.py math, greedy accept only —
+    the engine only routes chunks here when every active row is
+    greedy). Returns (buf (B, iters*(k+1)) tokens packed from 0,
+    counts (B,), cache, ctx, ctx_len, last_tok). The cache is written
+    optimistically k+1 past `length` each iteration; admission must
+    budget k+1 spare rows (ContinuousEngine.spec_margin)."""
+    from video_llava_tpu.engine.speculative import find_draft
+
+    b, cap = ctx.shape
+    ar = jnp.arange(k + 1, dtype=jnp.int32)
+    find_b = jax.vmap(lambda c, l: find_draft(c, l, ngram, k))
+    write_row = jax.vmap(
+        lambda row, val, pos: jax.lax.dynamic_update_slice(row, val, (pos,))
+    )
+    buf0 = jnp.zeros((b, iters * (k + 1)), jnp.int32)
+
+    def body(carry, _):
+        cache, ctx, ctx_len, tok, buf, n = carry
+        draft, dlen = find_b(ctx, ctx_len)  # (b, k), (b,)
+        fed = jnp.concatenate([tok[:, None], draft], axis=1)
+        logits, new_cache = llama.forward(
+            params["llm"], cfg.llm, input_ids=fed, cache=cache
+        )
+        g = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (b, k+1)
+        ok = (draft == g[:, :k]) & (ar[None, :k] < dlen[:, None])
+        m = jnp.argmin(
+            jnp.concatenate([ok, jnp.zeros((b, 1), bool)], axis=1), axis=1
+        ).astype(jnp.int32)
+        z = jnp.take_along_axis(g, m[:, None], axis=1)[:, 0]
+        n_new = jnp.where(active, m + 1, 0)
+        cand = jnp.where(
+            ar[None] < m[:, None],
+            jnp.take_along_axis(
+                draft, jnp.minimum(ar, k - 1)[None].repeat(b, 0), axis=1
+            ),
+            jnp.where(ar[None] == m[:, None], z[:, None], 0),
+        )
+        cand = jnp.where(ar[None] < n_new[:, None], cand, 0)
+        buf = write_row(buf, cand, n)
+        ctx = write_row(ctx, cand, ctx_len)
+        keep = jnp.where(active, 1 + m, 0)
+        new_cache = _pin(
+            new_cache._replace(length=cache.length + keep), mesh
+        )
+        new_tok = jnp.where(
+            n_new > 0,
+            jnp.take_along_axis(
+                cand, jnp.maximum(n_new - 1, 0)[:, None], axis=1
+            )[:, 0],
+            tok,
+        )
+        return (
+            new_cache, ctx, ctx_len + n_new, new_tok, buf, n + n_new
+        ), None
+
+    (cache, ctx, ctx_len, tok, buf, n), _ = jax.lax.scan(
+        body,
+        (cache, ctx, ctx_len, tokens, buf0, jnp.zeros((b,), jnp.int32)),
+        None,
+        length=iters,
+    )
+    return buf, n, cache, ctx, ctx_len, tok
+
+
 # -- host-side engine ---------------------------------------------------------
 
 
@@ -270,6 +387,9 @@ class ContinuousEngine:
         prompt_pad: int = 64,
         seed: int = 0,
         mesh=None,
+        speculative: bool = True,
+        spec_k: int = 8,
+        spec_ngram: int = 3,
     ):
         self.params = params
         self.cfg = cfg
@@ -278,6 +398,14 @@ class ContinuousEngine:
         self.chunk = chunk
         self.prompt_pad = prompt_pad
         self.mesh = mesh
+        # Prompt-lookup speculation applies to chunks whose active rows
+        # are ALL greedy (the judge-serving shape); mixed/sampled chunks
+        # fall back to the plain path, whose tokens still feed the
+        # per-slot context so later speculative chunks draft well.
+        self.speculative = speculative
+        self.spec_k = spec_k
+        self.spec_ngram = spec_ngram
+        self.spec_margin = spec_k + 1 if speculative else 0
         self.cache = KVCache.create(
             cfg.llm, num_slots, max_cache_len, cache_dtype
         )
@@ -287,6 +415,12 @@ class ContinuousEngine:
             # TP serving (model_init's make_mesh(1, m)): params must
             # already be sharded by the caller.
             self.cache = shard_kv_cache(self.cache, mesh)
+        if speculative:
+            cap = max_cache_len + self.spec_margin + chunk
+            self.ctx = jnp.zeros((num_slots, cap), jnp.int32)
+            self.ctx_len = jnp.zeros((num_slots,), jnp.int32)
+        self.stats = {"spec_chunks": 0, "plain_chunks": 0,
+                      "spec_tokens": 0}
         self.slots: List[Optional[_Slot]] = [None] * num_slots
         self.pending: deque = deque()
         self.lock = threading.Lock()
@@ -319,10 +453,13 @@ class ContinuousEngine:
                 req, handle = self.pending.popleft()
             slot = self.slots.index(None)
             ids = list(req.input_ids)
-            if len(ids) + req.max_new_tokens > self.max_cache_len:
-                # Trim the prompt head, keeping room to generate
-                # (mirrors runtime/chat.py's truncation cutoffs).
-                keep = max(1, self.max_cache_len - req.max_new_tokens)
+            budget = self.max_cache_len - self.spec_margin
+            if len(ids) + req.max_new_tokens > budget:
+                # Trim the prompt head, keeping room to generate (plus
+                # the speculative overshoot rows — the PLD chunk writes
+                # k+1 positions past `length` before rewinding; mirrors
+                # runtime/chat.py's truncation cutoffs).
+                keep = max(1, budget - req.max_new_tokens)
                 ids = ids[-keep:]
             s_pad = -(-len(ids) // self.prompt_pad) * self.prompt_pad
             padded = np.zeros((1, s_pad), np.int32)
@@ -345,6 +482,12 @@ class ContinuousEngine:
                 self.cfg,
                 mesh=self.mesh,
             )
+            if self.speculative:
+                self.ctx, self.ctx_len = _set_ctx_row(
+                    self.ctx, self.ctx_len, jnp.asarray(slot, jnp.int32),
+                    jnp.asarray(padded), jnp.asarray([len(ids)], jnp.int32),
+                    tok,
+                )
             st = _Slot(req, handle, np.asarray(tok), len(ids))
             if self._deliver(st, [st.last_token]):
                 self.slots[slot] = st
@@ -372,7 +515,10 @@ class ContinuousEngine:
             st.handle.tokens.extend(emit)
             if req.on_token is not None:
                 req.on_token(emit)
-        if st.prompt_len + len(st.handle.tokens) + 1 >= self.max_cache_len:
+        if (
+            st.prompt_len + len(st.handle.tokens) + 1 + self.spec_margin
+            >= self.max_cache_len
+        ):
             alive = False  # cache row exhausted
         if not alive:
             st.handle._done.set()
@@ -395,6 +541,32 @@ class ContinuousEngine:
             tokens[i] = st.last_token
             temps[i] = st.req.temperature
             top_ps[i] = st.req.top_p
+
+        if self.speculative and all(
+            self.slots[i].req.temperature <= 0.0 for i in live
+        ):
+            buf, counts, self.cache, self.ctx, self.ctx_len, last = (
+                _decode_chunk_pld(
+                    self.params, self.cache, self.ctx, self.ctx_len,
+                    jnp.asarray(tokens), jnp.asarray(active), self.cfg,
+                    self.chunk, self.spec_k, self.spec_ngram,
+                    mesh=self.mesh,
+                )
+            )
+            buf = np.asarray(buf)  # ONE host transfer per chunk
+            counts = np.asarray(counts)
+            last = np.asarray(last)
+            self.stats["spec_chunks"] += 1
+            self.stats["spec_tokens"] += int(counts[active].sum())
+            for i in live:
+                st = self.slots[i]
+                if self._deliver(st, buf[i, : counts[i]].tolist()):
+                    st.last_token = int(last[i])
+                    st.generated += int(counts[i])
+                else:
+                    self.slots[i] = None
+            return True
+
         toks, self.cache = _decode_chunk(
             self.params,
             self.cache,
@@ -408,6 +580,13 @@ class ContinuousEngine:
             mesh=self.mesh,
         )
         toks = np.asarray(toks)  # ONE host transfer per chunk
+        if self.speculative:
+            # keep the prompt-lookup context fresh for later spec chunks
+            self.ctx, self.ctx_len = _append_ctx(
+                self.ctx, self.ctx_len, jnp.asarray(toks),
+                jnp.asarray(active),
+            )
+        self.stats["plain_chunks"] += 1
         for i in live:
             st = self.slots[i]
             if self._deliver(st, toks[i].tolist()):
