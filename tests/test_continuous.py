@@ -71,6 +71,9 @@ def _engine(cfg, params, **kw):
     kw.setdefault("cache_dtype", jnp.float32)
     kw.setdefault("chunk", 4)
     kw.setdefault("prompt_pad", 16)
+    # small windows so ordinary test prompts exercise multi-chunk
+    # prefill (positions offset + q_offset attention path)
+    kw.setdefault("prefill_chunk", 16)
     return ContinuousEngine(params, cfg, **kw)
 
 
@@ -154,6 +157,32 @@ def test_mixed_sampling_rows(tiny_model):
     _drain(eng, [hg, hs])
     assert hg.tokens == expected
     assert len(hs.tokens) <= 8
+
+
+def test_chunked_prefill_long_prompt_parity(tiny_model):
+    """A prompt spanning many prefill windows (P=16, prompt ~90 tokens)
+    matches the one-shot generate path; decode for an already-active
+    slot keeps running while the second slot is still prefilling."""
+    cfg, tok, params = tiny_model
+    long_prompt = [tok.bos_token_id] + list(
+        b"a fairly long prompt that spans several chunked prefill "
+        b"windows of the continuous engine"
+    )
+    short_prompt = [tok.bos_token_id] + list(b"short")
+    exp_long = _reference_greedy(params, cfg, tok, long_prompt, 10)
+    exp_short = _reference_greedy(params, cfg, tok, short_prompt, 10)
+
+    eng = _engine(cfg, params, max_cache_len=256)
+    h_short = eng.submit(SlotRequest(
+        short_prompt, max_new_tokens=10, eos_token_id=tok.eos_token_id,
+    ))
+    eng.step_once()  # short becomes ready/decoding
+    h_long = eng.submit(SlotRequest(
+        long_prompt, max_new_tokens=10, eos_token_id=tok.eos_token_id,
+    ))
+    _drain(eng, [h_short, h_long])
+    assert h_short.tokens == exp_short
+    assert h_long.tokens == exp_long
 
 
 def test_speculative_chunks_used_and_exact(tiny_model):

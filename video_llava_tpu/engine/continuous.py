@@ -203,6 +203,49 @@ def _decode_chunk(
 
 
 @functools.partial(
+    jax.jit, static_argnames=("cfg", "mesh"), donate_argnums=(1,)
+)
+def _prefill_chunk(
+    params,
+    cache: KVCache,
+    slot: jax.Array,  # () int32
+    ids_chunk: jax.Array,  # (1, P) — window [base, base+P) of the prompt
+    base: jax.Array,  # (1,) int32 chunk start position
+    seq_len: jax.Array,  # (1,) int32 full prompt length
+    rng: jax.Array,
+    temp: jax.Array,
+    top_p: jax.Array,
+    cfg: VideoLLaVAConfig,
+    mesh=None,
+):
+    """One chunk of a chunked prefill into cache row `slot`.
+
+    Text-only requests prefill in fixed (1, P) windows: ONE compiled
+    program serves every prompt length (no per-bucket compiles over the
+    tunnel), and long admissions interleave with decode chunks instead
+    of stalling every slot. The cached s>1 attention path handles the
+    base offset (q_offset chunked-prefill semantics). Returns (token —
+    meaningful only on the final chunk, cache)."""
+    p = ids_chunk.shape[1]
+    rowc = _slice_row(cache, slot)._replace(length=base)
+    embeds = video_llava.build_inputs_embeds(params, ids_chunk, None, cfg)
+    positions = base[:, None] + jnp.arange(p, dtype=jnp.int32)[None]
+    logits, rowc = llama.forward(
+        params["llm"],
+        cfg.llm,
+        inputs_embeds=embeds,
+        positions=positions,
+        cache=rowc,
+        new_length=jnp.minimum(base + p, seq_len),
+    )
+    last_idx = jnp.clip(seq_len[0] - 1 - base[0], 0, p - 1)
+    tok = _sample_rows(
+        logits[0, last_idx][None], rng, temp[None], top_p[None]
+    )[0]
+    return tok, _pin(_insert_row(cache, rowc, slot), mesh)
+
+
+@functools.partial(
     jax.jit, static_argnames=(), donate_argnums=(0,)
 )
 def _set_ctx_row(ctx, ctx_len, slot, padded_ids, seq_len, tok):
@@ -219,6 +262,24 @@ def _set_ctx_row(ctx, ctx_len, slot, padded_ids, seq_len, tok):
     ctx_len = jax.lax.dynamic_update_slice(
         ctx_len, seq_len + 1, (slot,)
     )
+    return ctx, ctx_len
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _ctx_write_chunk(ctx, slot, chunk, base):
+    """Write a prefill chunk's ids into context row `slot` at `base`
+    (fixed chunk width: one compile for all prompt lengths)."""
+    return jax.lax.dynamic_update_slice(ctx, chunk, (slot, base))
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _ctx_finish_prefill(ctx, ctx_len, slot, seq_len, tok):
+    """Append the first sampled token at `seq_len` and set the row's
+    context length (chunked-prefill completion)."""
+    ctx = jax.lax.dynamic_update_slice(
+        ctx, tok.reshape(1, 1), (slot, seq_len[0])
+    )
+    ctx_len = jax.lax.dynamic_update_slice(ctx_len, seq_len + 1, (slot,))
     return ctx, ctx_len
 
 
@@ -357,14 +418,18 @@ class RequestHandle:
 
 
 class _Slot:
-    __slots__ = ("req", "handle", "last_token", "generated", "prompt_len")
+    __slots__ = ("req", "handle", "last_token", "generated", "prompt_len",
+                 "ready", "base", "padded")
 
-    def __init__(self, req, handle, last_token, prompt_len):
+    def __init__(self, req, handle, prompt_len, padded=None):
         self.req = req
         self.handle = handle
-        self.last_token = int(last_token)
-        self.generated = 1  # prefill sampled the first token
         self.prompt_len = prompt_len  # post-truncation length in cache
+        self.padded = padded  # (1, W) np prompt for chunked prefill
+        self.ready = padded is None  # full-prefill slots start ready
+        self.base = 0  # chunked-prefill progress
+        self.last_token = None
+        self.generated = 0
 
 
 class ContinuousEngine:
@@ -385,6 +450,7 @@ class ContinuousEngine:
         cache_dtype=jnp.bfloat16,
         chunk: int = 8,
         prompt_pad: int = 64,
+        prefill_chunk: int = 256,
         seed: int = 0,
         mesh=None,
         speculative: bool = True,
@@ -397,6 +463,8 @@ class ContinuousEngine:
         self.max_cache_len = max_cache_len
         self.chunk = chunk
         self.prompt_pad = prompt_pad
+        # the fixed prefill window must fit the cache row
+        self.prefill_chunk = min(prefill_chunk, max_cache_len)
         self.mesh = mesh
         # Prompt-lookup speculation applies to chunks whose active rows
         # are ALL greedy (the judge-serving shape); mixed/sampled chunks
@@ -416,7 +484,11 @@ class ContinuousEngine:
             # already be sharded by the caller.
             self.cache = shard_kv_cache(self.cache, mesh)
         if speculative:
-            cap = max_cache_len + self.spec_margin + chunk
+            # chunked prefill writes whole (base, base+P) windows into
+            # the context row; size past the worst overshoot.
+            cap = max_cache_len + self.spec_margin + max(
+                chunk, prefill_chunk
+            )
             self.ctx = jnp.zeros((num_slots, cap), jnp.int32)
             self.ctx_len = jnp.zeros((num_slots,), jnp.int32)
         self.stats = {"spec_chunks": 0, "plain_chunks": 0,
@@ -445,7 +517,13 @@ class ContinuousEngine:
         return sub
 
     def _admit(self):
-        """Prefill pending requests into free slots."""
+        """Assign pending requests to free slots.
+
+        Text-only requests enter chunked prefill (fixed (1, P) windows,
+        one compiled program for every prompt length, interleaved with
+        decode chunks by the scheduler). Video requests prefill whole —
+        the feature splice needs the full <vid_patch> span in one
+        window."""
         while self.pending and None in self.slots:
             with self.lock:
                 if not self.pending:
@@ -461,14 +539,24 @@ class ContinuousEngine:
                 # runtime/chat.py's truncation cutoffs).
                 keep = max(1, budget - req.max_new_tokens)
                 ids = ids[-keep:]
+
+            if req.video_features is None:
+                p = self.prefill_chunk
+                # every (base, base+P) window must fit the cache row:
+                # cap the prompt at the largest P-aligned length <= ML.
+                cap_aligned = (self.max_cache_len // p) * p
+                if len(ids) > cap_aligned:
+                    ids = ids[-cap_aligned:]
+                w = -(-len(ids) // p) * p
+                padded = np.zeros((1, w), np.int32)
+                padded[0, : len(ids)] = ids
+                self.slots[slot] = _Slot(req, handle, len(ids), padded)
+                continue
+
             s_pad = -(-len(ids) // self.prompt_pad) * self.prompt_pad
             padded = np.zeros((1, s_pad), np.int32)
             padded[0, : len(ids)] = ids
-            vf = (
-                None
-                if req.video_features is None
-                else jnp.asarray(req.video_features)[None]
-            )
+            vf = jnp.asarray(req.video_features)[None]
             tok, self.cache = _prefill_slot(
                 self.params,
                 self.cache,
@@ -488,10 +576,58 @@ class ContinuousEngine:
                     jnp.asarray(padded), jnp.asarray([len(ids)], jnp.int32),
                     tok,
                 )
-            st = _Slot(req, handle, np.asarray(tok), len(ids))
+            st = _Slot(req, handle, len(ids))
+            st.last_token = int(np.asarray(tok))
+            st.generated = 1
             if self._deliver(st, [st.last_token]):
                 self.slots[slot] = st
             # else: single-token request finished at prefill
+
+    def _advance_prefill(self) -> bool:
+        """Run ONE prefill chunk for the first not-yet-ready slot (so a
+        long admission never stalls decode by more than one chunk).
+        Returns True if a chunk ran."""
+        for i, st in enumerate(self.slots):
+            if st is None or st.ready:
+                continue
+            if st.handle._cancelled:
+                st.handle._done.set()
+                self.slots[i] = None
+                continue
+            p = self.prefill_chunk
+            chunk = np.ascontiguousarray(st.padded[:, st.base : st.base + p])
+            tok, self.cache = _prefill_chunk(
+                self.params,
+                self.cache,
+                jnp.asarray(i, jnp.int32),
+                jnp.asarray(chunk),
+                jnp.asarray([st.base], jnp.int32),
+                jnp.asarray([st.prompt_len], jnp.int32),
+                self._next_rng(),
+                jnp.asarray(st.req.temperature, jnp.float32),
+                jnp.asarray(st.req.top_p, jnp.float32),
+                self.cfg,
+                mesh=self.mesh,
+            )
+            if self.speculative:
+                self.ctx = _ctx_write_chunk(
+                    self.ctx, jnp.asarray(i, jnp.int32),
+                    jnp.asarray(chunk), jnp.asarray(st.base, jnp.int32),
+                )
+            st.base += p
+            if st.base >= st.prompt_len:
+                if self.speculative:
+                    self.ctx, self.ctx_len = _ctx_finish_prefill(
+                        self.ctx, self.ctx_len, jnp.asarray(i, jnp.int32),
+                        jnp.asarray([st.prompt_len], jnp.int32), tok,
+                    )
+                st.ready = True
+                st.last_token = int(np.asarray(tok))
+                st.generated = 1
+                if not self._deliver(st, [st.last_token]):
+                    self.slots[i] = None
+            return True
+        return False
 
     def _deliver(self, st: _Slot, new_tokens: List[int]) -> bool:
         """Append tokens to the request, honoring stop conditions.
@@ -528,9 +664,13 @@ class ContinuousEngine:
         """One scheduler iteration: admit pending, run one decode chunk,
         deliver tokens. Returns True if any work was done."""
         self._admit()
-        live = [i for i, s in enumerate(self.slots) if s is not None]
+        prefilled = self._advance_prefill()
+        live = [
+            i for i, s in enumerate(self.slots)
+            if s is not None and s.ready
+        ]
         if not live:
-            return False
+            return prefilled
         active = np.zeros((self.num_slots,), bool)
         tokens = np.zeros((self.num_slots,), np.int32)
         temps = np.zeros((self.num_slots,), np.float32)
