@@ -267,6 +267,30 @@ def test_video_request_parity(tiny_model):
     assert h.tokens == exp
 
 
+def test_seeded_sampling_replays_across_batches(tiny_model):
+    """A seeded sampled request produces the same tokens whether it
+    runs alone or alongside another request (per-slot PRNG chains)."""
+    cfg, tok, params = tiny_model
+    prompt = [tok.bos_token_id] + list(b"seeded run")
+
+    def run(with_neighbor):
+        eng = _engine(cfg, params)
+        hs = eng.submit(SlotRequest(
+            prompt, max_new_tokens=10, temperature=0.9,
+            eos_token_id=tok.eos_token_id, seed=42,
+        ))
+        handles = [hs]
+        if with_neighbor:
+            handles.append(eng.submit(SlotRequest(
+                [tok.bos_token_id] + list(b"other"), max_new_tokens=10,
+                eos_token_id=tok.eos_token_id,
+            )))
+        _drain(eng, handles)
+        return hs.tokens
+
+    assert run(False) == run(True)
+
+
 def test_background_thread(tiny_model):
     cfg, tok, params = tiny_model
     eng = _engine(cfg, params)

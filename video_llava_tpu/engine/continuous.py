@@ -83,12 +83,14 @@ def _insert_row(cache: KVCache, rowc: KVCache, slot) -> KVCache:
     )
 
 
-def _sample_rows(logits, rng, temps, top_ps):
+def _sample_rows(logits, keys, temps, top_ps):
     """Per-row sampling: temps <= 0 rows take argmax; others sample
-    from temperature-scaled, per-row top-p-masked logits. logits:
-    (B, V) f32; temps/top_ps: (B,) f32. The vocab sort only executes
-    when some row actually samples (lax.cond) — all-greedy judge
-    batches pay argmax only."""
+    from temperature-scaled, per-row top-p-masked logits with that
+    ROW'S OWN key — a request's sampled output replays from its seed
+    regardless of what shares the batch. logits: (B, V) f32; keys:
+    (B, 2) uint32; temps/top_ps: (B,) f32. The vocab sort only
+    executes when some row actually samples (lax.cond) — all-greedy
+    judge batches pay argmax only."""
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
     def sampled(_):
@@ -101,7 +103,9 @@ def _sample_rows(logits, rng, temps, top_ps):
             sorted_logits, cutoff_idx[:, None], axis=-1
         )
         masked = jnp.where(scaled < cutoff, -jnp.inf, scaled)
-        s = jax.random.categorical(rng, masked, axis=-1).astype(jnp.int32)
+        s = jax.vmap(
+            lambda k, row: jax.random.categorical(k, row)
+        )(keys, masked).astype(jnp.int32)
         return jnp.where(temps <= 0.0, greedy, s)
 
     return jax.lax.cond(
@@ -157,7 +161,7 @@ def _prefill_slot(
         logits, (seq_len - 1)[:, None, None], axis=1
     )[0, 0]
     tok = _sample_rows(
-        last[None], rng, temp[None], top_p[None]
+        last[None], rng[None], temp[None], top_p[None]
     )[0]
     return tok, _pin(_insert_row(cache, rowc, slot), mesh)
 
@@ -172,34 +176,37 @@ def _decode_chunk(
     active: jax.Array,  # (B,) bool
     temps: jax.Array,  # (B,) f32
     top_ps: jax.Array,  # (B,) f32
-    rng: jax.Array,
+    keys: jax.Array,  # (B, 2) uint32 per-slot PRNG chains
     cfg: VideoLLaVAConfig,
     chunk: int,
     mesh=None,
 ):
-    """`chunk` decode steps over all slots -> ((B, chunk) tokens, cache).
-    Inactive rows don't advance their cache length; their outputs are
-    garbage and ignored host-side."""
+    """`chunk` decode steps over all slots -> ((B, chunk) tokens, cache,
+    keys). Inactive rows don't advance their cache length; their
+    outputs are garbage and ignored host-side. Each row splits its OWN
+    key once per step, so a seeded request's sampled continuation is
+    independent of what shares the batch."""
 
     def body(carry, _):
-        cache, tok, rng = carry
+        cache, tok, keys = carry
         logits, cache2 = llama.decode_step(
             params["llm"], cfg.llm, tok, cache
         )
-        rng, sub = jax.random.split(rng)
-        nxt = _sample_rows(logits, sub, temps, top_ps)
+        split = jax.vmap(jax.random.split)(keys)  # (B, 2, 2)
+        keys2, subs = split[:, 0], split[:, 1]
+        nxt = _sample_rows(logits, subs, temps, top_ps)
         cache2 = _pin(
             cache2._replace(
                 length=jnp.where(active, cache2.length, cache.length)
             ),
             mesh,
         )
-        return (cache2, jnp.where(active, nxt, tok), rng), nxt
+        return (cache2, jnp.where(active, nxt, tok), keys2), nxt
 
-    (cache, _, _), toks = jax.lax.scan(
-        body, (cache, tokens, rng), None, length=chunk
+    (cache, _, keys), toks = jax.lax.scan(
+        body, (cache, tokens, keys), None, length=chunk
     )
-    return toks.T, cache  # (B, chunk)
+    return toks.T, cache, keys  # (B, chunk)
 
 
 @functools.partial(
@@ -240,7 +247,7 @@ def _prefill_chunk(
     )
     last_idx = jnp.clip(seq_len[0] - 1 - base[0], 0, p - 1)
     tok = _sample_rows(
-        logits[0, last_idx][None], rng, temp[None], top_p[None]
+        logits[0, last_idx][None], rng[None], temp[None], top_p[None]
     )[0]
     return tok, _pin(_insert_row(cache, rowc, slot), mesh)
 
@@ -393,6 +400,10 @@ class SlotRequest:
     stop_token_ids: Sequence[int] = ()
     video_features: Optional[np.ndarray] = None  # (n_vid, mm_hidden)
     on_token: Optional[Callable[[List[int]], None]] = None
+    # Sampled requests replay exactly from this seed (per-slot PRNG
+    # chain, batch-composition independent); None draws from the
+    # engine's stream.
+    seed: Optional[int] = None
 
 
 class RequestHandle:
@@ -493,6 +504,7 @@ class ContinuousEngine:
             self.ctx_len = jnp.zeros((num_slots,), jnp.int32)
         self.stats = {"spec_chunks": 0, "plain_chunks": 0,
                       "spec_tokens": 0}
+        self.keys = jnp.zeros((num_slots, 2), jnp.uint32)
         self.slots: List[Optional[_Slot]] = [None] * num_slots
         self.pending: deque = deque()
         self.lock = threading.Lock()
@@ -540,6 +552,12 @@ class ContinuousEngine:
                 keep = max(1, budget - req.max_new_tokens)
                 ids = ids[-keep:]
 
+            key = (
+                jax.random.PRNGKey(req.seed)
+                if req.seed is not None
+                else self._next_rng()
+            )
+
             if req.video_features is None:
                 p = self.prefill_chunk
                 # every (base, base+P) window must fit the cache row:
@@ -550,6 +568,7 @@ class ContinuousEngine:
                 w = -(-len(ids) // p) * p
                 padded = np.zeros((1, w), np.int32)
                 padded[0, : len(ids)] = ids
+                self.keys = self.keys.at[slot].set(key)
                 self.slots[slot] = _Slot(req, handle, len(ids), padded)
                 continue
 
@@ -557,6 +576,8 @@ class ContinuousEngine:
             padded = np.zeros((1, s_pad), np.int32)
             padded[0, : len(ids)] = ids
             vf = jnp.asarray(req.video_features)[None]
+            k_use, k_rest = jax.random.split(key)
+            self.keys = self.keys.at[slot].set(k_rest)
             tok, self.cache = _prefill_slot(
                 self.params,
                 self.cache,
@@ -564,7 +585,7 @@ class ContinuousEngine:
                 jnp.asarray(padded),
                 jnp.asarray([len(ids)], jnp.int32),
                 vf,
-                self._next_rng(),
+                k_use,
                 jnp.asarray(req.temperature, jnp.float32),
                 jnp.asarray(req.top_p, jnp.float32),
                 self.cfg,
@@ -596,6 +617,14 @@ class ContinuousEngine:
                 continue
             p = self.prefill_chunk
             chunk = np.ascontiguousarray(st.padded[:, st.base : st.base + p])
+            final = st.base + p >= st.prompt_len
+            if final:
+                # only the final window's sample is kept: consume one
+                # split from the slot's chain for it
+                k_use, k_rest = jax.random.split(self.keys[i])
+                self.keys = self.keys.at[i].set(k_rest)
+            else:
+                k_use = jnp.zeros((2,), jnp.uint32)  # sample discarded
             tok, self.cache = _prefill_chunk(
                 self.params,
                 self.cache,
@@ -603,7 +632,7 @@ class ContinuousEngine:
                 jnp.asarray(chunk),
                 jnp.asarray([st.base], jnp.int32),
                 jnp.asarray([st.prompt_len], jnp.int32),
-                self._next_rng(),
+                k_use,
                 jnp.asarray(st.req.temperature, jnp.float32),
                 jnp.asarray(st.req.top_p, jnp.float32),
                 self.cfg,
@@ -707,14 +736,14 @@ class ContinuousEngine:
                     self.slots[i] = None
             return True
 
-        toks, self.cache = _decode_chunk(
+        toks, self.cache, self.keys = _decode_chunk(
             self.params,
             self.cache,
             jnp.asarray(tokens),
             jnp.asarray(active),
             jnp.asarray(temps),
             jnp.asarray(top_ps),
-            self._next_rng(),
+            self.keys,
             self.cfg,
             self.chunk,
             mesh=self.mesh,

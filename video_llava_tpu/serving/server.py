@@ -127,9 +127,9 @@ class ContinuousChatModel:
     serializing (round-1 VERDICT weak #6).
 
     Substring stops (non-'</s>' templates) check host-side on the
-    streamed chunks and cancel the slot. Seeded sampling draws from the
-    engine's shared PRNG stream (per-request seeds are not replayable
-    here; use the plain ChatModel for seed-exact sampling)."""
+    streamed chunks and cancel the slot. Seeded requests replay
+    exactly: each slot samples from its own per-request PRNG chain,
+    independent of what shares the batch."""
 
     def __init__(
         self,
@@ -165,7 +165,6 @@ class ContinuousChatModel:
     ) -> str:
         from video_llava_tpu.engine.continuous import SlotRequest
 
-        del seed  # engine-stream PRNG; see class docstring
         tok = self.model.tokenizer
         ids, stop_str = self.model.build_prompt(messages)
         keyword = stop_str if stop_str and stop_str != "</s>" else None
@@ -199,6 +198,7 @@ class ContinuousChatModel:
                 temperature=temperature if temperature > 0 else 0.0,
                 eos_token_id=tok.eos_token_id,
                 on_token=on_token,
+                seed=seed,
             )
         )
         state["handle"] = handle
