@@ -267,6 +267,32 @@ def test_video_request_parity(tiny_model):
     assert h.tokens == exp
 
 
+def test_priority_admission_order(tiny_model):
+    """With one slot busy and several pending, the high-priority
+    request admits before earlier low-priority arrivals."""
+    cfg, tok, params = tiny_model
+    eng = _engine(cfg, params, num_slots=1)
+    mk = lambda tag, prio: SlotRequest(  # noqa: E731
+        [tok.bos_token_id] + list(tag), max_new_tokens=4,
+        eos_token_id=tok.eos_token_id, priority=prio,
+    )
+    h_busy = eng.submit(mk(b"busy", 0))
+    eng.step_once()  # occupy the slot
+    h_low = eng.submit(mk(b"low", 0))
+    h_high = eng.submit(mk(b"high", 5))
+    order = []
+    for h, name in ((h_busy, "busy"), (h_low, "low"), (h_high, "high")):
+        h.name = name  # type: ignore[attr-defined]
+    for _ in range(200):
+        for h, name in ((h_busy, "busy"), (h_low, "low"), (h_high, "high")):
+            if h.done and name not in order:
+                order.append(name)
+        if len(order) == 3:
+            break
+        eng.step_once()
+    assert order == ["busy", "high", "low"]
+
+
 def test_seeded_sampling_replays_across_batches(tiny_model):
     """A seeded sampled request produces the same tokens whether it
     runs alone or alongside another request (per-slot PRNG chains)."""

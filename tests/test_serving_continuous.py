@@ -71,6 +71,17 @@ def test_concurrent_requests_interleave(cont_server, plain_model):
         assert out == exp, i
 
 
+def test_metrics_and_health_endpoints(cont_server):
+    import requests
+
+    assert requests.get(
+        cont_server + "/healthz", timeout=10
+    ).json()["status"] == "ok"
+    m = requests.get(cont_server + "/metrics", timeout=10).json()
+    assert m["slots_total"] == 2
+    assert "spec_chunks" in m and "pending" in m
+
+
 def test_continuous_streaming_matches_json(cont_server):
     import requests
 

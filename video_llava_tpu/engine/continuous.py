@@ -31,8 +31,8 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import heapq
 import threading
-from collections import deque
 from typing import Callable, List, Optional, Sequence
 
 import numpy as np
@@ -404,6 +404,9 @@ class SlotRequest:
     # chain, batch-composition independent); None draws from the
     # engine's stream.
     seed: Optional[int] = None
+    # Higher admits first when slots are contended (e.g. interactive
+    # judge traffic over background QA sweeps); FIFO within a class.
+    priority: int = 0
 
 
 class RequestHandle:
@@ -506,7 +509,10 @@ class ContinuousEngine:
                       "spec_tokens": 0}
         self.keys = jnp.zeros((num_slots, 2), jnp.uint32)
         self.slots: List[Optional[_Slot]] = [None] * num_slots
-        self.pending: deque = deque()
+        # heap of (-priority, seq, req, handle): higher priority admits
+        # first, FIFO within a class
+        self.pending: list = []
+        self._seq = 0
         self.lock = threading.Lock()
         self.work = threading.Condition(self.lock)
         self.rng = jax.random.PRNGKey(seed)
@@ -518,7 +524,10 @@ class ContinuousEngine:
     def submit(self, req: SlotRequest) -> RequestHandle:
         handle = RequestHandle()
         with self.work:
-            self.pending.append((req, handle))
+            self._seq += 1
+            heapq.heappush(
+                self.pending, (-req.priority, self._seq, req, handle)
+            )
             self.work.notify()
         return handle
 
@@ -540,7 +549,7 @@ class ContinuousEngine:
             with self.lock:
                 if not self.pending:
                     break
-                req, handle = self.pending.popleft()
+                _, _, req, handle = heapq.heappop(self.pending)
             slot = self.slots.index(None)
             ids = list(req.input_ids)
             budget = self.max_cache_len - self.spec_margin

@@ -1,0 +1,86 @@
+"""Serve a Vicuna judge / chat endpoint from the command line.
+
+Replaces the reference's FastChat three-process recipe
+(quantitative_evaluation/README.md:5-16: controller + model_worker +
+openai_api_server) with one command:
+
+    python -m video_llava_tpu.serving --model_name /path/vicuna-13b \
+        --model_size 13b --quant int8 --continuous --num_slots 4
+
+Missing --model_name serves random weights (air-gapped smoke).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax.numpy as jnp
+
+from video_llava_tpu.runtime.model_init import initialize_model
+from video_llava_tpu.serving.server import ChatModel, serve
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="video_llava_tpu.serving")
+    ap.add_argument("--model_name", default=None,
+                    help="HF Vicuna checkpoint dir (tokenizer + weights)")
+    ap.add_argument("--model_size", default="13b",
+                    choices=["tiny", "7b", "13b"])
+    ap.add_argument("--quant", default=None, choices=["int8", "int4"],
+                    help="weights-only LLM quantization at load")
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--served_name", default="vicuna-13b-v1.5")
+    ap.add_argument("--conv_mode", default="vicuna_v1_1")
+    ap.add_argument("--mesh_model", type=int, default=None,
+                    help="TP degree (shard the LLM over this many chips)")
+    # batching modes (mutually exclusive; default = serialized)
+    ap.add_argument("--continuous", action="store_true",
+                    help="continuous batching (persistent slot decode)")
+    ap.add_argument("--num_slots", type=int, default=4)
+    ap.add_argument("--max_cache_len", type=int, default=2048)
+    ap.add_argument("--batching", action="store_true",
+                    help="windowed request batching")
+    ap.add_argument("--max_batch", type=int, default=8)
+    ap.add_argument("--window_ms", type=float, default=30.0)
+    ap.add_argument("--no_speculative", action="store_true")
+    args = ap.parse_args(argv)
+
+    engine = initialize_model(
+        model_name=args.model_name,
+        model_size=args.model_size,
+        mesh_model=args.mesh_model,
+    )
+    params = engine.params
+    if args.quant:
+        import jax
+
+        if args.quant == "int8":
+            from video_llava_tpu.ops.quant import quantize_params as q
+        else:
+            from video_llava_tpu.ops.quant4 import quantize_params_int4 as q
+        params = dict(params)
+        params["llm"] = jax.jit(q, donate_argnums=0)(params["llm"])
+
+    model = ChatModel(
+        params=params,
+        cfg=engine.cfg,
+        tokenizer=engine.tokenizer,
+        conv_mode=args.conv_mode,
+        cache_dtype=jnp.int8 if args.quant == "int8" else jnp.bfloat16,
+        speculative=not args.no_speculative,
+    )
+    serve(
+        model,
+        host=args.host,
+        port=args.port,
+        model_name=args.served_name,
+        batching=args.batching,
+        continuous=args.continuous,
+        num_slots=args.num_slots,
+        max_cache_len=args.max_cache_len,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -149,6 +149,7 @@ class ContinuousChatModel:
             cache_dtype=model.cache_dtype,
             chunk=chunk,
             prompt_pad=model.seq_pad_multiple,
+            speculative=model.speculative,
         )
         self.engine.start()
 
@@ -224,12 +225,28 @@ def make_handler(model: ChatModel, model_name: str):
             self.wfile.write(body)
 
         def do_GET(self):
-            if self.path.rstrip("/").endswith("/models"):
+            path = self.path.rstrip("/")
+            if path.endswith("/models"):
                 self._json(
                     200,
                     {"object": "list",
                      "data": [{"id": model_name, "object": "model"}]},
                 )
+            elif path.endswith("/healthz"):
+                self._json(200, {"status": "ok"})
+            elif path.endswith("/metrics"):
+                stats = {}
+                if isinstance(model, ContinuousChatModel):
+                    eng = model.engine
+                    stats = {
+                        **eng.stats,
+                        "slots_total": eng.num_slots,
+                        "slots_busy": sum(
+                            s is not None for s in eng.slots
+                        ),
+                        "pending": len(eng.pending),
+                    }
+                self._json(200, {"object": "metrics", **stats})
             else:
                 self._json(404, {"error": "not found"})
 
