@@ -24,7 +24,10 @@ def save_checkpoint(ckpt_dir: str, step: int, state: Any) -> str:
 
     path = os.path.abspath(os.path.join(ckpt_dir, f"checkpoint-{step}"))
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, state)
+    # Re-saving the same step must be idempotent (the final save after
+    # the epoch loop collides with a periodic one whenever total_steps
+    # is a multiple of save_steps); Orbax refuses to overwrite.
+    ckptr.save(path, state, force=True)
     ckptr.wait_until_finished()
     return path
 

@@ -69,6 +69,10 @@ def parse_args(argv=None):
     p.add_argument("--warmup_ratio", type=float, default=0.03)
     p.add_argument("--num_train_epochs", type=int, default=3)
     p.add_argument("--per_device_train_batch_size", type=int, default=8)
+    # HF TrainingArguments-compatible: microbatch the step and take one
+    # token-weighted-averaged optimizer update (reference recipe trains
+    # at global batch 32; docs/2-Training.md).
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1)
     p.add_argument("--model_max_length", type=int, default=2048)
     p.add_argument("--save_steps", type=int, default=3000)
     p.add_argument("--mesh_data", type=int, default=None)
@@ -164,7 +168,11 @@ def main(argv=None):
         max_len=args.model_max_length,
     )
     collator = Collator(tokenizer.pad_token_id, max_len=args.model_max_length)
-    batch_size = args.per_device_train_batch_size * mesh.shape["data"]
+    batch_size = (
+        args.per_device_train_batch_size
+        * args.gradient_accumulation_steps
+        * mesh.shape["data"]
+    )
     steps_per_epoch = max(len(dataset) // batch_size, 1)
     total_steps = steps_per_epoch * args.num_train_epochs
 
@@ -184,7 +192,10 @@ def main(argv=None):
         state = restore_checkpoint(resume, state)
         start_step = int(state.step)
 
-    step_fn = make_train_step(cfg, tx, mask=mask)
+    step_fn = make_train_step(
+        cfg, tx, mask=mask,
+        grad_accum=args.gradient_accumulation_steps,
+    )
     rng = np.random.default_rng(args.seed)
 
     step = start_step

@@ -113,6 +113,7 @@ def make_train_step(
     tx: optax.GradientTransformation,
     mask=None,
     donate: bool = True,
+    grad_accum: int = 1,
 ):
     """Returns jitted (state, batch) -> (state, metrics).
 
@@ -121,25 +122,76 @@ def make_train_step(
     would otherwise cost ~4 bytes/param of HBM for nothing (the
     reference relies on requires_grad=False for the same reason,
     train.py:509-518).
+
+    grad_accum > 1 scans the batch in `grad_accum` microbatches
+    (leading batch dim must divide) and takes ONE optimizer step on
+    TOKEN-WEIGHTED averaged gradients: each microbatch's token-mean
+    loss gradient is weighted by its valid-target count, so the result
+    equals the full-batch gradient exactly (HF's
+    gradient_accumulation_steps averages microbatches equally, which
+    skews when sequence lengths vary). Accumulation is fp32.
     """
+    from video_llava_tpu.constants import IGNORE_INDEX
 
     def step(state: TrainState, batch):
         if mask is None:
-            loss, grads = jax.value_and_grad(loss_fn)(state.params, cfg, batch)
-            updates, new_opt = tx.update(grads, state.opt_state, state.params)
-            new_params = optax.apply_updates(state.params, updates)
+            trainable, frozen = state.params, None
+            opt_target = state.params
         else:
             trainable, frozen = _split_by_mask(state.params, mask)
+            opt_target = trainable
 
-            def masked_loss(trainable):
-                return loss_fn(_merge(trainable, frozen), cfg, batch)
+        def loss_of(tr, mb):
+            p = tr if mask is None else _merge(tr, frozen)
+            return loss_fn(p, cfg, mb)
 
-            loss, grads = jax.value_and_grad(masked_loss)(trainable)
-            # optimizer runs on the trainable subtree only (None
-            # placeholders are empty pytree nodes — zero extra memory)
-            updates, new_opt = tx.update(grads, state.opt_state, trainable)
-            new_trainable = optax.apply_updates(trainable, updates)
-            new_params = _merge(new_trainable, frozen)
+        if grad_accum == 1:
+            loss, grads = jax.value_and_grad(loss_of)(trainable, batch)
+        else:
+            def to_micro(x):
+                b = x.shape[0]
+                assert b % grad_accum == 0, (b, grad_accum)
+                # STRIDED split (row j of microbatch a is global row
+                # j*A + a): under a 'data'-sharded batch every
+                # microbatch spans all data shards — a contiguous split
+                # would hand each microbatch to one shard and serialize
+                # the data parallelism.
+                return x.reshape(
+                    (b // grad_accum, grad_accum) + x.shape[1:]
+                ).swapaxes(0, 1)
+
+            micro_batches = jax.tree.map(to_micro, batch)
+            zeros = jax.tree.map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), opt_target
+            )
+
+            def micro(carry, mb):
+                gacc, lsum, wsum = carry
+                ntok = jnp.sum(
+                    mb["labels"][:, 1:] != IGNORE_INDEX
+                ).astype(jnp.float32)
+                loss, grads = jax.value_and_grad(loss_of)(trainable, mb)
+                gacc = jax.tree.map(
+                    lambda a, g: a + g.astype(jnp.float32) * ntok,
+                    gacc, grads,
+                )
+                return (gacc, lsum + loss * ntok, wsum + ntok), None
+
+            (gacc, lsum, wsum), _ = jax.lax.scan(
+                micro, (zeros, jnp.float32(0), jnp.float32(0)),
+                micro_batches,
+            )
+            w = jnp.maximum(wsum, 1.0)
+            grads = jax.tree.map(
+                lambda a, p: (a / w).astype(p.dtype), gacc, opt_target
+            )
+            loss = lsum / w
+
+        updates, new_opt = tx.update(grads, state.opt_state, opt_target)
+        new_target = optax.apply_updates(opt_target, updates)
+        new_params = (
+            new_target if mask is None else _merge(new_target, frozen)
+        )
         gnorm = optax.global_norm(grads)
         return (
             TrainState(new_params, new_opt, state.step + 1),
