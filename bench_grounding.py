@@ -86,6 +86,20 @@ def main():
         )[0],
         iters=3,
     )
+    # batched detection (tracker.precompute_detections batches the
+    # known-upfront detection frames, detect_batch_size=4 default) —
+    # amortizes the text tower, the 900-query head and kernel launch
+    # overheads over the MXU batch dim
+    det_bs = 4
+    pixels_b = jnp.tile(pixels, (det_bs, 1, 1, 1))
+    ids_b = np.repeat(ids, det_bs, axis=0)
+    t_detect_b = measure(
+        lambda i: gdino_mod.forward(
+            detector.params, detector.cfg, pixels_b + 0.0 * i, ids_b
+        )[0],
+        iters=3,
+    )
+    t_detect_amort = t_detect_b / det_bs
 
     # -- SAM (ViT-B, 1024px, best-of-3) --------------------------------------
     print("building sam...", flush=True)
@@ -161,7 +175,7 @@ def main():
     # Headline = device programs only (the TPU cost; host I/O here rides
     # a tunneled link whose transfer time says nothing about the design).
     clip_s = (
-        n_det * (t_detect_dev + t_sam_dev)
+        n_det * (t_detect_amort + t_sam_dev)
         + (n_prop - n_writes) * t_prop
         + n_writes * t_prop_write
     )
@@ -171,6 +185,7 @@ def main():
         "unit": "s/100-frame clip",
         "detail": {
             "detect_device_ms": round(t_detect_dev * 1e3, 1),
+            "detect_batch4_per_frame_ms": round(t_detect_amort * 1e3, 1),
             "sam_device_ms": round(t_sam_dev * 1e3, 1),
             "detect_pipeline_ms": round(t_detect * 1e3, 1),
             "sam_pipeline_ms": round(t_sam * 1e3, 1),

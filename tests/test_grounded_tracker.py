@@ -82,3 +82,44 @@ def test_no_detections_yields_empty_masks():
     results = tracker.run_on_list_of_images(frames, ["thing"])
     assert len(results) == 4
     assert all((r.masks <= 0.5).all() for r in results)
+
+
+class _BatchStubDetector:
+    """detect_batch-aware stub: records chunk sizes so the test can
+    assert the tracker actually batched (with static-size padding)."""
+
+    def __init__(self):
+        self.batch_calls = []
+        self.single_calls = 0
+
+    def __call__(self, image, prompts):
+        self.single_calls += 1
+        return _stub_detector(image, prompts)
+
+    def detect_batch(self, images, prompts):
+        self.batch_calls.append(len(images))
+        return [_stub_detector(img, prompts) for img in images]
+
+
+def test_batched_detection_matches_per_frame():
+    frames, _ = _make_video(n=11)
+    kw = dict(
+        segmenter=_stub_segmenter,
+        detection_every=2,  # detection frames 0,2,4,6,8,10 (six)
+        tracker_cfg=TrackerConfig(max_objects=4, patch=4, temperature=0.02),
+    )
+    base = GroundedTracker(detector=_stub_detector, **kw)
+    ref = base.run_on_list_of_images(frames, ["red square"])
+
+    stub = _BatchStubDetector()
+    batched = GroundedTracker(detector=stub, detect_batch_size=4, **kw)
+    got = batched.run_on_list_of_images(frames, ["red square"])
+
+    # 6 detection frames in chunks of 4: [4, 4(padded from 2)]
+    assert stub.batch_calls == [4, 4]
+    assert stub.single_calls == 0
+    assert len(got) == len(ref)
+    for a, b in zip(ref, got):
+        assert a.frame_index == b.frame_index
+        np.testing.assert_allclose(a.masks, b.masks)
+        assert a.objects == b.objects

@@ -283,3 +283,24 @@ def test_original_repo_converter_shared_bbox_heads(dino_pair):
     a = params["bbox_heads"][0]["layer0"]["kernel"]
     b = params["bbox_heads"][-1]["layer0"]["kernel"]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_detect_batch_matches_single(dino_pair):
+    """Batched detection (one forward for k frames) must reproduce the
+    per-frame path exactly — same preprocessing, same postprocess."""
+    _, cfg, params = dino_pair
+    det = gd.GroundingDinoDetector(
+        params, cfg,
+        tokenize=lambda s: [101] + [min(900, 5 + ord(c) % 50) for c in s[:10]]
+        + [102],
+        image_size=64,
+        box_threshold=0.0,
+    )
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 255, size=(3, 48, 80, 3), dtype=np.uint8)
+    batched = det.detect_batch(frames, ["cat", "dog"])
+    for f in range(3):
+        boxes, scores, cids = det(frames[f], ["cat", "dog"])
+        np.testing.assert_allclose(batched[f][0], boxes, atol=1e-4)
+        np.testing.assert_allclose(batched[f][1], scores, atol=1e-5)
+        np.testing.assert_array_equal(batched[f][2], cids)

@@ -62,11 +62,18 @@ class GroundedTracker:
     # from converted XMem/DEVA weights to use the trained propagation
     # network instead of the handcrafted-feature STM.
     propagator: Optional[object] = None
+    # Frames per batched detector forward in run_on_list_of_images.
+    # Detection frames are known upfront (every Nth), and raw detection
+    # is state-free, so they batch onto the MXU — the reference's
+    # per-frame loop (grounding_new_api.py:448-521) cannot. The last
+    # chunk pads by repeating frames so every chunk compiles once.
+    detect_batch_size: int = 4
 
     def __post_init__(self):
         self.tracker = self.propagator or MemoryTracker(self.tracker_cfg)
         self._objects: List[ObjectInfo] = []
         self._buffer: List[Tuple[int, np.ndarray, np.ndarray, List[ObjectInfo]]] = []
+        self._det_cache: Dict[int, Tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
 
     # -- lifecycle (reference init_tracker/clear_tracker) --------------------
 
@@ -74,15 +81,45 @@ class GroundedTracker:
         self.tracker.clear()
         self._objects = []
         self._buffer = []
+        self._det_cache = {}
 
     # -- detection ------------------------------------------------------------
 
+    def precompute_detections(
+        self, frames: Sequence[np.ndarray], frame_indices: Sequence[int],
+        prompts: Sequence[str],
+    ) -> None:
+        """Run the raw detector over `frame_indices` in fixed-size
+        batches, filling the per-frame cache that detect_and_segment
+        consumes. No-op for detectors without `detect_batch`."""
+        detect_batch = getattr(self.detector, "detect_batch", None)
+        if detect_batch is None or self.detect_batch_size <= 1:
+            return
+        idx = [i for i in frame_indices if i not in self._det_cache]
+        k = self.detect_batch_size
+        for start in range(0, len(idx), k):
+            chunk = idx[start : start + k]
+            # pad to the static chunk size by repeating the last frame
+            padded = chunk + [chunk[-1]] * (k - len(chunk))
+            batch = np.stack([frames[i] for i in padded])
+            results = detect_batch(batch, prompts)
+            for i, res in zip(chunk, results[: len(chunk)]):
+                self._det_cache[i] = res
+
     def detect_and_segment(
-        self, image: np.ndarray, prompts: Sequence[str]
+        self, image: np.ndarray, prompts: Sequence[str],
+        frame_index: Optional[int] = None,
     ) -> Tuple[np.ndarray, List[ObjectInfo]]:
         """-> (masks (n, H, W) float in {0,1} sorted by descending area,
         object infos). Mirrors grounding_new_api.py:373-445."""
-        boxes, conf, class_ids = self.detector(image, prompts)
+        cached = (
+            self._det_cache.pop(frame_index, None)
+            if frame_index is not None else None
+        )
+        if cached is not None:
+            boxes, conf, class_ids = cached
+        else:
+            boxes, conf, class_ids = self.detector(image, prompts)
         if len(boxes) == 0:
             return np.zeros((0,) + image.shape[:2], np.float32), []
         keep = conf >= self.box_threshold
@@ -171,7 +208,9 @@ class GroundedTracker:
 
         if self.temporal_setting == "online":
             if ti % self.detection_every == 0:
-                det_masks, infos = self.detect_and_segment(image, prompts)
+                det_masks, infos = self.detect_and_segment(
+                    image, prompts, frame_index=ti
+                )
                 slots = self._incorporate(frame01, det_masks, infos)
             else:
                 slots = self.tracker.step(frame01) if self.tracker.state is not None else np.zeros(
@@ -180,7 +219,9 @@ class GroundedTracker:
             return [FrameResult(ti, slots, list(self._objects))]
 
         # semionline: collect detections for num_voting_frames, vote.
-        det_masks, infos = self.detect_and_segment(image, prompts)
+        det_masks, infos = self.detect_and_segment(
+            image, prompts, frame_index=ti
+        )
         self._buffer.append((ti, frame01, det_masks, infos))
         if len(self._buffer) < self.num_voting_frames:
             return None
@@ -221,6 +262,12 @@ class GroundedTracker:
     ) -> List[FrameResult]:
         self.classes = list(classes)
         self.clear()
+        det_frames = (
+            range(0, len(frames), self.detection_every)
+            if self.temporal_setting == "online"
+            else range(len(frames))
+        )
+        self.precompute_detections(frames, list(det_frames), list(classes))
         results: List[FrameResult] = []
         for ti, frame in enumerate(frames):
             out = self.process_frame(ti, frame)

@@ -39,6 +39,7 @@ from video_llava_tpu.models.bert import BertConfig
 from video_llava_tpu.models.layers import layer_norm, linear
 from video_llava_tpu.models.swin import SwinConfig
 from video_llava_tpu.ops.deformable import multi_scale_deformable_attention
+from video_llava_tpu.ops.image import normalize_clip, resize_bicubic
 
 # BERT ids for [CLS], [SEP], '.', '?' (prompt phrase separators).
 SPECIAL_TOKENS = (101, 102, 1012, 1029)
@@ -917,6 +918,13 @@ class GroundingDinoDetector:
     Prompts are joined as 'a. b. c.' (the groundingdino convention the
     reference uses via predict_with_classes); per-query class = argmax
     over prompt token spans, score = max sigmoid logit.
+
+    `detect_batch` runs k frames through ONE forward (the caption is
+    shared, so the text tower and masks broadcast) — the grounded-video
+    pipeline knows its detection frames upfront (every Nth frame),
+    unlike the reference's strictly per-frame loop
+    (grounding_new_api.py:448-521), so detection amortizes over the MXU
+    batch dimension.
     """
 
     def __init__(self, params, cfg: GroundingDinoConfig, tokenize,
@@ -926,35 +934,52 @@ class GroundingDinoDetector:
         self.tokenize = tokenize  # str -> List[int] (BERT ids, with specials)
         self.image_size = image_size
         self.box_threshold = box_threshold
-        self._fwd = jax.jit(
-            lambda p, px, ids, mask: forward(p, cfg, px, ids, mask),
-            static_argnums=(),
-        ) if False else None  # input_ids is host-side; jit inside forward ops
+        # whole preprocessing (resize+round+normalize) as one device
+        # program per (k, H, W) shape — eager ops cost a tunnel RTT each
+        self._preprocess = jax.jit(
+            lambda imgs: normalize_clip(
+                jnp.clip(
+                    jnp.round(
+                        resize_bicubic(imgs, self.image_size, self.image_size)
+                    ),
+                    0, 255,
+                )
+            )
+        )
 
     def __call__(self, image: np.ndarray, prompts: Sequence[str]):
-        from video_llava_tpu.ops.image import normalize_clip, resize_bicubic
+        return self.detect_batch(image[None], prompts)[0]
 
+    def detect_batch(
+        self, images: np.ndarray, prompts: Sequence[str]
+    ) -> List[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        """images: (k, H, W, 3) uint8 — one caption, k frames, ONE
+        jitted forward. Returns per-frame (boxes xyxy, scores,
+        class_ids)."""
+        images = np.asarray(images)
+        k, H, W = images.shape[0], images.shape[1], images.shape[2]
         caption = " . ".join(p.strip().lower() for p in prompts) + " ."
-        ids = np.asarray([self.tokenize(caption)], np.int64)
+        ids1 = self.tokenize(caption)
+        ids = np.broadcast_to(
+            np.asarray(ids1, np.int64)[None], (k, len(ids1))
+        )
 
-        H, W = image.shape[:2]
-        size = self.image_size
-        pixels = normalize_clip(
-            jnp.clip(
-                jnp.round(
-                    resize_bicubic(
-                        jnp.asarray(image.astype(np.float32)), size, size
-                    )
-                ),
-                0, 255,
-            )
-        )[None]
+        pixels = self._preprocess(jnp.asarray(images.astype(np.float32)))
         logits, boxes = forward(self.params, self.cfg, pixels, ids)
-        probs = np.asarray(jax.nn.sigmoid(logits[0]))  # (nq, text_len)
-        boxes = np.asarray(boxes[0])  # cxcywh normalized
+        probs_b = np.asarray(jax.nn.sigmoid(logits))  # (k, nq, text_len)
+        boxes_b = np.asarray(boxes)  # (k, nq, 4) cxcywh normalized
 
-        # per-prompt token spans for class assignment
-        spans = self._prompt_spans(ids[0], len(prompts))
+        spans = self._prompt_spans(np.asarray(ids1), len(prompts))
+        out = []
+        for f in range(k):
+            out.append(
+                self._postprocess_frame(
+                    probs_b[f], boxes_b[f], spans, H, W
+                )
+            )
+        return out
+
+    def _postprocess_frame(self, probs, boxes, spans, H, W):
         scores = probs.max(axis=-1)
         keep = scores > self.box_threshold
         if not keep.any():
