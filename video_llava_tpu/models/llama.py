@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional, Tuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -37,6 +39,7 @@ from video_llava_tpu.models.layers import (
 )
 from video_llava_tpu.ops.attention import (
     decode_attention,
+    decode_attention_paged,
     decode_attention_stacked,
     multi_head_attention,
 )
@@ -79,6 +82,72 @@ class KVCache(NamedTuple):
             k=jnp.zeros(shape, dtype),
             v=jnp.zeros(shape, dtype),
             length=jnp.zeros((batch,), jnp.int32),
+        )
+
+
+class PagedKVCache(NamedTuple):
+    """Block-pooled KV cache for continuous-batching serving.
+
+    The slot cache (KVCache) provisions batch x max_len for every row;
+    requests with short prompts/outputs strand most of that HBM. Here
+    k/v live in a SHARED pool of fixed-size blocks and each row maps
+    logical positions to pool blocks through its block table — vLLM's
+    paged attention, reshaped for the TPU: static shapes throughout,
+    the table rides scalar prefetch into the decode kernel, and block
+    granularity keeps every DMA a full (block_size, heads, head_dim)
+    tile. No reference equivalent (the reference serves requests
+    one-at-a-time through FastChat; quantitative_evaluation/README.md).
+
+    k, v: (num_layers, num_blocks, block_size, num_kv_heads, head_dim)
+    length: (batch,) int32 — valid tokens per row.
+    table: (batch, max_blocks_per_row) int32 — pool block ids; entries
+      past a row's allocation must still be valid ids (0 convention):
+      the kernel masks their contribution but may prefetch them.
+    k_scale/v_scale: (num_layers, num_blocks, block_size, num_kv_heads)
+      f32 when int8.
+    """
+
+    k: jax.Array
+    v: jax.Array
+    length: jax.Array
+    table: jax.Array
+    k_scale: Optional[jax.Array] = None
+    v_scale: Optional[jax.Array] = None
+
+    @property
+    def block_size(self) -> int:
+        return self.k.shape[2]
+
+    @classmethod
+    def create(
+        cls,
+        cfg: LlamaConfig,
+        batch: int,
+        num_blocks: int,
+        block_size: int,
+        max_blocks_per_row: int,
+        dtype=jnp.bfloat16,
+    ) -> "PagedKVCache":
+        shape = (
+            cfg.num_layers, num_blocks, block_size, cfg.num_kv_heads,
+            cfg.head_dim,
+        )
+        table = jnp.zeros((batch, max_blocks_per_row), jnp.int32)
+        length = jnp.zeros((batch,), jnp.int32)
+        if dtype == jnp.int8:
+            return cls(
+                k=jnp.zeros(shape, jnp.int8),
+                v=jnp.zeros(shape, jnp.int8),
+                length=length,
+                table=table,
+                k_scale=jnp.zeros(shape[:-1], jnp.float32),
+                v_scale=jnp.zeros(shape[:-1], jnp.float32),
+            )
+        return cls(
+            k=jnp.zeros(shape, dtype),
+            v=jnp.zeros(shape, dtype),
+            length=length,
+            table=table,
         )
 
 
@@ -154,6 +223,59 @@ def _write_full_cache(full, new, pos, li):
     return full
 
 
+def _write_paged_cache(full, new, pos, li, table):
+    """Write new (b, s, ...) into the shared block pool
+    (NL, NB, BS, ...) at layer li, row i's logical positions
+    [pos_i, pos_i + s) mapped through its block table.
+
+    Two regimes, both static loops of in-place dynamic_update_slice
+    (same XLA in-place property as _write_full_cache):
+      * s a multiple of BS (chunked prefill): pos must be
+        block-aligned (the engine prefills in fixed windows that BS
+        divides), writes go whole-block-at-a-time;
+      * small s (decode s=1, speculative verify s=k+1): token-at-a-
+        time, any alignment.
+    """
+    bs = full.shape[2]
+    b, s = new.shape[:2]
+    zero = jnp.int32(0)
+    trail = (zero,) * (full.ndim - 3)
+    if s % bs == 0:
+        for i in range(b):
+            base_blk = pos[i] // bs
+            for j in range(s // bs):
+                blk = table[i, base_blk + j]
+                full = jax.lax.dynamic_update_slice(
+                    full,
+                    new[i, j * bs : (j + 1) * bs][None, None].astype(
+                        full.dtype
+                    ),
+                    (li, blk, zero) + trail,
+                )
+    else:
+        for i in range(b):
+            for t in range(s):
+                p_it = pos[i] + t
+                blk = table[i, p_it // bs]
+                full = jax.lax.dynamic_update_slice(
+                    full,
+                    new[i, t][None, None, None].astype(full.dtype),
+                    (li, blk, p_it % bs) + trail,
+                )
+    return full
+
+
+def _paged_layer_dense(a, li, table):
+    """Gather row block lists of layer li into a logically-contiguous
+    dense view: (NL, NB, BS, ...) -> (b, MAXB*BS, ...). XLA fallback /
+    s>1 read path — the decode hot path reads blocks in place via the
+    scalar-prefetch paged kernel instead (ops.attention
+    decode_attention_paged)."""
+    layer = jax.lax.dynamic_index_in_dim(a, li, 0, keepdims=False)
+    g = layer[table]  # (b, MAXB, BS, ...)
+    return g.reshape((table.shape[0], -1) + layer.shape[2:])
+
+
 def _attention_block(
     p,
     x: jax.Array,
@@ -167,6 +289,7 @@ def _attention_block(
     li: Optional[jax.Array] = None,  # () int32 layer index
     cache_k_scale: Optional[jax.Array] = None,
     cache_v_scale: Optional[jax.Array] = None,
+    cache_table: Optional[jax.Array] = None,  # (b, MAXB): paged cache
 ):
     """Self-attention with optional KV-cache read/write.
 
@@ -201,17 +324,35 @@ def _attention_block(
     if cache_k is None:
         out = multi_head_attention(q, k, v, causal=True)
     else:
+        if cache_table is None:
+            write = lambda full, new: _write_full_cache(
+                full, new, write_pos, li
+            )
+            layer_of = lambda a: jax.lax.dynamic_index_in_dim(
+                a, li, 0, keepdims=False
+            )
+            decode_read = functools.partial(
+                decode_attention_stacked, layer=li, cache_len=cache_len
+            )
+        else:
+            write = lambda full, new: _write_paged_cache(
+                full, new, write_pos, li, cache_table
+            )
+            layer_of = lambda a: _paged_layer_dense(a, li, cache_table)
+            decode_read = functools.partial(
+                decode_attention_paged, layer=li, table=cache_table,
+                cache_len=cache_len,
+            )
         if cache_k_scale is not None:  # int8 cache
             kq, ks = _quantize_kv(k)
             vq, vs = _quantize_kv(v)
-            new_k = _write_full_cache(cache_k, kq, write_pos, li)
-            new_v = _write_full_cache(cache_v, vq, write_pos, li)
-            new_ks = _write_full_cache(cache_k_scale, ks, write_pos, li)
-            new_vs = _write_full_cache(cache_v_scale, vs, write_pos, li)
+            new_k = write(cache_k, kq)
+            new_v = write(cache_v, vq)
+            new_ks = write(cache_k_scale, ks)
+            new_vs = write(cache_v_scale, vs)
             if s == 1:
-                out = linear(p["wo"], decode_attention_stacked(
-                    q, new_k, new_v, li, cache_len, k_scale=new_ks,
-                    v_scale=new_vs,
+                out = linear(p["wo"], decode_read(
+                    q, new_k, new_v, k_scale=new_ks, v_scale=new_vs,
                 ).reshape(b, s, h * hd))
                 return out, new_k, new_v, new_ks, new_vs
             # Not a materialized copy: the s>1 cached path below goes
@@ -220,29 +361,20 @@ def _attention_block(
             # fuses the layer slice + elementwise dequant into the
             # einsum operand read. Measured: the 9-token speculative
             # verify forward costs 11.04 ms vs 10.82 ms for an s=1
-            # step.
-            layer_of = lambda a: jax.lax.dynamic_index_in_dim(
-                a, li, 0, keepdims=False
-            )
+            # step. (The paged dense view IS a gather copy — chunked
+            # prefill amortizes it over the window's tokens.)
             k_read = _dequantize_kv(layer_of(new_k), layer_of(new_ks),
                                     q.dtype)
             v_read = _dequantize_kv(layer_of(new_v), layer_of(new_vs),
                                     q.dtype)
         else:
-            new_k = _write_full_cache(
-                cache_k, k.astype(cache_k.dtype), write_pos, li
-            )
-            new_v = _write_full_cache(
-                cache_v, v.astype(cache_v.dtype), write_pos, li
-            )
+            new_k = write(cache_k, k.astype(cache_k.dtype))
+            new_v = write(cache_v, v.astype(cache_v.dtype))
             if s == 1:
-                out = linear(p["wo"], decode_attention_stacked(
-                    q, new_k, new_v, li, cache_len,
+                out = linear(p["wo"], decode_read(
+                    q, new_k, new_v,
                 ).reshape(b, s, h * hd))
                 return out, new_k, new_v, new_ks, new_vs
-            layer_of = lambda a: jax.lax.dynamic_index_in_dim(
-                a, li, 0, keepdims=False
-            )
             k_read, v_read = layer_of(new_k), layer_of(new_v)
         # (Chunked) prefill: row b's queries occupy cache positions
         # [write_pos_b, write_pos_b + s).
@@ -472,6 +604,9 @@ def forward_hidden(
         cache_len = new_length if new_length is not None else (
             cache.length + inputs_embeds.shape[1]
         )
+        # Paged caches carry their (scan-invariant) block table; dense
+        # slot caches don't have one.
+        cache_table = getattr(cache, "table", None)
 
         def body(carry, layer_in):
             h, ck, cv, cks, cvs = carry
@@ -492,6 +627,7 @@ def forward_hidden(
                 li,
                 cks,
                 cvs,
+                cache_table=cache_table,
             )
             h = h + attn
             h = h + _mlp_block(
@@ -508,8 +644,11 @@ def forward_hidden(
             (x, cache.k, cache.v, cache.k_scale, cache.v_scale),
             (layer_ids, scanned_layers),
         )
-        new_cache = KVCache(
-            k=new_k, v=new_v, length=cache_len, k_scale=new_ks, v_scale=new_vs
+        # _replace keeps the cache's own type (KVCache or PagedKVCache,
+        # whose table rides through unchanged).
+        new_cache = cache._replace(
+            k=new_k, v=new_v, length=cache_len, k_scale=new_ks,
+            v_scale=new_vs,
         )
 
     x = rms_norm(params["final_norm"], x, cfg.rms_norm_eps)

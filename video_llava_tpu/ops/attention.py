@@ -1283,6 +1283,153 @@ def decode_attention_stacked(
     )
 
 
+def _decode_attn_mxu_paged_kernel(
+    len_ref, li_ref, tbl_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref,
+    m_ref, l_ref, acc_ref, *,
+    block_l: int, quantized: bool, h: int, d: int,
+):
+    """Paged twin of _decode_attn_mxu_stacked_kernel: the block table is
+    consumed entirely by the index maps (each grid step's KV block is
+    pool block table[bi, lb]); the flash-decoding math over logical
+    positions lb*BS + offset is unchanged."""
+    del tbl_ref  # consumed by the index maps
+    _decode_attn_mxu_stacked_kernel(
+        len_ref, li_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref,
+        m_ref, l_ref, acc_ref,
+        block_l=block_l, quantized=quantized, h=h, d=d,
+    )
+
+
+def decode_attention_mxu_paged(
+    q: jax.Array,  # (b, 1, h, d)
+    k_cache: jax.Array,  # (NL, NB, BS, h, d) bf16 or int8 (MHA)
+    v_cache: jax.Array,
+    layer: jax.Array,  # () int32
+    table: jax.Array,  # (b, MAXB) int32 pool block ids
+    cache_len: jax.Array,  # (b,)
+    k_scale: Optional[jax.Array] = None,  # (NL, NB, BS, h) when int8
+    v_scale: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """MXU decode attention over the PAGED block pool: grid step
+    (bi, lb) DMAs pool block table[bi, lb] of layer `layer` via a
+    scalar-prefetch index_map — the shared-pool cache never gets
+    gathered into a per-row dense copy in HBM. -> (b, 1, h, d).
+    MHA only (matches decode_attention_mxu_stacked)."""
+    b, _, h, d = q.shape
+    nl, nb, bs, h_kv = k_cache.shape[:4]
+    maxb = table.shape[1]
+    assert h_kv == h, "MXU paged decode kernel is MHA-only"
+    scale = scale if scale is not None else 1.0 / (d**0.5)
+    quantized = k_scale is not None
+
+    qs = (q[:, 0] * scale).astype(jnp.bfloat16)  # (b, h, d)
+    if quantized:
+        ks = k_scale.astype(jnp.float32)
+        vs = v_scale.astype(jnp.float32)
+    else:  # dummy operands keep one kernel signature
+        ks = jnp.ones((1, 1, 1, h), jnp.float32)
+        vs = ks
+
+    s_bl = bs if quantized else 1
+    li = layer.reshape(1).astype(jnp.int32)
+    tbl = table.astype(jnp.int32)
+
+    def kv_map(bi, lb, len_ref, li_ref, tbl_ref):
+        return (li_ref[0], tbl_ref[bi, lb], 0, 0, 0)
+
+    def s_map(bi, lb, len_ref, li_ref, tbl_ref):
+        if quantized:
+            return (li_ref[0], tbl_ref[bi, lb], 0, 0)
+        return (0, 0, 0, 0)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _decode_attn_mxu_paged_kernel, block_l=bs,
+            quantized=quantized, h=h, d=d,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(b, maxb),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, h, d),
+                    lambda bi, lb, len_ref, li_ref, tbl_ref: (bi, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec((1, 1, bs, h, d), kv_map,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, s_bl, h), s_map,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, bs, h, d), kv_map,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, s_bl, h), s_map,
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, h, d),
+                lambda bi, lb, len_ref, li_ref, tbl_ref: (bi, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((1, h), jnp.float32),
+                pltpu.VMEM((1, h), jnp.float32),
+                pltpu.VMEM((h, d), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, 1, h, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(cache_len, li, tbl, qs, k_cache, ks, v_cache, vs)
+    return out
+
+
+def decode_attention_paged(
+    q: jax.Array,  # (b, 1, h, d)
+    k_cache: jax.Array,  # (NL, NB, BS, h_kv, d)
+    v_cache: jax.Array,
+    layer: jax.Array,  # () int32
+    table: jax.Array,  # (b, MAXB) int32
+    cache_len: jax.Array,  # (b,)
+    k_scale: Optional[jax.Array] = None,  # (NL, NB, BS, h_kv) when int8
+    v_scale: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """decode_attention against layer `layer` of a PAGED KV block pool
+    (models.llama.PagedKVCache layout). TPU MHA takes the scalar-
+    prefetch paged MXU kernel (blocks stream straight from the pool);
+    everything else gathers the rows' blocks into a logically-dense
+    view and reuses decode_attention."""
+    h, h_kv = q.shape[2], k_cache.shape[3]
+    bs = k_cache.shape[2]
+    if (
+        _DEFAULT_IMPL != "xla"
+        and jax.default_backend() == "tpu"
+        and h == h_kv
+        and (h * q.shape[3]) % 128 == 0
+        and bs % 16 == 0
+    ):
+        return decode_attention_mxu_paged(
+            q, k_cache, v_cache, layer, table, cache_len,
+            k_scale=k_scale, v_scale=v_scale, scale=scale,
+        )
+    layer_of = lambda a: jax.lax.dynamic_index_in_dim(
+        a, layer, 0, keepdims=False
+    )
+    dense = lambda a: layer_of(a)[table].reshape(
+        (table.shape[0], -1) + a.shape[3:]
+    )
+    k_s = None if k_scale is None else dense(k_scale)[..., None]
+    v_s = None if v_scale is None else dense(v_scale)[..., None]
+    return decode_attention(
+        q, dense(k_cache), dense(v_cache), cache_len,
+        k_scale=k_s, v_scale=v_s, scale=scale,
+    )
+
+
 def decode_attention_pallas(
     q: jax.Array,  # (b, 1, h, d)
     k_cache: jax.Array,  # (b, L, h_kv, d) bf16 or int8
