@@ -80,3 +80,27 @@ def test_tp_continuous_matches_unsharded(tiny_tp):
         tok, prompts,
     )
     assert out == ref
+
+
+def test_tp_paged_matches_unsharded(tiny_tp):
+    """Paged pool under the (1, 8) TP mesh (paged_cache_spec: heads
+    shard, block tables replicated) stays token-for-token equal to the
+    unsharded paged engine."""
+    cfg, tok, params = tiny_tp
+    prompts = [
+        [tok.bos_token_id] + list(b"alpha"),
+        [tok.bos_token_id] + list(b"beta longer prompt"),
+        [tok.bos_token_id] + list(b"gamma"),
+    ]
+    kw = dict(
+        num_slots=2, max_cache_len=128, cache_dtype=jnp.float32,
+        chunk=4, prompt_pad=16, paged=True, block_size=16,
+    )
+    ref = _run(ContinuousEngine(params, cfg, **kw), tok, prompts)
+
+    mesh = make_mesh(1, 8)
+    sharded = shard_params(params, videollava_param_specs(params), mesh)
+    out = _run(
+        ContinuousEngine(sharded, cfg, mesh=mesh, **kw), tok, prompts
+    )
+    assert out == ref

@@ -1,0 +1,234 @@
+"""Continuous batching over the paged KV cache (shared block pool):
+greedy/speculative/video parity with the one-shot generate path, block
+allocator reuse, and pool-exhaustion backpressure.
+
+No reference equivalent (the reference serves requests one at a time
+through FastChat; quantitative_evaluation/README.md).
+"""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from video_llava_tpu.config import (
+    GenerationConfig,
+    LlamaConfig,
+    VideoLLaVAConfig,
+)
+from video_llava_tpu.engine import generate as gen_mod
+from video_llava_tpu.engine.continuous import ContinuousEngine, SlotRequest
+from video_llava_tpu.models import video_llava
+from video_llava_tpu.models.llama import PagedKVCache
+from video_llava_tpu.runtime.tokenizer import ByteTokenizer
+
+
+def _tiny_cfg():
+    tok = ByteTokenizer()
+    base = VideoLLaVAConfig.tiny()
+    cfg = dataclasses.replace(
+        base,
+        llm=dataclasses.replace(
+            LlamaConfig.tiny(vocab_size=512), num_layers=2, hidden_size=64,
+            intermediate_size=128, num_heads=4, num_kv_heads=4, head_dim=16,
+        ),
+        vid_patch_token_id=tok.vid_patch_token_id,
+        vid_start_token_id=tok.vid_start_token_id,
+        vid_end_token_id=tok.vid_end_token_id,
+    )
+    return cfg, tok
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    cfg, tok = _tiny_cfg()
+    params = video_llava.init_params(
+        jax.random.PRNGKey(0), cfg, dtype=jnp.float32
+    )
+    return cfg, tok, params
+
+
+def _reference_greedy(params, cfg, tok, ids, max_new):
+    g = GenerationConfig(
+        max_new_tokens=max_new, do_sample=False,
+        eos_token_id=tok.eos_token_id, pad_token_id=tok.pad_token_id,
+    )
+    arr = np.asarray(ids, np.int32)[None]
+    r = gen_mod.generate(
+        params, cfg, g, jnp.asarray(arr),
+        jnp.asarray([arr.shape[1]], jnp.int32), None,
+        jax.random.PRNGKey(0), cache_dtype=jnp.float32,
+    )
+    toks = np.asarray(r.tokens)[0].tolist()
+    out = []
+    for t in toks[: int(np.asarray(r.lengths)[0])]:
+        if t == tok.eos_token_id:
+            break
+        out.append(t)
+    return out
+
+
+def _engine(cfg, params, **kw):
+    kw.setdefault("num_slots", 2)
+    kw.setdefault("max_cache_len", 128)
+    kw.setdefault("cache_dtype", jnp.float32)
+    kw.setdefault("chunk", 4)
+    kw.setdefault("prompt_pad", 16)
+    kw.setdefault("prefill_chunk", 16)
+    kw.setdefault("paged", True)
+    kw.setdefault("block_size", 16)
+    return ContinuousEngine(params, cfg, **kw)
+
+
+def _drain(eng, handles, max_iters=300):
+    for _ in range(max_iters):
+        if all(h.done for h in handles):
+            return
+        eng.step_once()
+    raise AssertionError("engine did not finish")
+
+
+def test_paged_greedy_parity(tiny_model):
+    """Staggered greedy requests through a paged pool reproduce the
+    one-shot generate() outputs token for token (chunked prefill +
+    decode all ride the block tables)."""
+    cfg, tok, params = tiny_model
+    prompts = [
+        [tok.bos_token_id] + list(b"hello world"),
+        [tok.bos_token_id] + list(b"abc"),
+        [tok.bos_token_id] + list(b"the quick brown fox"),
+    ]
+    expected = [
+        _reference_greedy(params, cfg, tok, p, 12) for p in prompts
+    ]
+    eng = _engine(cfg, params, speculative=False)
+    assert isinstance(eng.cache, PagedKVCache)
+    h0 = eng.submit(SlotRequest(prompts[0], max_new_tokens=12,
+                                eos_token_id=tok.eos_token_id))
+    h1 = eng.submit(SlotRequest(prompts[1], max_new_tokens=12,
+                                eos_token_id=tok.eos_token_id))
+    eng.step_once()
+    h2 = eng.submit(SlotRequest(prompts[2], max_new_tokens=12,
+                                eos_token_id=tok.eos_token_id))
+    _drain(eng, [h0, h1, h2])
+    assert [h0.tokens, h1.tokens, h2.tokens] == expected
+
+
+def test_paged_speculative_parity(tiny_model):
+    """Prompt-lookup speculation over paged rows (the k+1 verify writes
+    take the token-at-a-time block path) stays greedy-exact."""
+    cfg, tok, params = tiny_model
+    prompts = [
+        [tok.bos_token_id] + list(b"echo echo echo echo"),
+        [tok.bos_token_id] + list(b"zxcv"),
+    ]
+    expected = [
+        _reference_greedy(params, cfg, tok, p, 10) for p in prompts
+    ]
+    eng = _engine(cfg, params, speculative=True, spec_k=4)
+    handles = [
+        eng.submit(SlotRequest(p, max_new_tokens=10,
+                               eos_token_id=tok.eos_token_id))
+        for p in prompts
+    ]
+    _drain(eng, handles)
+    assert [h.tokens for h in handles] == expected
+    assert eng.stats["spec_chunks"] > 0
+
+
+def test_paged_video_request(tiny_model):
+    """Whole-window video prefill writes through the block table."""
+    cfg, tok, params = tiny_model
+    rng = np.random.default_rng(3)
+    n_vid = cfg.video_token_len
+    feats = rng.standard_normal(
+        (n_vid, cfg.vision.hidden_size)
+    ).astype(np.float32)
+    ids = (
+        [tok.bos_token_id, tok.vid_start_token_id]
+        + [tok.vid_patch_token_id] * n_vid
+        + [tok.vid_end_token_id]
+        + list(b" describe")
+    )
+    g = GenerationConfig(
+        max_new_tokens=8, do_sample=False,
+        eos_token_id=tok.eos_token_id, pad_token_id=tok.pad_token_id,
+    )
+    arr = np.asarray(ids, np.int32)[None]
+    ref = gen_mod.generate(
+        params, cfg, g, jnp.asarray(arr),
+        jnp.asarray([arr.shape[1]], jnp.int32),
+        jnp.asarray(feats)[None], jax.random.PRNGKey(0),
+        cache_dtype=jnp.float32,
+    )
+    exp = []
+    for t in np.asarray(ref.tokens)[0][: int(np.asarray(ref.lengths)[0])]:
+        if t == tok.eos_token_id:
+            break
+        exp.append(int(t))
+
+    eng = _engine(cfg, params, max_cache_len=512, prompt_pad=64,
+                  block_size=16)
+    h = eng.submit(SlotRequest(
+        ids, max_new_tokens=8, eos_token_id=tok.eos_token_id,
+        video_features=feats,
+    ))
+    _drain(eng, [h])
+    assert h.tokens == exp
+
+
+def test_paged_pool_backpressure(tiny_model):
+    """A pool too small for two concurrent requests serves them one at
+    a time (admission waits on free blocks) and every block returns to
+    the free list at the end."""
+    cfg, tok, params = tiny_model
+    prompts = [
+        [tok.bos_token_id] + list(b"req %d padded out a bit" % i)
+        for i in range(3)
+    ]
+    expected = [
+        _reference_greedy(params, cfg, tok, p, 6) for p in prompts
+    ]
+    # need/request = max(w=32, 24+6+0+4) -> 34 tokens -> 3 blocks of 16;
+    # 4 usable blocks => exactly one request in flight at a time
+    eng = _engine(cfg, params, speculative=False, num_blocks=5)
+    handles = [
+        eng.submit(SlotRequest(p, max_new_tokens=6,
+                               eos_token_id=tok.eos_token_id))
+        for p in prompts
+    ]
+    saw_starved = False
+    for _ in range(400):
+        if all(h.done for h in handles):
+            break
+        eng.step_once()
+        in_flight = sum(s is not None for s in eng.slots)
+        if in_flight == 1 and eng.pending:
+            saw_starved = True
+        assert in_flight <= 1  # two never fit the pool
+    assert all(h.done for h in handles)
+    assert [h.tokens for h in handles] == expected
+    assert saw_starved
+    assert sorted(eng.alloc.free) == list(range(1, 5))
+    np.testing.assert_array_equal(np.asarray(eng.cache.table), 0)
+
+
+def test_paged_seeded_sampling_replay(tiny_model):
+    """A seeded sampled request replays identically whether it runs in
+    a paged or a slot-cache engine (same per-slot PRNG chains; logits
+    parity makes the draws equal)."""
+    cfg, tok, params = tiny_model
+    ids = [tok.bos_token_id] + list(b"sample me")
+    req = lambda: SlotRequest(  # noqa: E731
+        ids, max_new_tokens=8, eos_token_id=tok.eos_token_id,
+        temperature=0.9, top_p=0.9, seed=1234,
+    )
+    out = []
+    for paged in (False, True):
+        eng = _engine(cfg, params, speculative=False, paged=paged)
+        h = eng.submit(req())
+        _drain(eng, [h])
+        out.append(h.tokens)
+    assert out[0] == out[1] and out[0]

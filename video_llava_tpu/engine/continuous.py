@@ -51,8 +51,16 @@ from video_llava_tpu.models.llama import KVCache
 def _slice_row(cache: KVCache, slot) -> KVCache:
     """View row `slot` of the stacked (NL, B, ML, ...) cache as a b=1
     cache (dynamic_slice; XLA keeps it a copy of one row, not the
-    whole cache)."""
+    whole cache).
+
+    For a paged cache the k/v pool is SHARED — the "row view" is the
+    whole pool plus the row's table/length; writes land in the pool
+    through the table, so nothing row-shaped is copied."""
     row = lambda a, axis: jax.lax.dynamic_slice_in_dim(a, slot, 1, axis)
+    if getattr(cache, "table", None) is not None:
+        return cache._replace(
+            length=row(cache.length, 0), table=row(cache.table, 0)
+        )
     return KVCache(
         k=row(cache.k, 1),
         v=row(cache.v, 1),
@@ -66,6 +74,17 @@ def _insert_row(cache: KVCache, rowc: KVCache, slot) -> KVCache:
     ins = lambda a, r, axis: jax.lax.dynamic_update_slice_in_dim(
         a, r, slot, axis
     )
+    if getattr(cache, "table", None) is not None:
+        # paged: the pool mutations already happened in rowc's buffers;
+        # only the row's length needs inserting (tables don't change
+        # inside device programs)
+        return cache._replace(
+            k=rowc.k,
+            v=rowc.v,
+            k_scale=rowc.k_scale,
+            v_scale=rowc.v_scale,
+            length=ins(cache.length, rowc.length, 0),
+        )
     return KVCache(
         k=ins(cache.k, rowc.k, 1),
         v=ins(cache.v, rowc.v, 1),
@@ -446,13 +465,40 @@ class _Slot:
         self.generated = 0
 
 
+class _BlockAllocator:
+    """Host-side free list over the shared paged pool. Block 0 is
+    reserved as the pad block: table entries past a row's allocation
+    point at it (the kernels mask its contribution but may prefetch
+    it, and overshoot writes may scribble on it — never hand it out)."""
+
+    def __init__(self, num_blocks: int):
+        self.free = list(range(num_blocks - 1, 0, -1))
+
+    def alloc(self, n: int) -> Optional[List[int]]:
+        if n > len(self.free):
+            return None
+        return [self.free.pop() for _ in range(n)]
+
+    def release(self, blocks: List[int]) -> None:
+        self.free.extend(blocks)
+
+
 class ContinuousEngine:
     """Continuous batching over `num_slots` persistent cache rows.
 
     Drive with `step_once()` (deterministic; used by tests and by
     single-threaded callers) or `start()`/`stop()` for a background
     scheduler thread. `submit()` is thread-safe either way.
-    """
+
+    paged=True swaps the slot cache (num_slots x max_cache_len rows,
+    mostly stranded HBM for short requests) for a PagedKVCache: a
+    shared pool of `num_blocks` blocks of `block_size` tokens, mapped
+    per row by block tables. Admission allocates just the blocks a
+    request can touch and releases them at retirement, so a smaller
+    pool serves the same traffic; when the pool is empty, admission
+    waits (block-level backpressure) instead of failing. vLLM's paged
+    attention, TPU-shaped: static shapes, scalar-prefetch block-table
+    kernels (ops/attention.py decode_attention_mxu_paged)."""
 
     def __init__(
         self,
@@ -470,6 +516,9 @@ class ContinuousEngine:
         speculative: bool = True,
         spec_k: int = 8,
         spec_ngram: int = 3,
+        paged: bool = False,
+        block_size: int = 64,
+        num_blocks: Optional[int] = None,
     ):
         self.params = params
         self.cfg = cfg
@@ -488,9 +537,35 @@ class ContinuousEngine:
         self.spec_k = spec_k
         self.spec_ngram = spec_ngram
         self.spec_margin = spec_k + 1 if speculative else 0
-        self.cache = KVCache.create(
-            cfg.llm, num_slots, max_cache_len, cache_dtype
-        )
+        self.paged = paged
+        if paged:
+            # window writes go whole-block-at-a-time and must stay
+            # block-aligned (models.llama._write_paged_cache); the PLD
+            # verify writes s = spec_k+1 tokens at arbitrary alignment
+            # and must take the token-at-a-time path
+            assert prompt_pad % block_size == 0, (prompt_pad, block_size)
+            assert self.prefill_chunk % block_size == 0, (
+                self.prefill_chunk, block_size,
+            )
+            assert not speculative or (spec_k + 1) % block_size != 0
+            self.block_size = block_size
+            self.max_blocks = -(-max_cache_len // block_size)
+            if num_blocks is None:
+                # drop-in default: capacity of the slot cache (+ pad
+                # block); pass a smaller pool for the memory win
+                num_blocks = num_slots * self.max_blocks + 1
+            self.cache = llama.PagedKVCache.create(
+                cfg.llm, num_slots, num_blocks, block_size,
+                self.max_blocks, cache_dtype,
+            )
+            self.alloc = _BlockAllocator(num_blocks)
+            self.slot_blocks: List[Optional[List[int]]] = (
+                [None] * num_slots
+            )
+        else:
+            self.cache = KVCache.create(
+                cfg.llm, num_slots, max_cache_len, cache_dtype
+            )
         if mesh is not None:
             from video_llava_tpu.parallel.sharding import shard_kv_cache
 
@@ -537,6 +612,45 @@ class ContinuousEngine:
         self.rng, sub = jax.random.split(self.rng)
         return sub
 
+    def _alloc_blocks(self, slot: int, ids, window: int, req) -> bool:
+        """Paged admission: reserve every block the request can touch —
+        the padded prefill window, generation + the PLD overshoot
+        (writes go up to chunk*(k+1) past max_new within the chunk that
+        crosses it, all masked/discarded but they must not land in
+        another row's blocks). Returns False (leave the request
+        pending) when the pool can't cover it yet."""
+        overshoot = self.chunk * (
+            self.spec_k + 1 if self.speculative else 1
+        )
+        need = max(
+            window,
+            len(ids) + req.max_new_tokens + self.spec_margin + overshoot,
+        )
+        n = min(-(-need // self.block_size), self.max_blocks)
+        blocks = self.alloc.alloc(n)
+        if blocks is None:
+            return False
+        self.slot_blocks[slot] = blocks
+        row = np.zeros((self.max_blocks,), np.int32)
+        row[: len(blocks)] = blocks
+        self.cache = self.cache._replace(
+            table=self.cache.table.at[slot].set(jnp.asarray(row))
+        )
+        return True
+
+    def _retire(self, slot: int) -> None:
+        """Free a slot; paged mode releases its blocks back to the pool
+        and points the table row at the pad block (the slot keeps
+        riding decode chunks as an inactive row — its masked writes
+        must not scribble on the blocks' next owner)."""
+        self.slots[slot] = None
+        if self.paged and self.slot_blocks[slot] is not None:
+            self.alloc.release(self.slot_blocks[slot])
+            self.slot_blocks[slot] = None
+            self.cache = self.cache._replace(
+                table=self.cache.table.at[slot].set(0)
+            )
+
     def _admit(self):
         """Assign pending requests to free slots.
 
@@ -549,7 +663,8 @@ class ContinuousEngine:
             with self.lock:
                 if not self.pending:
                     break
-                _, _, req, handle = heapq.heappop(self.pending)
+                entry = heapq.heappop(self.pending)
+            _, _, req, handle = entry
             slot = self.slots.index(None)
             ids = list(req.input_ids)
             budget = self.max_cache_len - self.spec_margin
@@ -575,6 +690,12 @@ class ContinuousEngine:
                 if len(ids) > cap_aligned:
                     ids = ids[-cap_aligned:]
                 w = -(-len(ids) // p) * p
+                if self.paged and not self._alloc_blocks(
+                    slot, ids, w, req
+                ):
+                    with self.lock:
+                        heapq.heappush(self.pending, entry)
+                    break
                 padded = np.zeros((1, w), np.int32)
                 padded[0, : len(ids)] = ids
                 self.keys = self.keys.at[slot].set(key)
@@ -582,6 +703,12 @@ class ContinuousEngine:
                 continue
 
             s_pad = -(-len(ids) // self.prompt_pad) * self.prompt_pad
+            if self.paged and not self._alloc_blocks(
+                slot, ids, s_pad, req
+            ):
+                with self.lock:
+                    heapq.heappush(self.pending, entry)
+                break
             padded = np.zeros((1, s_pad), np.int32)
             padded[0, : len(ids)] = ids
             vf = jnp.asarray(req.video_features)[None]
@@ -609,9 +736,10 @@ class ContinuousEngine:
             st = _Slot(req, handle, len(ids))
             st.last_token = int(np.asarray(tok))
             st.generated = 1
-            if self._deliver(st, [st.last_token]):
-                self.slots[slot] = st
-            # else: single-token request finished at prefill
+            self.slots[slot] = st
+            if not self._deliver(st, [st.last_token]):
+                # single-token request finished at prefill
+                self._retire(slot)
 
     def _advance_prefill(self) -> bool:
         """Run ONE prefill chunk for the first not-yet-ready slot (so a
@@ -622,7 +750,7 @@ class ContinuousEngine:
                 continue
             if st.handle._cancelled:
                 st.handle._done.set()
-                self.slots[i] = None
+                self._retire(i)
                 continue
             p = self.prefill_chunk
             chunk = np.ascontiguousarray(st.padded[:, st.base : st.base + p])
@@ -663,7 +791,7 @@ class ContinuousEngine:
                 st.last_token = int(np.asarray(tok))
                 st.generated = 1
                 if not self._deliver(st, [st.last_token]):
-                    self.slots[i] = None
+                    self._retire(i)
             return True
         return False
 
@@ -742,7 +870,7 @@ class ContinuousEngine:
                     st.last_token = int(last[i])
                     st.generated += int(counts[i])
                 else:
-                    self.slots[i] = None
+                    self._retire(i)
             return True
 
         toks, self.cache, self.keys = _decode_chunk(
@@ -771,7 +899,7 @@ class ContinuousEngine:
                 st.last_token = int(toks[i, -1])
                 st.generated += self.chunk
             else:
-                self.slots[i] = None
+                self._retire(i)
         return True
 
     # -- background thread --------------------------------------------

@@ -143,6 +143,18 @@ def cache_scale_spec() -> P:
     return P(None, "data", None, "model")
 
 
+def paged_cache_spec() -> P:
+    """Paged KV block pool (L, NB, BS, h_kv, hd): block ids are GLOBAL
+    (every row's table indexes the one shared pool), so the pool can't
+    shard on 'data' — only heads split, on 'model'."""
+    return P(None, None, None, "model", None)
+
+
+def paged_cache_scale_spec() -> P:
+    """int8 paged-pool scales (L, NB, BS, h_kv)."""
+    return P(None, None, None, "model")
+
+
 def divisible_spec(spec: P, shape, mesh: Mesh) -> P:
     """Drop mesh axes from dims they don't evenly divide (e.g. a 32006
     vocab on an 8-way 'model' axis): the dim falls back to replicated
@@ -163,11 +175,26 @@ def divisible_spec(spec: P, shape, mesh: Mesh) -> P:
     return P(*axes)
 
 
+def _kv_cache_layout(cache):
+    """(kv_spec, scale_spec, extra-field specs) for a slot KVCache or a
+    paged PagedKVCache (detected by its block table)."""
+    if getattr(cache, "table", None) is not None:
+        return (
+            paged_cache_spec(),
+            paged_cache_scale_spec(),
+            # per-row lengths/tables stay replicated: the shared pool
+            # isn't data-sharded, so every shard reads every row
+            {"length": P(), "table": P()},
+        )
+    return cache_spec(), cache_scale_spec(), {"length": P("data")}
+
+
 def constrain_kv_cache(cache, mesh: Mesh):
-    """Pin a models.llama.KVCache to its mesh layout (cache_spec for
-    k/v and int8 scales, per-row lengths on 'data'). Called inside jitted
-    prefill so the freshly created cache materializes sharded instead of
-    relying on GSPMD propagating backwards from the attention reads."""
+    """Pin a models.llama.KVCache (or PagedKVCache) to its mesh layout
+    (cache_spec for k/v and int8 scales, per-row lengths on 'data').
+    Called inside jitted prefill so the freshly created cache
+    materializes sharded instead of relying on GSPMD propagating
+    backwards from the attention reads."""
     wsc = jax.lax.with_sharding_constraint
 
     def pin(x, spec):
@@ -175,20 +202,21 @@ def constrain_kv_cache(cache, mesh: Mesh):
             return None
         return wsc(x, NamedSharding(mesh, divisible_spec(spec, x.shape, mesh)))
 
+    kv, sc, extra = _kv_cache_layout(cache)
     return cache._replace(
-        k=pin(cache.k, cache_spec()),
-        v=pin(cache.v, cache_spec()),
-        length=pin(cache.length, P("data")),
-        k_scale=pin(cache.k_scale, cache_scale_spec()),
-        v_scale=pin(cache.v_scale, cache_scale_spec()),
+        k=pin(cache.k, kv),
+        v=pin(cache.v, kv),
+        k_scale=pin(cache.k_scale, sc),
+        v_scale=pin(cache.v_scale, sc),
+        **{f: pin(getattr(cache, f), s) for f, s in extra.items()},
     )
 
 
 def shard_kv_cache(cache, mesh: Mesh):
-    """device_put a host/default-device KVCache into its mesh layout
-    (same specs as constrain_kv_cache; used when a persistent cache is
-    created OUTSIDE any jit, e.g. the continuous batching engine's
-    slot cache)."""
+    """device_put a host/default-device KVCache (or PagedKVCache) into
+    its mesh layout (same specs as constrain_kv_cache; used when a
+    persistent cache is created OUTSIDE any jit, e.g. the continuous
+    batching engine's slot cache)."""
 
     def put(x, spec):
         if x is None:
@@ -197,12 +225,13 @@ def shard_kv_cache(cache, mesh: Mesh):
             x, NamedSharding(mesh, divisible_spec(spec, x.shape, mesh))
         )
 
+    kv, sc, extra = _kv_cache_layout(cache)
     return cache._replace(
-        k=put(cache.k, cache_spec()),
-        v=put(cache.v, cache_spec()),
-        length=put(cache.length, P("data")),
-        k_scale=put(cache.k_scale, cache_scale_spec()),
-        v_scale=put(cache.v_scale, cache_scale_spec()),
+        k=put(cache.k, kv),
+        v=put(cache.v, kv),
+        k_scale=put(cache.k_scale, sc),
+        v_scale=put(cache.v_scale, sc),
+        **{f: put(getattr(cache, f), s) for f, s in extra.items()},
     )
 
 

@@ -39,6 +39,12 @@ def main(argv=None):
                     help="continuous batching (persistent slot decode)")
     ap.add_argument("--num_slots", type=int, default=4)
     ap.add_argument("--max_cache_len", type=int, default=2048)
+    ap.add_argument("--paged", action="store_true",
+                    help="paged KV pool for --continuous (shared block "
+                    "pool + per-slot block tables)")
+    ap.add_argument("--num_blocks", type=int, default=None,
+                    help="paged pool size in 64-token blocks (default: "
+                    "slot-cache capacity)")
     ap.add_argument("--batching", action="store_true",
                     help="windowed request batching")
     ap.add_argument("--max_batch", type=int, default=8)
@@ -79,6 +85,8 @@ def main(argv=None):
         continuous=args.continuous,
         num_slots=args.num_slots,
         max_cache_len=args.max_cache_len,
+        paged=args.paged,
+        num_blocks=args.num_blocks,
     )
 
 

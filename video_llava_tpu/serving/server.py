@@ -137,6 +137,9 @@ class ContinuousChatModel:
         num_slots: int = 4,
         max_cache_len: int = 2048,
         chunk: int = 8,
+        paged: bool = False,
+        block_size: int = 64,
+        num_blocks: Optional[int] = None,
     ):
         from video_llava_tpu.engine.continuous import ContinuousEngine
 
@@ -150,6 +153,9 @@ class ContinuousChatModel:
             chunk=chunk,
             prompt_pad=model.seq_pad_multiple,
             speculative=model.speculative,
+            paged=paged,
+            block_size=block_size,
+            num_blocks=num_blocks,
         )
         self.engine.start()
 
@@ -367,10 +373,13 @@ def serve(
     continuous: bool = False,
     num_slots: int = 4,
     max_cache_len: int = 2048,
+    paged: bool = False,
+    num_blocks: Optional[int] = None,
 ) -> ThreadingHTTPServer:
     if continuous:
         model = ContinuousChatModel(
-            model, num_slots=num_slots, max_cache_len=max_cache_len
+            model, num_slots=num_slots, max_cache_len=max_cache_len,
+            paged=paged, num_blocks=num_blocks,
         )
     elif batching:
         model = BatchingChatModel(model, max_batch, window_ms)
