@@ -232,3 +232,78 @@ def test_paged_seeded_sampling_replay(tiny_model):
         _drain(eng, [h])
         out.append(h.tokens)
     assert out[0] == out[1] and out[0]
+
+
+# -- automatic prefix caching --------------------------------------------------
+
+
+def test_prefix_cache_skips_prefill_and_matches(tiny_model):
+    """Second request sharing a long prompt prefix reuses the first's
+    registry blocks (prefill skipped window-for-window) and still
+    reproduces the one-shot generate output exactly."""
+    cfg, tok, params = tiny_model
+    prefix = list(b"shared system preamble with few-shot examples.. ")  # 48
+    a = [tok.bos_token_id] + prefix + list(b"question one?")
+    b = [tok.bos_token_id] + prefix + list(b"another ask")
+    exp = [_reference_greedy(params, cfg, tok, p, 8) for p in (a, b)]
+
+    eng = _engine(cfg, params, speculative=False, prefix_cache=True)
+    ha = eng.submit(SlotRequest(a, max_new_tokens=8,
+                                eos_token_id=tok.eos_token_id))
+    _drain(eng, [ha])
+    assert eng.stats["prefix_hit_tokens"] == 0
+    hb = eng.submit(SlotRequest(b, max_new_tokens=8,
+                                eos_token_id=tok.eos_token_id))
+    _drain(eng, [hb])
+    # shared prefix = 1 + 48 = 49 tokens -> 3 full 16-token blocks,
+    # window-granular (P=16) -> 48 skipped
+    assert eng.stats["prefix_hit_tokens"] == 48
+    assert [ha.tokens, hb.tokens] == exp
+
+
+def test_prefix_cache_speculative_ctx_complete(tiny_model):
+    """Prefix-skipped windows still land in the prompt-lookup context
+    rows — speculative decoding over a cached prefix stays exact."""
+    cfg, tok, params = tiny_model
+    prefix = list(b"repeat repeat repeat repeat repeat ")
+    a = [tok.bos_token_id] + prefix + list(b"one")
+    b = [tok.bos_token_id] + prefix + list(b"two")
+    exp = [_reference_greedy(params, cfg, tok, p, 10) for p in (a, b)]
+    eng = _engine(cfg, params, speculative=True, spec_k=4,
+                  prefix_cache=True)
+    ha = eng.submit(SlotRequest(a, max_new_tokens=10,
+                                eos_token_id=tok.eos_token_id))
+    _drain(eng, [ha])
+    hb = eng.submit(SlotRequest(b, max_new_tokens=10,
+                                eos_token_id=tok.eos_token_id))
+    _drain(eng, [hb])
+    assert eng.stats["prefix_hit_tokens"] > 0
+    assert [ha.tokens, hb.tokens] == exp
+
+
+def test_prefix_cache_eviction_under_pressure(tiny_model):
+    """Cold registry blocks are reclaimed when the pool runs dry;
+    distinct-prefix requests keep completing correctly and block
+    accounting stays exact."""
+    cfg, tok, params = tiny_model
+    prompts = [
+        [tok.bos_token_id] + list(b"distinct prefix %02d body text" % i)
+        for i in range(4)
+    ]
+    exp = [_reference_greedy(params, cfg, tok, p, 6) for p in prompts]
+    # tight pool: each request needs ~3 blocks; registry blocks from
+    # retired requests must be evicted to admit later ones
+    eng = _engine(cfg, params, speculative=False, prefix_cache=True,
+                  num_blocks=8)
+    out = []
+    for p in prompts:
+        h = eng.submit(SlotRequest(p, max_new_tokens=6,
+                                   eos_token_id=tok.eos_token_id))
+        _drain(eng, [h])
+        out.append(h.tokens)
+    assert out == exp
+    # every block is either free or warm in the registry; none leaked
+    in_registry = set(eng.prefix.refs)
+    assert all(r == 0 for r in eng.prefix.refs.values())
+    assert sorted(set(eng.alloc.free) | in_registry) == list(range(1, 8))
+    assert not (set(eng.alloc.free) & in_registry)

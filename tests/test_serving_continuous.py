@@ -113,3 +113,40 @@ def test_continuous_streaming_matches_json(cont_server):
             pieces.append(delta["content"])
     assert finished
     assert "".join(pieces) == plain
+
+
+@pytest.fixture(scope="module")
+def paged_server(plain_model):
+    server = serve(
+        plain_model, host="127.0.0.1", port=0, block=False,
+        continuous=True, num_slots=2, max_cache_len=256,
+        prefix_cache=True,  # implies paged
+    )
+    yield f"http://127.0.0.1:{server.server_address[1]}/v1"
+    server.shutdown()
+
+
+def test_paged_prefix_server_matches_plain(paged_server, plain_model):
+    """--prefix_cache serving: repeated conversation prefixes (the
+    template preamble) skip prefill; answers still match the plain
+    ChatModel, and /metrics reports the hits and pool state."""
+    import urllib.request
+
+    client = ChatCompletionClient(api_base=paged_server)
+    msgs = lambda q: [  # noqa: E731
+        {"role": "system", "content": "You are a helpful assistant "
+         "answering questions about videos carefully."},
+        {"role": "user", "content": q},
+    ]
+    for q in ("First question?", "Second, sharing the preamble?"):
+        out = client.chat_text("m", msgs(q), temperature=0.0, max_tokens=6)
+        assert out == plain_model.chat(msgs(q), temperature=0.0,
+                                       max_tokens=6)
+    metrics = json.loads(
+        urllib.request.urlopen(
+            paged_server.replace("/v1", "/metrics")
+        ).read()
+    )
+    assert metrics["prefix_hit_tokens"] > 0
+    assert metrics["prefix_blocks_cached"] > 0
+    assert metrics["blocks_free"] > 0

@@ -31,8 +31,10 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import hashlib
 import heapq
 import threading
+from collections import OrderedDict
 from typing import Callable, List, Optional, Sequence
 
 import numpy as np
@@ -452,7 +454,7 @@ class RequestHandle:
 
 class _Slot:
     __slots__ = ("req", "handle", "last_token", "generated", "prompt_len",
-                 "ready", "base", "padded")
+                 "ready", "base", "padded", "hashes")
 
     def __init__(self, req, handle, prompt_len, padded=None):
         self.req = req
@@ -460,9 +462,81 @@ class _Slot:
         self.prompt_len = prompt_len  # post-truncation length in cache
         self.padded = padded  # (1, W) np prompt for chunked prefill
         self.ready = padded is None  # full-prefill slots start ready
-        self.base = 0  # chunked-prefill progress
+        self.base = 0  # chunked-prefill progress (prefix skip included)
         self.last_token = None
         self.generated = 0
+        self.hashes = None  # block prefix hashes (prefix caching)
+
+
+def _block_hashes(ids, block_size: int) -> List[str]:
+    """Rolling prefix hash at every full block boundary: hash j covers
+    tokens [0, (j+1)*block_size) — equal hashes mean equal prefix ids
+    AND equal positions, so the block's K/V is reusable verbatim (RoPE
+    is absolute from 0)."""
+    h = hashlib.sha1()
+    out = []
+    for j in range(len(ids) // block_size):
+        h.update(np.asarray(
+            ids[j * block_size:(j + 1) * block_size], np.int32
+        ).tobytes())
+        out.append(h.hexdigest())
+    return out
+
+
+class _PrefixRegistry:
+    """Automatic prefix caching over the paged pool: maps each prompt's
+    rolling block hashes to the pool blocks holding that prefix's K/V.
+    Blocks stay warm (refcount 0, LRU-ordered) after their last user
+    retires and return to the allocator only under pool pressure, so
+    repeated prefixes — the judge's few-shot preamble, a shared system
+    prompt — skip their prefill entirely."""
+
+    def __init__(self):
+        self.block_of: dict = {}  # hash -> block id
+        self.hash_of: dict = {}  # block id -> hash
+        self.refs: dict = {}  # block id -> refcount
+        self.lru: "OrderedDict" = OrderedDict()  # refcount-0 blocks
+
+    def lookup(self, hashes: List[str]) -> List[int]:
+        """Block ids of the longest cached prefix run (a ref is taken
+        on each; hand surplus back with release())."""
+        out = []
+        for h in hashes:
+            b = self.block_of.get(h)
+            if b is None:
+                break
+            out.append(b)
+        for b in out:
+            self.refs[b] += 1
+            self.lru.pop(b, None)
+        return out
+
+    def add(self, h: str, block: int) -> bool:
+        """Register a freshly prefilled block (refcount 1 for its
+        producer row). False if another row won the race for this
+        prefix — the caller keeps its duplicate block private."""
+        if h in self.block_of:
+            return False
+        self.block_of[h] = block
+        self.hash_of[block] = h
+        self.refs[block] = 1
+        return True
+
+    def release(self, blocks: List[int]) -> None:
+        for b in blocks:
+            self.refs[b] -= 1
+            if self.refs[b] == 0:
+                self.lru[b] = None
+
+    def evict(self, n: int) -> List[int]:
+        """Reclaim up to n cold (refcount-0) blocks for the allocator."""
+        out = []
+        while self.lru and len(out) < n:
+            b, _ = self.lru.popitem(last=False)
+            del self.block_of[self.hash_of.pop(b)]
+            del self.refs[b]
+            out.append(b)
+        return out
 
 
 class _BlockAllocator:
@@ -519,6 +593,7 @@ class ContinuousEngine:
         paged: bool = False,
         block_size: int = 64,
         num_blocks: Optional[int] = None,
+        prefix_cache: bool = False,
     ):
         self.params = params
         self.cfg = cfg
@@ -559,10 +634,13 @@ class ContinuousEngine:
                 self.max_blocks, cache_dtype,
             )
             self.alloc = _BlockAllocator(num_blocks)
-            self.slot_blocks: List[Optional[List[int]]] = (
-                [None] * num_slots
-            )
+            # per-slot block ownership: `shared` blocks are registry-
+            # refcounted prefix blocks, `owned` return to the allocator
+            self.slot_shared: List[List[int]] = [[] for _ in range(num_slots)]
+            self.slot_owned: List[List[int]] = [[] for _ in range(num_slots)]
+            self.prefix = _PrefixRegistry() if prefix_cache else None
         else:
+            assert not prefix_cache, "prefix_cache requires paged=True"
             self.cache = KVCache.create(
                 cfg.llm, num_slots, max_cache_len, cache_dtype
             )
@@ -581,7 +659,7 @@ class ContinuousEngine:
             self.ctx = jnp.zeros((num_slots, cap), jnp.int32)
             self.ctx_len = jnp.zeros((num_slots,), jnp.int32)
         self.stats = {"spec_chunks": 0, "plain_chunks": 0,
-                      "spec_tokens": 0}
+                      "spec_tokens": 0, "prefix_hit_tokens": 0}
         self.keys = jnp.zeros((num_slots, 2), jnp.uint32)
         self.slots: List[Optional[_Slot]] = [None] * num_slots
         # heap of (-priority, seq, req, handle): higher priority admits
@@ -612,41 +690,92 @@ class ContinuousEngine:
         self.rng, sub = jax.random.split(self.rng)
         return sub
 
-    def _alloc_blocks(self, slot: int, ids, window: int, req) -> bool:
+    def _alloc_blocks(
+        self, slot: int, ids, window: int, req, hashes=None,
+    ) -> Optional[int]:
         """Paged admission: reserve every block the request can touch —
         the padded prefill window, generation + the PLD overshoot
         (writes go up to chunk*(k+1) past max_new within the chunk that
         crosses it, all masked/discarded but they must not land in
-        another row's blocks). Returns False (leave the request
-        pending) when the pool can't cover it yet."""
+        another row's blocks). With `hashes` (prefix caching), the
+        longest registry run is mapped in as shared read-only blocks
+        and its prefill skipped block-granularly — the (1, P) window
+        grid simply starts at the skip offset (at least one token
+        always prefills: the final window samples the first output).
+        Window writes past the allocation (the padded tail of the last
+        window, which may extend past the row cap) are safe by
+        construction: they land in the pad block or the row's own
+        not-yet-valid tail (table lookups clamp), and reads mask by
+        length — so they cost no blocks. `window` (video whole-span
+        prefill) still reserves its padded span; None for chunked
+        prefill. Returns the skipped token count, or None (leave the
+        request pending) when the pool can't cover it yet."""
+        bs = self.block_size
         overshoot = self.chunk * (
             self.spec_k + 1 if self.speculative else 1
         )
+        shared: List[int] = []
+        skip = 0
+        if hashes and self.prefix is not None:
+            run = self.prefix.lookup(hashes)
+            k = min(len(run), (len(ids) - 1) // bs)
+            self.prefix.release(run[k:])
+            shared = run[:k]
+            skip = k * bs
         need = max(
-            window,
+            window or 0,
             len(ids) + req.max_new_tokens + self.spec_margin + overshoot,
         )
-        n = min(-(-need // self.block_size), self.max_blocks)
-        blocks = self.alloc.alloc(n)
-        if blocks is None:
-            return False
-        self.slot_blocks[slot] = blocks
+        n = min(-(-need // bs), self.max_blocks)
+        n_fresh = n - len(shared)
+        fresh = self.alloc.alloc(n_fresh)
+        if fresh is None and self.prefix is not None:
+            # reclaim cold prefix blocks under pool pressure
+            self.alloc.release(
+                self.prefix.evict(n_fresh - len(self.alloc.free))
+            )
+            fresh = self.alloc.alloc(n_fresh)
+        if fresh is None:
+            if shared and self.prefix is not None:
+                self.prefix.release(shared)
+            return None
+        self.slot_shared[slot] = shared
+        self.slot_owned[slot] = fresh
         row = np.zeros((self.max_blocks,), np.int32)
-        row[: len(blocks)] = blocks
+        row[: n] = shared + fresh
         self.cache = self.cache._replace(
             table=self.cache.table.at[slot].set(jnp.asarray(row))
         )
-        return True
+        return skip
+
+    def _promote(self, slot: int, st: "_Slot") -> None:
+        """Publish a finished prefill's full prompt blocks to the
+        prefix registry (in order; stop at the first hash another row
+        published first — lookups walk the chain from block 0, so a
+        gap would never be reached anyway)."""
+        shared, owned = self.slot_shared[slot], self.slot_owned[slot]
+        full = min(len(st.hashes), st.prompt_len // self.block_size)
+        j = len(shared)
+        while j < full and owned:
+            if not self.prefix.add(st.hashes[j], owned[0]):
+                break
+            shared.append(owned.pop(0))
+            j += 1
 
     def _retire(self, slot: int) -> None:
         """Free a slot; paged mode releases its blocks back to the pool
         and points the table row at the pad block (the slot keeps
         riding decode chunks as an inactive row — its masked writes
-        must not scribble on the blocks' next owner)."""
+        must not scribble on the blocks' next owner). Registry-shared
+        blocks only drop a ref — they stay warm for the next request
+        with this prefix."""
         self.slots[slot] = None
-        if self.paged and self.slot_blocks[slot] is not None:
-            self.alloc.release(self.slot_blocks[slot])
-            self.slot_blocks[slot] = None
+        if self.paged:
+            if self.slot_shared[slot] and self.prefix is not None:
+                self.prefix.release(self.slot_shared[slot])
+            self.alloc.release(self.slot_owned[slot])
+            self.slot_shared[slot] = []
+            self.slot_owned[slot] = []
             self.cache = self.cache._replace(
                 table=self.cache.table.at[slot].set(0)
             )
@@ -689,23 +818,47 @@ class ContinuousEngine:
                 cap_aligned = (self.max_cache_len // p) * p
                 if len(ids) > cap_aligned:
                     ids = ids[-cap_aligned:]
-                w = -(-len(ids) // p) * p
-                if self.paged and not self._alloc_blocks(
-                    slot, ids, w, req
-                ):
-                    with self.lock:
-                        heapq.heappush(self.pending, entry)
-                    break
+                skip = 0
+                hashes = None
+                if self.paged:
+                    if self.prefix is not None:
+                        hashes = _block_hashes(ids, self.block_size)
+                    skip = self._alloc_blocks(slot, ids, None, req,
+                                              hashes)
+                    if skip is None:
+                        with self.lock:
+                            heapq.heappush(self.pending, entry)
+                        break
+                # window grid starts at the prefix skip; padded width
+                # covers whole (1, P) windows from there
+                w = skip + -(-(len(ids) - skip) // p) * p
                 padded = np.zeros((1, w), np.int32)
                 padded[0, : len(ids)] = ids
                 self.keys = self.keys.at[slot].set(key)
-                self.slots[slot] = _Slot(req, handle, len(ids), padded)
+                st = _Slot(req, handle, len(ids), padded)
+                st.base = skip
+                st.hashes = hashes
+                if skip:
+                    self.stats["prefix_hit_tokens"] += skip
+                    if self.speculative:
+                        # context rows still need the skipped prompt
+                        # windows (prompt-lookup drafts read them)
+                        p_arr = jnp.asarray(slot, jnp.int32)
+                        for b0 in range(0, skip, self.prefill_chunk):
+                            self.ctx = _ctx_write_chunk(
+                                self.ctx, p_arr,
+                                jnp.asarray(
+                                    padded[:, b0:b0 + self.prefill_chunk]
+                                ),
+                                jnp.asarray(b0, jnp.int32),
+                            )
+                self.slots[slot] = st
                 continue
 
             s_pad = -(-len(ids) // self.prompt_pad) * self.prompt_pad
-            if self.paged and not self._alloc_blocks(
+            if self.paged and self._alloc_blocks(
                 slot, ids, s_pad, req
-            ):
+            ) is None:
                 with self.lock:
                     heapq.heappush(self.pending, entry)
                 break
@@ -790,6 +943,8 @@ class ContinuousEngine:
                 st.ready = True
                 st.last_token = int(np.asarray(tok))
                 st.generated = 1
+                if self.paged and self.prefix is not None and st.hashes:
+                    self._promote(i, st)
                 if not self._deliver(st, [st.last_token]):
                     self._retire(i)
             return True

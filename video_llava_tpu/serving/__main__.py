@@ -45,6 +45,9 @@ def main(argv=None):
     ap.add_argument("--num_blocks", type=int, default=None,
                     help="paged pool size in 64-token blocks (default: "
                     "slot-cache capacity)")
+    ap.add_argument("--prefix_cache", action="store_true",
+                    help="automatic prefix caching (implies --paged): "
+                    "repeated prompt prefixes skip their prefill")
     ap.add_argument("--batching", action="store_true",
                     help="windowed request batching")
     ap.add_argument("--max_batch", type=int, default=8)
@@ -87,6 +90,7 @@ def main(argv=None):
         max_cache_len=args.max_cache_len,
         paged=args.paged,
         num_blocks=args.num_blocks,
+        prefix_cache=args.prefix_cache,
     )
 
 

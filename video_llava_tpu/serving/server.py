@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import math
 import threading
 import time
 from contextlib import nullcontext as _nullcontext
@@ -140,10 +141,14 @@ class ContinuousChatModel:
         paged: bool = False,
         block_size: int = 64,
         num_blocks: Optional[int] = None,
+        prefix_cache: bool = False,
     ):
         from video_llava_tpu.engine.continuous import ContinuousEngine
 
         self.model = model
+        # paged blocks must divide the prompt pad (window writes are
+        # whole-block); shrink to its gcd when the model pads finer
+        block_size = math.gcd(block_size, model.seq_pad_multiple)
         self.engine = ContinuousEngine(
             model.params,
             model.cfg,
@@ -156,6 +161,7 @@ class ContinuousChatModel:
             paged=paged,
             block_size=block_size,
             num_blocks=num_blocks,
+            prefix_cache=prefix_cache,
         )
         self.engine.start()
 
@@ -252,6 +258,12 @@ def make_handler(model: ChatModel, model_name: str):
                         ),
                         "pending": len(eng.pending),
                     }
+                    if eng.paged:
+                        stats["blocks_free"] = len(eng.alloc.free)
+                        if eng.prefix is not None:
+                            stats["prefix_blocks_cached"] = len(
+                                eng.prefix.refs
+                            )
                 self._json(200, {"object": "metrics", **stats})
             else:
                 self._json(404, {"error": "not found"})
@@ -375,11 +387,13 @@ def serve(
     max_cache_len: int = 2048,
     paged: bool = False,
     num_blocks: Optional[int] = None,
+    prefix_cache: bool = False,
 ) -> ThreadingHTTPServer:
     if continuous:
         model = ContinuousChatModel(
             model, num_slots=num_slots, max_cache_len=max_cache_len,
-            paged=paged, num_blocks=num_blocks,
+            paged=paged or prefix_cache, num_blocks=num_blocks,
+            prefix_cache=prefix_cache,
         )
     elif batching:
         model = BatchingChatModel(model, max_batch, window_ms)
