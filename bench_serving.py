@@ -10,7 +10,10 @@ granularity. Run on the chip:
 
 Env: BENCH_MODEL=7b|13b|tiny, BENCH_LLM_DTYPE=int4|int8|bf16,
 BENCH_SLOTS, BENCH_CHUNK, BENCH_REQUESTS, BENCH_PROMPT=prompt len,
-BENCH_MODE=all|sequential|windowed|continuous.
+BENCH_MODE=all|sequential|windowed|continuous|continuous_paged|
+continuous_prefix, BENCH_SHARED=fraction of the prompt shared across
+requests (judge-style few-shot preamble; default 0.6 — only the
+prefix-cache mode exploits it, every mode pays the same prompts).
 
 Emits one JSON line per mode: wall_s, aggregate generated tok/s, mean
 and p95 request latency. (bench.py stays the driver-facing metric;
@@ -51,6 +54,7 @@ CHUNK = int(os.environ.get("BENCH_CHUNK", "8"))
 REQUESTS = int(os.environ.get("BENCH_REQUESTS", "8"))
 PROMPT = int(os.environ.get("BENCH_PROMPT", "256"))
 MODE = os.environ.get("BENCH_MODE", "all")
+SHARED_FRAC = float(os.environ.get("BENCH_SHARED", "0.6"))
 # Alternating short/long generations — the shape continuous batching
 # is built for. Short rows finish and hand their slot to the queue.
 SHORT, LONG = 32, 224
@@ -113,10 +117,15 @@ def build():
 
 def workload(cfg):
     rng = np.random.default_rng(0)
+    shared = rng.integers(
+        3, cfg.llm.vocab_size - 8, size=int(PROMPT * SHARED_FRAC)
+    ).astype(np.int32).tolist()
     reqs = []
     for i in range(REQUESTS):
-        ids = rng.integers(3, cfg.llm.vocab_size - 8, size=PROMPT)
-        reqs.append((ids.astype(np.int32).tolist(),
+        ids = rng.integers(
+            3, cfg.llm.vocab_size - 8, size=PROMPT - len(shared)
+        )
+        reqs.append((shared + ids.astype(np.int32).tolist(),
                      SHORT if i % 2 == 0 else LONG))
     return reqs
 
@@ -173,11 +182,12 @@ def bench_windowed(cfg, params, cache_dtype, reqs):
     return time.perf_counter() - t0, total, lat
 
 
-def bench_continuous(cfg, params, cache_dtype, reqs, speculative=True):
+def bench_continuous(cfg, params, cache_dtype, reqs, speculative=True,
+                     paged=False, prefix_cache=False):
     eng = ContinuousEngine(
         params, cfg, num_slots=SLOTS, max_cache_len=CACHE_LEN + 16,
         cache_dtype=cache_dtype, chunk=CHUNK, prompt_pad=64,
-        speculative=speculative,
+        speculative=speculative, paged=paged, prefix_cache=prefix_cache,
     )
     done_at = {}
     t0 = time.perf_counter()
@@ -196,7 +206,10 @@ def bench_continuous(cfg, params, cache_dtype, reqs, speculative=True):
     wall = time.perf_counter() - t0
     total = sum(len(h.tokens) for h in handles)
     lat = [done_at[i] - t0 for i in range(len(handles))]
-    return wall, total, lat
+    extra = {}
+    if prefix_cache:
+        extra["prefix_hit_tokens"] = eng.stats["prefix_hit_tokens"]
+    return wall, total, lat, extra
 
 
 def main():
@@ -209,13 +222,19 @@ def main():
             *a, speculative=False
         ),
         "continuous": bench_continuous,
+        "continuous_paged": lambda *a: bench_continuous(*a, paged=True),
+        "continuous_prefix": lambda *a: bench_continuous(
+            *a, paged=True, prefix_cache=True
+        ),
     }
     if MODE != "all":
         modes = {MODE: modes[MODE]}
     for name, fn in modes.items():
         # warmup pass compiles every program shape for this mode
         fn(cfg, params, cache_dtype, reqs[: min(2, len(reqs))])
-        wall, total, lat = fn(cfg, params, cache_dtype, reqs)
+        out = fn(cfg, params, cache_dtype, reqs)
+        wall, total, lat = out[:3]
+        extra = out[3] if len(out) > 3 else {}
         print(json.dumps({
             "mode": name,
             "model": MODEL,
@@ -226,6 +245,7 @@ def main():
             "agg_tok_per_s": round(total / wall, 1),
             "mean_latency_s": round(float(np.mean(lat)), 3),
             "p95_latency_s": round(float(np.percentile(lat, 95)), 3),
+            **extra,
         }), flush=True)
 
 
