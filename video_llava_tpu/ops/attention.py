@@ -44,6 +44,19 @@ def set_default_impl(impl: str) -> None:
     _DEFAULT_IMPL = impl
 
 
+# The paged decode kernel hasn't had its first on-chip Mosaic compile
+# yet (CPU interpret mode can pass while TPU lowering fails); paged
+# decode takes the XLA dense-gather path on TPU until a chip drive
+# flips this (enable_paged_kernel()). Same staging the deformable
+# kernel used.
+_PAGED_KERNEL = False
+
+
+def enable_paged_kernel(on: bool = True) -> None:
+    global _PAGED_KERNEL
+    _PAGED_KERNEL = on
+
+
 def set_attention_mesh(mesh) -> None:
     """Register the ('data','model') mesh so auto dispatch can use the
     shard_map-wrapped Pallas kernel inside pjit programs."""
@@ -1406,7 +1419,8 @@ def decode_attention_paged(
     h, h_kv = q.shape[2], k_cache.shape[3]
     bs = k_cache.shape[2]
     if (
-        _DEFAULT_IMPL != "xla"
+        _PAGED_KERNEL
+        and _DEFAULT_IMPL != "xla"
         and jax.default_backend() == "tpu"
         and h == h_kv
         and (h * q.shape[3]) % 128 == 0
