@@ -146,6 +146,7 @@ class ContinuousChatModel:
         from video_llava_tpu.engine.continuous import ContinuousEngine
 
         self.model = model
+        paged = paged or prefix_cache
         # paged blocks must divide the prompt pad (window writes are
         # whole-block); shrink to its gcd when the model pads finer
         block_size = math.gcd(block_size, model.seq_pad_multiple)
