@@ -307,3 +307,38 @@ def test_prefix_cache_eviction_under_pressure(tiny_model):
     assert all(r == 0 for r in eng.prefix.refs.values())
     assert sorted(set(eng.alloc.free) | in_registry) == list(range(1, 8))
     assert not (set(eng.alloc.free) & in_registry)
+
+
+def test_prefix_skip_window_overshoot_safe(tiny_model):
+    """With a prefill window larger than the remaining prompt, the
+    shifted window grid writes far past the row's allocation (pad-block
+    / clamped-table territory). Those writes must never corrupt other
+    rows or the row's own valid K/V: outputs stay exact while another
+    request decodes concurrently."""
+    cfg, tok, params = tiny_model
+    prefix = list(b"sixteen byte pre")  # 16 bytes -> 1+16 tokens
+    a = [tok.bos_token_id] + prefix + list(b"one")
+    b = [tok.bos_token_id] + prefix + list(b"two")
+    c = [tok.bos_token_id] + list(b"bystander request")
+    exp = {
+        "a": _reference_greedy(params, cfg, tok, a, 8),
+        "b": _reference_greedy(params, cfg, tok, b, 8),
+        "c": _reference_greedy(params, cfg, tok, c, 20),
+    }
+    # P=64 windows, 16-token blocks: request b skips 16 tokens and its
+    # single window [16, 80) extends ~48 positions past its allocation
+    eng = _engine(cfg, params, speculative=False, prefix_cache=True,
+                  prefill_chunk=64, num_slots=2)
+    ha = eng.submit(SlotRequest(a, max_new_tokens=8,
+                                eos_token_id=tok.eos_token_id))
+    _drain(eng, [ha])
+    hc = eng.submit(SlotRequest(c, max_new_tokens=20,
+                                eos_token_id=tok.eos_token_id))
+    eng.step_once()  # c mid-decode when b's overshooting window runs
+    hb = eng.submit(SlotRequest(b, max_new_tokens=8,
+                                eos_token_id=tok.eos_token_id))
+    _drain(eng, [hb, hc])
+    assert eng.stats["prefix_hit_tokens"] == 16
+    assert ha.tokens == exp["a"]
+    assert hb.tokens == exp["b"]
+    assert hc.tokens == exp["c"]
