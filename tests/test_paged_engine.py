@@ -342,3 +342,67 @@ def test_prefix_skip_window_overshoot_safe(tiny_model):
     assert ha.tokens == exp["a"]
     assert hb.tokens == exp["b"]
     assert hc.tokens == exp["c"]
+
+
+def test_full_allocation_overshoot_no_self_corruption(tiny_model):
+    """Adversarial-review repro: a request whose allocation fills its
+    ENTIRE table gets an overshooting prefix-skipped window; the
+    out-of-range block index must go to the pad block, not clamp onto
+    the row's own last (valid) block."""
+    cfg, tok, params = tiny_model
+    prefix = list(b"fifteen bytes..")  # [bos]+15 -> exactly block 0
+    a = [tok.bos_token_id] + prefix + list(b"warm")
+    body = (b"x" * 106)  # B: 1 + 15 + 106 = 122 tokens
+    b_ids = [tok.bos_token_id] + prefix + list(body)
+    exp_a = _reference_greedy(params, cfg, tok, a, 4)
+    exp_b = _reference_greedy(params, cfg, tok, b_ids, 2)
+
+    # ML=128, bs=16 -> max_blocks=8; B needs 122+2+0+4=128 -> all 8:
+    # its window [16, 144) hits block index 8 (out of range)
+    eng = _engine(cfg, params, speculative=False, prefix_cache=True,
+                  prefill_chunk=64)
+    ha = eng.submit(SlotRequest(a, max_new_tokens=4,
+                                eos_token_id=tok.eos_token_id))
+    _drain(eng, [ha])
+    hb = eng.submit(SlotRequest(b_ids, max_new_tokens=2,
+                                eos_token_id=tok.eos_token_id))
+    _drain(eng, [hb])
+    assert eng.stats["prefix_hit_tokens"] == 16
+    assert ha.tokens == exp_a
+    assert hb.tokens == exp_b
+
+
+def test_impossible_request_fails_fast(tiny_model):
+    """A request that can never fit the pool errors its handle loudly
+    instead of re-queueing forever, and traffic behind it proceeds."""
+    cfg, tok, params = tiny_model
+    # capacity 3 blocks of 16 = 48 positions; this request needs 5
+    eng = _engine(cfg, params, speculative=False, num_blocks=4)
+    big = eng.submit(SlotRequest(
+        [tok.bos_token_id] + list(b"a" * 40), max_new_tokens=20,
+        eos_token_id=tok.eos_token_id,
+    ))
+    small_ids = [tok.bos_token_id] + list(b"ok")
+    small = eng.submit(SlotRequest(
+        small_ids, max_new_tokens=4, eos_token_id=tok.eos_token_id,
+    ))
+    _drain(eng, [big, small])
+    with pytest.raises(RuntimeError, match="pool"):
+        big.result()
+    assert small.tokens == _reference_greedy(
+        params, cfg, tok, small_ids, 4
+    )
+
+
+def test_unaligned_prefill_chunk_rounds_down(tiny_model):
+    """prefill_chunk values that aren't block multiples (e.g. the
+    min(256, max_cache_len) clamp) align down instead of asserting."""
+    cfg, tok, params = tiny_model
+    ids = [tok.bos_token_id] + list(b"some prompt that spans windows")
+    exp = _reference_greedy(params, cfg, tok, ids, 6)
+    eng = _engine(cfg, params, speculative=False, prefill_chunk=24)
+    assert eng.prefill_chunk == 16
+    h = eng.submit(SlotRequest(ids, max_new_tokens=6,
+                               eos_token_id=tok.eos_token_id))
+    _drain(eng, [h])
+    assert h.tokens == exp

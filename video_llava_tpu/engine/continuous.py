@@ -433,12 +433,15 @@ class SlotRequest:
 class RequestHandle:
     def __init__(self):
         self.tokens: List[int] = []
+        self.error: Optional[str] = None
         self._done = threading.Event()
         self._cancelled = False
 
     def result(self, timeout: Optional[float] = None) -> List[int]:
         if not self._done.wait(timeout):
             raise TimeoutError("generation not finished")
+        if self.error is not None:
+            raise RuntimeError(self.error)
         return self.tokens
 
     @property
@@ -539,6 +542,12 @@ class _PrefixRegistry:
         return out
 
 
+class ImpossibleRequest(Exception):
+    """The request needs more pool blocks than exist — waiting on the
+    free list would hang it (and head-of-line-block everything behind
+    it) forever."""
+
+
 class _BlockAllocator:
     """Host-side free list over the shared paged pool. Block 0 is
     reserved as the pad block: table entries past a row's allocation
@@ -546,6 +555,7 @@ class _BlockAllocator:
     it, and overshoot writes may scribble on it — never hand it out)."""
 
     def __init__(self, num_blocks: int):
+        self.capacity = num_blocks - 1
         self.free = list(range(num_blocks - 1, 0, -1))
 
     def alloc(self, n: int) -> Optional[List[int]]:
@@ -619,8 +629,11 @@ class ContinuousEngine:
             # verify writes s = spec_k+1 tokens at arbitrary alignment
             # and must take the token-at-a-time path
             assert prompt_pad % block_size == 0, (prompt_pad, block_size)
-            assert self.prefill_chunk % block_size == 0, (
-                self.prefill_chunk, block_size,
+            # align the window down instead of asserting: min(256, ML)
+            # above can produce any value
+            self.prefill_chunk = max(
+                block_size,
+                (self.prefill_chunk // block_size) * block_size,
             )
             assert not speculative or (spec_k + 1) % block_size != 0
             self.block_size = block_size
@@ -728,6 +741,16 @@ class ContinuousEngine:
         )
         n = min(-(-need // bs), self.max_blocks)
         n_fresh = n - len(shared)
+        if n_fresh > self.alloc.capacity:
+            # even an empty pool couldn't hold it: fail loudly instead
+            # of re-queueing forever behind the free list
+            if shared and self.prefix is not None:
+                self.prefix.release(shared)
+            raise ImpossibleRequest(
+                f"request needs {n_fresh} pool blocks; the pool only "
+                f"has {self.alloc.capacity} (raise num_blocks or lower "
+                f"max_new_tokens)"
+            )
         fresh = self.alloc.alloc(n_fresh)
         if fresh is None and self.prefix is not None:
             # reclaim cold prefix blocks under pool pressure
@@ -823,8 +846,13 @@ class ContinuousEngine:
                 if self.paged:
                     if self.prefix is not None:
                         hashes = _block_hashes(ids, self.block_size)
-                    skip = self._alloc_blocks(slot, ids, None, req,
-                                              hashes)
+                    try:
+                        skip = self._alloc_blocks(slot, ids, None, req,
+                                                  hashes)
+                    except ImpossibleRequest as e:
+                        handle.error = str(e)
+                        handle._done.set()
+                        continue
                     if skip is None:
                         with self.lock:
                             heapq.heappush(self.pending, entry)
@@ -856,12 +884,17 @@ class ContinuousEngine:
                 continue
 
             s_pad = -(-len(ids) // self.prompt_pad) * self.prompt_pad
-            if self.paged and self._alloc_blocks(
-                slot, ids, s_pad, req
-            ) is None:
-                with self.lock:
-                    heapq.heappush(self.pending, entry)
-                break
+            if self.paged:
+                try:
+                    got = self._alloc_blocks(slot, ids, s_pad, req)
+                except ImpossibleRequest as e:
+                    handle.error = str(e)
+                    handle._done.set()
+                    continue
+                if got is None:
+                    with self.lock:
+                        heapq.heappush(self.pending, entry)
+                    break
             padded = np.zeros((1, s_pad), np.int32)
             padded[0, : len(ids)] = ids
             vf = jnp.asarray(req.video_features)[None]

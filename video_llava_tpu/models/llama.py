@@ -235,32 +235,46 @@ def _write_paged_cache(full, new, pos, li, table):
         divides), writes go whole-block-at-a-time;
       * small s (decode s=1, speculative verify s=k+1): token-at-a-
         time, any alignment.
+
+    Writes at logical positions past the table (MAXB*BS) go to pad
+    block 0: a clamped table lookup would land on the row's LAST entry
+    instead, which is a REAL block when the row is fully allocated —
+    an overshooting prefill window would overwrite the row's own valid
+    prompt tail (caught by adversarial review of the padded-window
+    overshoot path).
     """
     bs = full.shape[2]
+    maxb = table.shape[1]
     b, s = new.shape[:2]
     zero = jnp.int32(0)
     trail = (zero,) * (full.ndim - 3)
+
+    def blk_at(i, blk_idx):
+        return jnp.where(
+            blk_idx < maxb,
+            table[i, jnp.minimum(blk_idx, maxb - 1)],
+            0,
+        )
+
     if s % bs == 0:
         for i in range(b):
             base_blk = pos[i] // bs
             for j in range(s // bs):
-                blk = table[i, base_blk + j]
                 full = jax.lax.dynamic_update_slice(
                     full,
                     new[i, j * bs : (j + 1) * bs][None, None].astype(
                         full.dtype
                     ),
-                    (li, blk, zero) + trail,
+                    (li, blk_at(i, base_blk + j), zero) + trail,
                 )
     else:
         for i in range(b):
             for t in range(s):
                 p_it = pos[i] + t
-                blk = table[i, p_it // bs]
                 full = jax.lax.dynamic_update_slice(
                     full,
                     new[i, t][None, None, None].astype(full.dtype),
-                    (li, blk, p_it % bs) + trail,
+                    (li, blk_at(i, p_it // bs), p_it % bs) + trail,
                 )
     return full
 

@@ -1425,6 +1425,9 @@ def decode_attention_paged(
         and h == h_kv
         and (h * q.shape[3]) % 128 == 0
         and bs % 16 == 0
+        # same VMEM bound as decode_attention_mxu_stacked: the
+        # all-head-pair temporaries overflow 16 MB past block_l 128
+        and bs <= 128
     ):
         return decode_attention_mxu_paged(
             q, k_cache, v_cache, layer, table, cache_len,

@@ -47,6 +47,8 @@ def validate_paged(args):
     b, maxb = args.batch, 32
     if args.interpret:  # tiny CPU smoke
         nl, nb, bs, h, d, maxb = 2, 10, 16, 4, 32, 4
+    # the scrambled tables draw b*maxb DISTINCT non-pad blocks
+    nb = max(nb, b * maxb + 5)
     kq = rng.integers(-127, 128, size=(nl, nb, bs, h, d)).astype(np.int8)
     vq = rng.integers(-127, 128, size=(nl, nb, bs, h, d)).astype(np.int8)
     ks = (rng.random((nl, nb, bs, h)).astype(np.float32) + 0.5) / 127

@@ -148,8 +148,13 @@ class ContinuousChatModel:
         self.model = model
         paged = paged or prefix_cache
         # paged blocks must divide the prompt pad (window writes are
-        # whole-block); shrink to its gcd when the model pads finer
+        # whole-block); shrink to its gcd when the model pads finer,
+        # rescaling num_blocks so the pool keeps the capacity the
+        # caller sized in the ORIGINAL block units
+        requested_bs = block_size
         block_size = math.gcd(block_size, model.seq_pad_multiple)
+        if num_blocks is not None:
+            num_blocks *= requested_bs // block_size
         self.engine = ContinuousEngine(
             model.params,
             model.cfg,
