@@ -104,3 +104,29 @@ def test_tp_paged_matches_unsharded(tiny_tp):
         ContinuousEngine(sharded, cfg, mesh=mesh, **kw), tok, prompts
     )
     assert out == ref
+
+
+def test_tp_prefix_cache_matches_unsharded(tiny_tp):
+    """Prefix caching under the TP mesh: host-side table edits
+    (at[].set) interleave with mesh-pinned device programs and the
+    skip path stays token-for-token exact."""
+    cfg, tok, params = tiny_tp
+    pre = list(b"a shared preamble of useful length ")
+    prompts = [
+        [tok.bos_token_id] + pre + list(b"q1"),
+        [tok.bos_token_id] + pre + list(b"q2"),
+        [tok.bos_token_id] + pre + list(b"q3 somewhat longer"),
+    ]
+    kw = dict(
+        num_slots=2, max_cache_len=128, cache_dtype=jnp.float32,
+        chunk=4, prompt_pad=16, paged=True, block_size=16,
+        prefix_cache=True,
+    )
+    ref = _run(ContinuousEngine(params, cfg, **kw), tok, prompts)
+
+    mesh = make_mesh(1, 8)
+    sharded = shard_params(params, videollava_param_specs(params), mesh)
+    eng = ContinuousEngine(sharded, cfg, mesh=mesh, **kw)
+    out = _run(eng, tok, prompts)
+    assert out == ref
+    assert eng.stats["prefix_hit_tokens"] > 0
