@@ -131,9 +131,11 @@ def workload(cfg):
 
 
 def bench_sequential(cfg, params, cache_dtype, reqs):
+    # Latency convention (ALL modes): completion time measured from
+    # the common submission instant t0 — queueing behind earlier work
+    # counts, apples-to-apples with the continuous engine.
     lat, total, t0 = [], 0, time.perf_counter()
     for ids, max_new in reqs:
-        r0 = time.perf_counter()
         g = GenerationConfig(
             max_new_tokens=max_new, do_sample=False, eos_token_id=-1,
             pad_token_id=0,
@@ -146,7 +148,7 @@ def bench_sequential(cfg, params, cache_dtype, reqs):
             max_cache_len=CACHE_LEN,
         )
         total += int(np.asarray(res.lengths)[0])
-        lat.append(time.perf_counter() - r0)
+        lat.append(time.perf_counter() - t0)
     return time.perf_counter() - t0, total, lat
 
 
@@ -156,7 +158,6 @@ def bench_windowed(cfg, params, cache_dtype, reqs):
     lat, total, t0 = [], 0, time.perf_counter()
     for w0 in range(0, len(reqs), SLOTS):
         window = reqs[w0 : w0 + SLOTS]
-        r0 = time.perf_counter()
         horizon = max(m for _, m in window)
         s_pad = max(len(i) for i, _ in window)
         arr = np.zeros((len(window), s_pad), np.int32)
@@ -174,7 +175,7 @@ def bench_windowed(cfg, params, cache_dtype, reqs):
             max_cache_len=CACHE_LEN,
         )
         np.asarray(res.tokens)  # sync
-        dt = time.perf_counter() - r0
+        dt = time.perf_counter() - t0
         # every request in the window completes when the window does,
         # but only its own max_new tokens count as useful output
         total += sum(m for _, m in window)
@@ -230,8 +231,9 @@ def main():
     if MODE != "all":
         modes = {MODE: modes[MODE]}
     for name, fn in modes.items():
-        # warmup pass compiles every program shape for this mode
-        fn(cfg, params, cache_dtype, reqs[: min(2, len(reqs))])
+        # warmup pass compiles every program shape for this mode — a
+        # full SLOTS-wide wave so the timed run sees no fresh compiles
+        fn(cfg, params, cache_dtype, reqs[: min(SLOTS, len(reqs))])
         out = fn(cfg, params, cache_dtype, reqs)
         wall, total, lat = out[:3]
         extra = out[3] if len(out) > 3 else {}

@@ -338,3 +338,42 @@ def test_background_thread(tiny_model):
             params, cfg, tok, [tok.bos_token_id] + list(b"bg %d" % i), 5
         )
         assert h.tokens == exp
+
+
+def test_on_token_exception_cancels_only_that_request(tiny_model):
+    """A streaming callback that raises (client hung up mid-SSE) must
+    cancel its own request, not kill the scheduler for everyone."""
+    cfg, tok, params = tiny_model
+
+    def boom(_chunk):
+        raise BrokenPipeError("client went away")
+
+    eng = _engine(cfg, params)
+    bad = eng.submit(SlotRequest(
+        [tok.bos_token_id] + list(b"stream me"), max_new_tokens=10,
+        eos_token_id=tok.eos_token_id, on_token=boom,
+    ))
+    good_ids = [tok.bos_token_id] + list(b"fine")
+    good = eng.submit(SlotRequest(
+        good_ids, max_new_tokens=6, eos_token_id=tok.eos_token_id,
+    ))
+    _drain(eng, [bad, good])
+    assert bad.done
+    assert good.tokens == _reference_greedy(params, cfg, tok, good_ids, 6)
+
+
+def test_generation_reaches_max_new_near_cache_cap(tiny_model):
+    """The admission budget reserves the within-chunk write overshoot,
+    so a prompt trimmed to the budget still generates its full
+    max_new_tokens with no end-of-row write clamping."""
+    cfg, tok, params = tiny_model
+    eng = _engine(cfg, params, max_cache_len=64, num_slots=1)
+    budget = 64 - eng.reserve - 1
+    long_ids = [tok.bos_token_id] + list(b"p" * 80)  # forces trimming
+    h = eng.submit(SlotRequest(long_ids, max_new_tokens=8,
+                               eos_token_id=tok.eos_token_id))
+    _drain(eng, [h])
+    trimmed = long_ids[-(budget - 8):]
+    exp = _reference_greedy(params, cfg, tok, trimmed, 8)
+    assert h.tokens == exp
+    assert len(h.tokens) == 8  # not cut short by the exhaustion check

@@ -352,12 +352,12 @@ def test_full_allocation_overshoot_no_self_corruption(tiny_model):
     cfg, tok, params = tiny_model
     prefix = list(b"fifteen bytes..")  # [bos]+15 -> exactly block 0
     a = [tok.bos_token_id] + prefix + list(b"warm")
-    body = (b"x" * 106)  # B: 1 + 15 + 106 = 122 tokens
+    body = (b"x" * 90)  # B: 1 + 15 + 90 = 106 tokens (under budget 123)
     b_ids = [tok.bos_token_id] + prefix + list(body)
     exp_a = _reference_greedy(params, cfg, tok, a, 4)
     exp_b = _reference_greedy(params, cfg, tok, b_ids, 2)
 
-    # ML=128, bs=16 -> max_blocks=8; B needs 122+2+0+4=128 -> all 8:
+    # ML=128, bs=16 -> max_blocks=8; B needs 106+2+1+4=113 -> all 8:
     # its window [16, 144) hits block index 8 (out of range)
     eng = _engine(cfg, params, speculative=False, prefix_cache=True,
                   prefill_chunk=64)

@@ -33,6 +33,7 @@ import dataclasses
 import functools
 import hashlib
 import heapq
+import logging
 import threading
 from collections import OrderedDict
 from typing import Callable, List, Optional, Sequence
@@ -353,6 +354,11 @@ def _decode_chunk_pld(
     from video_llava_tpu.engine.speculative import find_draft
 
     b, cap = ctx.shape
+    # logical cache positions per row (slot rows or paged table span)
+    if getattr(cache, "table", None) is not None:
+        row_cap = cache.table.shape[1] * cache.k.shape[2]
+    else:
+        row_cap = cache.k.shape[2]
     ar = jnp.arange(k + 1, dtype=jnp.int32)
     find_b = jax.vmap(lambda c, l: find_draft(c, l, ngram, k))
     write_row = jax.vmap(
@@ -373,7 +379,16 @@ def _decode_chunk_pld(
             jnp.concatenate([ok, jnp.zeros((b, 1), bool)], axis=1), axis=1
         ).astype(jnp.int32)
         z = jnp.take_along_axis(g, m[:, None], axis=1)[:, 0]
-        n_new = jnp.where(active, m + 1, 0)
+        # Row-end clamp: never advance length past capacity - (k+1), so
+        # the NEXT iteration's verify write [length, length+k+1) stays
+        # in bounds (a clamped dynamic_update_slice would overwrite
+        # live cells at the row end — caught by adversarial review).
+        # Rows at the clamp keep rewriting their own garbage tail and
+        # produce 0 tokens; the host exhaustion check retires them at
+        # the chunk boundary. Admission guarantees the FIRST write fits
+        # (prompt <= ML - reserve - 1).
+        headroom = jnp.maximum(row_cap - (k + 1) - cache.length, 0)
+        n_new = jnp.minimum(jnp.where(active, m + 1, 0), headroom)
         cand = jnp.where(
             ar[None] < m[:, None],
             jnp.take_along_axis(
@@ -384,9 +399,8 @@ def _decode_chunk_pld(
         cand = jnp.where(ar[None] < n_new[:, None], cand, 0)
         buf = write_row(buf, cand, n)
         ctx = write_row(ctx, cand, ctx_len)
-        keep = jnp.where(active, 1 + m, 0)
         new_cache = _pin(
-            new_cache._replace(length=cache.length + keep), mesh
+            new_cache._replace(length=cache.length + n_new), mesh
         )
         new_tok = jnp.where(
             n_new > 0,
@@ -622,6 +636,17 @@ class ContinuousEngine:
         self.spec_k = spec_k
         self.spec_ngram = spec_ngram
         self.spec_margin = spec_k + 1 if speculative else 0
+        # Row-end write safety (caught by adversarial review: clamped
+        # end-of-row writes overwrote live cells). Two guarantees keep
+        # every cache write in bounds:
+        #  * the PLD chunk clamps its own advance DEVICE-side so
+        #    length + k+1 <= row capacity at every iteration (see the
+        #    keep cap in _decode_chunk_pld);
+        #  * plain chunks advance at most `chunk` rows, reserved here.
+        # `reserve` is what admission + the exhaustion check keep free
+        # past the prompt/generation.
+        # spec engines still run PLAIN chunks for sampled/mixed batches
+        self.reserve = max(spec_k + 1, chunk) if speculative else chunk
         self.paged = paged
         if paged:
             # window writes go whole-block-at-a-time and must stay
@@ -684,11 +709,16 @@ class ContinuousEngine:
         self.rng = jax.random.PRNGKey(seed)
         self._thread = None
         self._stop = False
+        self._dead = False
 
     # -- submission ----------------------------------------------------
 
     def submit(self, req: SlotRequest) -> RequestHandle:
         handle = RequestHandle()
+        if self._dead:
+            handle.error = "engine stopped after repeated step failures"
+            handle._done.set()
+            return handle
         with self.work:
             self._seq += 1
             heapq.heappush(
@@ -706,11 +736,13 @@ class ContinuousEngine:
     def _alloc_blocks(
         self, slot: int, ids, window: int, req, hashes=None,
     ) -> Optional[int]:
-        """Paged admission: reserve every block the request can touch —
-        the padded prefill window, generation + the PLD overshoot
-        (writes go up to chunk*(k+1) past max_new within the chunk that
-        crosses it, all masked/discarded but they must not land in
-        another row's blocks). With `hashes` (prefix caching), the
+        """Paged admission: reserve every block a DELIVERED token can
+        read — prompt + max_new + the verify/chunk reserve (the PLD
+        iteration that crosses max_new writes k+1 past it). Accepted-
+        then-discarded tokens beyond that may read/write the pad block;
+        they never reach the client (_deliver caps at max_new) and
+        never land in another row's blocks. With `hashes` (prefix
+        caching), the
         longest registry run is mapped in as shared read-only blocks
         and its prefill skipped block-granularly — the (1, P) window
         grid simply starts at the skip offset (at least one token
@@ -724,9 +756,7 @@ class ContinuousEngine:
         prefill. Returns the skipped token count, or None (leave the
         request pending) when the pool can't cover it yet."""
         bs = self.block_size
-        overshoot = self.chunk * (
-            self.spec_k + 1 if self.speculative else 1
-        )
+        reserve = self.reserve
         shared: List[int] = []
         skip = 0
         if hashes and self.prefix is not None:
@@ -737,7 +767,7 @@ class ContinuousEngine:
             skip = k * bs
         need = max(
             window or 0,
-            len(ids) + req.max_new_tokens + self.spec_margin + overshoot,
+            len(ids) + req.max_new_tokens + 1 + reserve,
         )
         n = min(-(-need // bs), self.max_blocks)
         n_fresh = n - len(shared)
@@ -819,12 +849,11 @@ class ContinuousEngine:
             _, _, req, handle = entry
             slot = self.slots.index(None)
             ids = list(req.input_ids)
-            budget = self.max_cache_len - self.spec_margin
+            budget = self.max_cache_len - self.reserve - 1
             if len(ids) + req.max_new_tokens > budget:
-                # Trim the prompt head, keeping room to generate (plus
-                # the speculative overshoot rows — the PLD chunk writes
-                # k+1 positions past `length` before rewinding; mirrors
-                # runtime/chat.py's truncation cutoffs).
+                # Trim the prompt head, keeping room to generate plus
+                # the worst-case within-chunk write overshoot; mirrors
+                # runtime/chat.py's truncation cutoffs.
                 keep = max(1, budget - req.max_new_tokens)
                 ids = ids[-keep:]
 
@@ -1004,12 +1033,19 @@ class ContinuousEngine:
         if emit:
             st.handle.tokens.extend(emit)
             if req.on_token is not None:
-                req.on_token(emit)
+                try:
+                    req.on_token(emit)
+                except Exception:
+                    # a broken streaming callback (e.g. client hung up
+                    # mid-SSE) cancels ITS request; it must never kill
+                    # the scheduler thread for everyone else
+                    alive = False
         if (
-            st.prompt_len + len(st.handle.tokens) + 1 + self.spec_margin
-            >= self.max_cache_len
+            st.prompt_len + len(st.handle.tokens) + 1
+            + self.reserve
+            > self.max_cache_len
         ):
-            alive = False  # cache row exhausted
+            alive = False  # another chunk could clamp at the row end
         if not alive:
             st.handle._done.set()
         return alive
@@ -1106,9 +1142,41 @@ class ContinuousEngine:
             self._thread.join()
             self._thread = None
 
+    def _fail_all(self, msg: str) -> None:
+        """Fail every in-flight and pending request loudly (scheduler
+        backstop — a hung handle is worse than an errored one)."""
+        for i, st in enumerate(self.slots):
+            if st is not None:
+                st.handle.error = msg
+                st.handle._done.set()
+                self._retire(i)
+        with self.lock:
+            while self.pending:
+                *_, handle = heapq.heappop(self.pending)
+                handle.error = msg
+                handle._done.set()
+
     def _run(self):
+        errors = 0
         while True:
-            did = self.step_once()
+            try:
+                did = self.step_once()
+                errors = 0
+            except Exception as e:  # backstop: never die silently
+                errors += 1
+                logging.getLogger(__name__).exception(
+                    "continuous engine step failed (%d consecutive)",
+                    errors,
+                )
+                self._fail_all(f"engine step failed: {e!r}")
+                if errors >= 3:
+                    # persistent failure (bad weights, device gone):
+                    # stop rather than spin; submit() fails fast once
+                    # _dead is set
+                    self._dead = True
+                    self._stop = True
+                    return
+                did = True
             if not did:
                 with self.work:
                     if self._stop:

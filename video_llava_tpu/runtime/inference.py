@@ -85,6 +85,10 @@ class InferenceEngine:
     # regime with ~4% worst-case overhead on chip; opt out with
     # speculative=False.
     speculative: bool = True
+    # ('data','model') Mesh when params are TP-sharded (model_init
+    # mesh_model>1); consumers that keep persistent device state (the
+    # continuous serving engine's KV cache) need it to pin layouts.
+    mesh: object = None
 
     def encode_video_frames(
         self, frames: np.ndarray, num_valid_frames: Optional[int] = None

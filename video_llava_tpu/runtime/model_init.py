@@ -83,6 +83,7 @@ def initialize_model(
                 "The Video-ChatGPT weights are not loaded correctly."
             )
 
+    mesh = None
     if mesh_model and mesh_model > 1:
         from video_llava_tpu.ops.attention import set_attention_mesh
         from video_llava_tpu.ops.pooling import set_pooling_mesh
@@ -100,4 +101,5 @@ def initialize_model(
             eos_token_id=tokenizer.eos_token_id,
             pad_token_id=tokenizer.pad_token_id,
         ),
+        mesh=mesh,
     )

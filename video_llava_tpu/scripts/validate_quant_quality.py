@@ -71,6 +71,11 @@ def evaluate(params, cfg, token_ids: np.ndarray, seq: int, stride: int,
     fn = jax.jit(lambda p, w: _window_scores(p, cfg, w, min(stride, seq - 1)))
     nlls, agree, kls, logps = [], [], [], []
     n_tok = len(token_ids)
+    if n_tok < seq:
+        raise ValueError(
+            f"eval text tokenizes to {n_tok} tokens, shorter than one "
+            f"--seq {seq} window — use more text or a smaller --seq"
+        )
     starts = list(range(0, max(1, n_tok - seq + 1), stride))
     for wi, s0 in enumerate(starts):
         win = token_ids[s0 : s0 + seq]

@@ -78,6 +78,7 @@ def main(argv=None):
         conv_mode=args.conv_mode,
         cache_dtype=jnp.int8 if args.quant == "int8" else jnp.bfloat16,
         speculative=not args.no_speculative,
+        mesh=engine.mesh,
     )
     serve(
         model,

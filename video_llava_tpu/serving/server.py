@@ -49,6 +49,10 @@ class ChatModel:
     # the high-acceptance regime, ~4% worst case); opt out with
     # speculative=False.
     speculative: bool = True
+    # ('data','model') Mesh when params are TP-sharded; the continuous
+    # engine pins its persistent KV cache to it (otherwise the cache
+    # materializes unsharded against sharded weights).
+    mesh: object = None
 
     def build_prompt(self, messages: List[dict]):
         """messages -> (prompt token ids, conversation stop string)."""
@@ -168,6 +172,7 @@ class ContinuousChatModel:
             block_size=block_size,
             num_blocks=num_blocks,
             prefix_cache=prefix_cache,
+            mesh=model.mesh,
         )
         self.engine.start()
 
@@ -189,6 +194,7 @@ class ContinuousChatModel:
         keyword = stop_str if stop_str and stop_str != "</s>" else None
 
         state = {"handle": None, "sent": 0}
+        ready = threading.Event()  # handle assigned before first token
 
         def _visible(raw: str) -> str:
             if keyword and keyword in raw:
@@ -198,14 +204,21 @@ class ContinuousChatModel:
             return raw.strip()
 
         def on_token(_chunk):
+            # the engine thread can deliver the first chunk before
+            # submit() returns on this thread — wait for the handle
+            ready.wait()
             h = state["handle"]
             raw = tok.decode(h.tokens, skip_special_tokens=True)
             if keyword and keyword in raw:
                 h.cancel()
             text = _visible(raw)
-            # strip()-progressive emission: trailing whitespace is held
-            # back until non-whitespace follows, so concatenated SSE
-            # deltas equal the final JSON text.
+            # strip()-progressive emission with a partial-keyword
+            # holdback (same contract as generate_with_keywords): the
+            # tail that could still become a stop keyword is withheld
+            # so nothing already streamed ever needs retracting.
+            if keyword and keyword not in raw:
+                hold = len(keyword) - 1
+                text = text[: max(0, len(text) - hold)]
             if on_delta is not None and len(text) > state["sent"]:
                 on_delta(text[state["sent"] :])
                 state["sent"] = len(text)
@@ -221,6 +234,7 @@ class ContinuousChatModel:
             )
         )
         state["handle"] = handle
+        ready.set()
         text = _visible(tok.decode(handle.result(), skip_special_tokens=True))
         if on_delta is not None and len(text) > state["sent"]:
             on_delta(text[state["sent"] :])
