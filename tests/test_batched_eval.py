@@ -74,3 +74,25 @@ def test_orbax_roundtrip(tmp_path, setup):
     a = jax.tree.leaves(state["params"])[0]
     b = jax.tree.leaves(restored["params"])[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_continuous_runner_matches_batched(setup):
+    """run_qa_continuous: same greedy predictions as run_qa_batched,
+    same missing-video fault tolerance, slot-engine scheduling."""
+    from video_llava_tpu.eval.run_inference import run_qa_continuous
+
+    engine, vdir = setup
+    samples = [
+        {"id": i, "video_name": n, "question": f"Q{i}?", "answer": "x"}
+        for i, n in enumerate(["a", "b", "missing", "c"])
+    ]
+    batched = run_qa_batched(
+        engine, samples, vdir, "pg-video-llava", batch_size=2,
+        num_frames=8, max_new_tokens=4,
+    )
+    cont = run_qa_continuous(
+        engine, samples, vdir, "pg-video-llava", batch_size=2,
+        num_slots=2, max_cache_len=1024, num_frames=8, max_new_tokens=4,
+    )
+    assert [r["id"] for r in cont] == [0, 1, 3]
+    assert [r["pred"] for r in cont] == [r["pred"] for r in batched]

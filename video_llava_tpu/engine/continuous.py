@@ -851,6 +851,16 @@ class ContinuousEngine:
             ids = list(req.input_ids)
             budget = self.max_cache_len - self.reserve - 1
             if len(ids) + req.max_new_tokens > budget:
+                if req.video_features is not None:
+                    # trimming would cut the <vid_patch> span and
+                    # silently break the feature splice — refuse
+                    handle.error = (
+                        f"video prompt of {len(ids)} tokens + "
+                        f"{req.max_new_tokens} new exceeds the cache "
+                        f"budget {budget}; raise max_cache_len"
+                    )
+                    handle._done.set()
+                    continue
                 # Trim the prompt head, keeping room to generate plus
                 # the worst-case within-chunk write overshoot; mirrors
                 # runtime/chat.py's truncation cutoffs.

@@ -212,6 +212,115 @@ def run_qa_batched(
     return out
 
 
+def run_qa_continuous(
+    engine: InferenceEngine,
+    samples: List[Dict],
+    video_dir: str,
+    conv_mode: str,
+    batch_size: int = 8,
+    num_slots: int = 8,
+    max_cache_len: int = 1024,
+    video_prefix: str = "",
+    num_frames: int = 100,
+    max_new_tokens: int = 128,
+) -> List[Dict]:
+    """Continuous-batching QA sweep: videos load + CLIP-encode in
+    mini-batches on the host path while the engine thread decodes
+    already-admitted requests, and short answers retire their slot
+    early instead of padding to the batch horizon (run_qa_batched
+    decodes every row to the slowest one's length). Same greedy
+    outputs as the batched runner (engine parity is tested); higher
+    device utilization on mixed-length benchmarks. No reference
+    equivalent (one request at a time via FastChat)."""
+    import jax.numpy as jnp
+
+    from video_llava_tpu.engine.continuous import (
+        ContinuousEngine,
+        SlotRequest,
+    )
+    from video_llava_tpu.runtime.conversation import conv_templates
+    from video_llava_tpu.runtime.inference import build_video_question
+
+    cfg, tok = engine.cfg, engine.tokenizer
+    size = cfg.vision.image_size
+    ceng = ContinuousEngine(
+        engine.params,
+        cfg,
+        num_slots=num_slots,
+        max_cache_len=max_cache_len,
+        cache_dtype=engine.cache_dtype,
+        prompt_pad=engine.seq_pad_multiple,
+        speculative=engine.speculative,
+        mesh=engine.mesh,
+    )
+    ceng.start()
+    pending: List[tuple] = []  # (sample, handle)
+    try:
+        for start in range(0, len(samples), batch_size):
+            chunk = samples[start : start + batch_size]
+            loaded, frames_list, nvalid = [], [], []
+            for sample in chunk:
+                try:
+                    path = find_video(
+                        video_dir, sample["video_name"], video_prefix
+                    )
+                    if path is None:
+                        raise FileNotFoundError(sample["video_name"])
+                    f = load_video(
+                        path, num_frm=num_frames, shape=(size, size)
+                    )
+                    t = f.shape[0]
+                    if t < num_frames:
+                        f = np.pad(
+                            f,
+                            ((0, num_frames - t), (0, 0), (0, 0), (0, 0)),
+                        )
+                    frames_list.append(f)
+                    nvalid.append(t)
+                    loaded.append(sample)
+                except Exception as e:  # noqa: BLE001
+                    print(f"Error loading '{sample.get('video_name')}': {e}")
+            if not loaded:
+                continue
+            feats = np.asarray(_batched_encode_jit(
+                engine.params,
+                jnp.asarray(np.stack(frames_list)),
+                cfg,
+                size,
+                jnp.asarray(nvalid, jnp.int32),
+            ))
+            for r, sample in enumerate(loaded):
+                qs = build_video_question(
+                    sample["question"], cfg.video_token_len,
+                    cfg.use_vid_start_end,
+                )
+                conv = conv_templates[conv_mode].copy()
+                conv.append_message(conv.roles[0], qs)
+                conv.append_message(conv.roles[1], None)
+                handle = ceng.submit(SlotRequest(
+                    tok.encode(conv.get_prompt()),
+                    max_new_tokens=max_new_tokens,
+                    eos_token_id=tok.eos_token_id,
+                    video_features=feats[r],
+                ))
+                pending.append((sample, handle))
+        out: List[Dict] = []
+        for sample, handle in pending:
+            try:
+                toks = handle.result()
+            except RuntimeError as e:  # engine-failed request
+                print(f"Error generating '{sample.get('video_name')}': {e}")
+                continue
+            result = dict(sample)
+            result["pred"] = tok.decode(
+                toks, skip_special_tokens=True
+            ).strip()
+            out.append(result)
+        return out
+    finally:
+        ceng.stop()
+
+
 def run_consistency(
     engine: InferenceEngine,
     samples: List[Dict],
@@ -299,6 +408,13 @@ def main(argv=None):
     p.add_argument("--conv_mode", default="pg-video-llava")
     p.add_argument("--use_asr", action="store_true")
     p.add_argument("--mesh_model", type=int, default=None)
+    p.add_argument("--runner", default="sequential",
+                   choices=["sequential", "batched", "continuous"],
+                   help="batched: B videos per generate program; "
+                   "continuous: slot engine, short answers retire "
+                   "early while the next videos load/encode")
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--num_slots", type=int, default=8)
     args = p.parse_args(argv)
 
     engine = initialize_model(
@@ -325,6 +441,18 @@ def main(argv=None):
         results = run_consistency(
             engine, samples, args.video_dir, args.conv_mode,
             transcriber=transcriber,
+        )
+    elif args.runner == "batched":
+        results = run_qa_batched(
+            engine, samples, args.video_dir, args.conv_mode,
+            batch_size=args.batch_size, video_prefix=prefix,
+            num_frames=num_frames,
+        )
+    elif args.runner == "continuous":
+        results = run_qa_continuous(
+            engine, samples, args.video_dir, args.conv_mode,
+            batch_size=args.batch_size, num_slots=args.num_slots,
+            video_prefix=prefix, num_frames=num_frames,
         )
     else:
         results = run_qa(
