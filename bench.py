@@ -74,6 +74,11 @@ else:
 # visible devices (real chips, or a virtual CPU mesh for correctness
 # runs). The metric name stays e2e_video_qa_p50 either way.
 MESH_ENV = os.environ.get("BENCH_MESH")
+if MESH_ENV:
+    # fused wqkv/gate_up names match no TP sharding rule (they would
+    # run fully replicated and mislabel the mesh numbers) — the mesh
+    # bench always uses the unfused, spec-sharded layout
+    FUSE = False
 
 
 def _init_quantized_direct(key, cfg):

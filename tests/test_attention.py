@@ -112,3 +112,35 @@ def test_flash_bhsd_matches_bshd():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5
     )
+
+
+def test_flash_bhsd_long_nondivisible_pad():
+    """s_pad > 512 whose only 16-multiple divisors are small (592 =
+    16*37, the 336px CLIP pad): block sizes must divide s or the floor
+    grid silently drops the last query rows (adversarial-review
+    regression)."""
+    import numpy as np
+    from video_llava_tpu.ops.attention import (
+        attention_reference,
+        flash_attention_bhsd,
+    )
+
+    rng = np.random.default_rng(1)
+    b, s, h, d = 1, 577, 2, 32
+    s_pad = 592
+    q = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    lens = jnp.full((b,), s, jnp.int32)
+    want = attention_reference(q, k, v, kv_valid_len=lens)
+
+    pad = lambda a: jnp.pad(
+        a.transpose(0, 2, 1, 3), ((0, 0), (0, 0), (0, s_pad - s), (0, 0))
+    )
+    got = flash_attention_bhsd(
+        pad(q), pad(k), pad(v), kv_len=s, interpret=True
+    )
+    got = got[:, :, :s].transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5
+    )

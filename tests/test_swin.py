@@ -85,3 +85,24 @@ def test_window_pad_matches_hf():
         ).pooler_output.numpy()
     got = np.asarray(swin.forward_pooled(params, jnp.asarray(pixels), cfg))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_shrunk_window_bias_uses_table_stride():
+    """When the runtime window shrinks below the config window, bias
+    lookups must address the (2W-1)-strided checkpoint table by true
+    relative displacement (adversarial-review regression)."""
+    import numpy as np
+
+    from video_llava_tpu.models.swin import _relative_position_index
+
+    W, w = 7, 6
+    small = _relative_position_index(w, W)
+    coords = np.stack(
+        np.meshgrid(np.arange(w), np.arange(w), indexing="ij")
+    ).reshape(2, -1)
+    for a in range(w * w):
+        for b in range(w * w):
+            dy = coords[0, a] - coords[0, b]
+            dx = coords[1, a] - coords[1, b]
+            want = (dy + W - 1) * (2 * W - 1) + (dx + W - 1)
+            assert small[a, b] == want, (a, b)

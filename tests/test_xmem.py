@@ -542,3 +542,28 @@ def test_trained_xmem_solves_shape_cue(models):
         f"trained propagation failed the shape-cue problem: iou={final_iou}"
         f" losses={losses[:3]}...{losses[-3:]}"
     )
+
+
+def test_reference_slot_never_evicted():
+    """Slot 0 (the reference frame's memory) survives arbitrarily many
+    later writes; the ring covers only slots 1..S-1."""
+    import numpy as np
+
+    from video_llava_tpu.models.xmem import XMemConfig, _write, init_state
+
+    cfg = XMemConfig(mem_slots=4, key_dim=8, value_dim=8, hidden_dim=4,
+                     max_objects=2)
+    st = init_state(cfg, 2, 2)
+    n = 4
+    mk = lambda i: (  # noqa: E731
+        jnp.full((n, cfg.key_dim), float(i)),
+        jnp.ones((n,)),
+        jnp.full((n, cfg.max_objects, cfg.value_dim), float(i)),
+    )
+    for i in range(10):
+        st = _write(st, *mk(i))
+    np.testing.assert_array_equal(np.asarray(st.keys[0]), 0.0)  # ref kept
+    # ring slots hold the LAST writes, not early ones
+    ring = sorted(float(np.asarray(st.keys[s, 0, 0])) for s in (1, 2, 3))
+    assert ring == [7.0, 8.0, 9.0]
+    assert bool(np.asarray(st.slot_valid).all())

@@ -37,6 +37,7 @@ from video_llava_tpu.ops.attention import (
     flash_attention_bhsd,
     multi_head_attention,
 )
+from video_llava_tpu.ops.quant import quantize_rows_int8 as _quantize_rows
 
 
 # -- encoder layer (shared by vision and text towers) ------------------------
@@ -68,25 +69,6 @@ def _encoder_layer(p, x, *, num_heads: int, act, eps: float, causal: bool):
     h = layer_norm(p["ln2"], x, eps)
     x = x + linear(p["fc2"], act(linear(p["fc1"], h)))
     return x
-
-
-def _quantize_rows(x):
-    """Per-row symmetric int8 activations: (..., K) -> (int8, f32
-    (..., 1) scales). Rounds to nearest-EVEN — jnp.round's
-    half-away-from-zero tie-break compiles for minutes on TPU and runs
-    5x slower (see ops.quant.quantized_matmul_a8)."""
-    sx = jnp.maximum(
-        jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True),
-        1e-8,
-    ) / 127.0
-    xq = jnp.clip(
-        jax.lax.round(
-            x.astype(jnp.float32) / sx,
-            jax.lax.RoundingMethod.TO_NEAREST_EVEN,
-        ),
-        -127, 127,
-    ).astype(jnp.int8)
-    return xq, sx
 
 
 def _f32_accum_operands(*arrs):
@@ -291,7 +273,13 @@ def vision_forward(
     # pad rows sliced off here) — per-layer padding materialized 3
     # pads + copies per layer around the flash kernel.
     s = x.shape[1]
+    # <=512 runs as ONE flash block (tightest pad wins); longer
+    # sequences (336px: 577 tokens) pad to a 128 multiple so the
+    # kernel can pick a big divisor block (16-multiples of 592 = 16*37
+    # would force 16-row blocks)
     s_pad = -(-s // 16) * 16
+    if s_pad > 512:
+        s_pad = -(-s // 128) * 128
     x = jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0)))
     out = _run_encoder(
         params["layers"],

@@ -148,16 +148,26 @@ def _window_reverse(windows, w, hh, ww):
 
 
 @functools.lru_cache(maxsize=64)
-def _relative_position_index(window: int) -> np.ndarray:
+def _relative_position_index(
+    window: int, table_window: Optional[int] = None
+) -> np.ndarray:
+    """Bias-table indices for a (window x window) attention window.
+
+    table_window: the CONFIG window the checkpoint's bias table was
+    built for — its rows are laid out at stride 2*table_window - 1.
+    When the runtime window shrinks below it (tiny feature maps), the
+    same relative displacements must still be looked up at the table's
+    stride, not the shrunken window's (caught by adversarial review)."""
+    tw = window if table_window is None else table_window
     coords = np.stack(
         np.meshgrid(np.arange(window), np.arange(window), indexing="ij")
     )  # (2, w, w)
     flat = coords.reshape(2, -1)
     rel = flat[:, :, None] - flat[:, None, :]  # (2, w*w, w*w)
     rel = rel.transpose(1, 2, 0)
-    rel[:, :, 0] += window - 1
-    rel[:, :, 1] += window - 1
-    rel[:, :, 0] *= 2 * window - 1
+    rel[:, :, 0] += tw - 1
+    rel[:, :, 1] += tw - 1
+    rel[:, :, 0] *= 2 * tw - 1
     return rel.sum(-1)  # (w*w, w*w)
 
 
@@ -185,7 +195,10 @@ def _shift_attn_mask(hh: int, ww: int, window: int, shift: int) -> np.ndarray:
     return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
 
 
-def _window_attention(p, x, heads, window, shift_mask: Optional[np.ndarray]):
+def _window_attention(
+    p, x, heads, window, shift_mask: Optional[np.ndarray],
+    table_window: Optional[int] = None,
+):
     """x: (B_windows, w*w, c)."""
     bw, n, c = x.shape
     hd = c // heads
@@ -196,7 +209,7 @@ def _window_attention(p, x, heads, window, shift_mask: Optional[np.ndarray]):
         jnp.einsum("bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32)
         * scale
     )
-    idx = _relative_position_index(window)
+    idx = _relative_position_index(window, table_window)
     bias = p["rel_bias"][jnp.asarray(idx.reshape(-1))].reshape(n, n, heads)
     logits = logits + bias.transpose(2, 0, 1)[None].astype(jnp.float32)
     if shift_mask is not None:
@@ -218,6 +231,7 @@ def _block(p, x, hh, ww, heads, window, shift, eps):
     # 800px -> 200x200 patches, window 7): shrink the window when it
     # exceeds the resolution, right/bottom zero-pad to a window
     # multiple, attend, crop back (transformers SwinLayer.maybe_pad).
+    cfg_window = window
     if min(hh, ww) <= window:
         window, shift = min(hh, ww), 0
     pad_b, pad_r = -hh % window, -ww % window
@@ -233,7 +247,8 @@ def _block(p, x, hh, ww, heads, window, shift, eps):
     else:
         mask = None
     wins = _window_partition(x, window)
-    wins = _window_attention(p, wins, heads, window, mask)
+    wins = _window_attention(p, wins, heads, window, mask,
+                             table_window=cfg_window)
     x = _window_reverse(wins, window, hp, wp)
     if shift > 0:
         x = jnp.roll(x, (shift, shift), axis=(1, 2))

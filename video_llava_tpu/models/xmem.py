@@ -409,7 +409,16 @@ def init_state(cfg: XMemConfig, h16: int, w16: int,
 
 
 def _write(state: XMemState, key, shrinkage, value) -> XMemState:
-    s = state.next_slot % state.keys.shape[0]
+    # Slot 0 is PERMANENT: the first write (the reference frame's
+    # detector/GT masks) anchors propagation for the whole clip, like
+    # XMem/DEVA's first-frame memory. Later writes ring over slots
+    # 1..S-1 — a plain ring evicted the reference around frame 50 of
+    # the benchmarked 100-frame cadence, leaving reads attending only
+    # to drifting self-predictions (caught by adversarial review).
+    size = state.keys.shape[0]
+    s = jnp.where(
+        state.next_slot == 0, 0, 1 + (state.next_slot - 1) % (size - 1)
+    )
     return state._replace(
         keys=state.keys.at[s].set(key),
         shrinkage=state.shrinkage.at[s].set(shrinkage),

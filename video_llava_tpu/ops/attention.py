@@ -382,7 +382,11 @@ def flash_attention_bhsd(
     b, h, s, d = q.shape
     kv_len = s if kv_len is None else kv_len
     scale = scale if scale is not None else 1.0 / (d**0.5)
-    if jax.default_backend() != "tpu" and not interpret:
+    # multi-chip: the masked XLA path partitions cleanly under GSPMD;
+    # an opaque pallas_call would force the sharded operands to gather
+    if (
+        jax.default_backend() != "tpu" or jax.device_count() > 1
+    ) and not interpret:
         lens = jnp.full((b,), kv_len, jnp.int32)
         out = attention_reference(
             q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
@@ -395,7 +399,17 @@ def flash_attention_bhsd(
         tight = pl.cdiv(n, 16) * 16
         if tight <= 512:
             return tight
-        return max(16, min(block, tight))
+        # must DIVIDE n: the q grid floors (n // block) and the kv loop
+        # slices whole blocks — a remainder would silently drop the
+        # last query rows / read past the kv block (caught by
+        # adversarial review at s=592, the 336px CLIP pad). Callers
+        # get big blocks back by padding s to a multiple of 128
+        # (models/clip.py does).
+        top = min(block, n)
+        for cand in range(top - top % 16, 15, -16):
+            if n % cand == 0:
+                return cand
+        return 16
 
     block_q = _fit(block_q, s)
     block_k = _fit(block_k, s)
@@ -792,7 +806,12 @@ def decode_attention(
     L = k_cache.shape[1]
     h, h_kv = q.shape[2], k_cache.shape[2]
     if _DEFAULT_IMPL != "xla":
-        on_tpu = jax.default_backend() == "tpu"
+        # single chip only: inside pjit over a multi-chip mesh the
+        # opaque pallas_call would make GSPMD all-gather the sharded
+        # cache every step; the XLA path partitions cleanly instead
+        on_tpu = (
+            jax.default_backend() == "tpu" and jax.device_count() == 1
+        )
         if (
             (on_tpu or _DEFAULT_IMPL == "pallas")
             and h == h_kv
@@ -1277,6 +1296,7 @@ def decode_attention_stacked(
     if (
         _DEFAULT_IMPL != "xla"
         and jax.default_backend() == "tpu"
+        and jax.device_count() == 1  # see decode_attention dispatch
         and h == h_kv
         and (h * q.shape[3]) % 128 == 0
         and L % 16 == 0
@@ -1422,6 +1442,7 @@ def decode_attention_paged(
         _PAGED_KERNEL
         and _DEFAULT_IMPL != "xla"
         and jax.default_backend() == "tpu"
+        and jax.device_count() == 1  # see decode_attention dispatch
         and h == h_kv
         and (h * q.shape[3]) % 128 == 0
         and bs % 16 == 0

@@ -32,6 +32,26 @@ def dequantize(q: jax.Array, scales: jax.Array, dtype=jnp.bfloat16):
     return (q.astype(jnp.float32) * scales).astype(dtype)
 
 
+def quantize_rows_int8(x: jax.Array):
+    """Per-row symmetric int8 activations: (..., K) -> (int8 values,
+    f32 (..., 1) scales). THE canonical activation-quantize snippet —
+    rounds to nearest-EVEN because jnp.round's half-away-from-zero
+    tie-break makes XLA compile the fusion for ~6 MINUTES and run 5x
+    slower (measured); ties are noise for quantization."""
+    sx = jnp.maximum(
+        jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True),
+        1e-8,
+    ) / 127.0
+    xq = jnp.clip(
+        jax.lax.round(
+            x.astype(jnp.float32) / sx,
+            jax.lax.RoundingMethod.TO_NEAREST_EVEN,
+        ),
+        -127, 127,
+    ).astype(jnp.int8)
+    return xq, sx
+
+
 def quantized_matmul(x: jax.Array, qvalues: jax.Array, scales: jax.Array):
     """x: (..., in); qvalues: (in, out) int8; scales: (1, out)."""
     y = jnp.dot(
@@ -49,21 +69,7 @@ def quantized_matmul_a8(x: jax.Array, qvalues: jax.Array, scales: jax.Array):
     x: (..., in) -> (..., out), rescaled to x.dtype. One extra rounding
     vs weights-only int8 (per-row absmax); accuracy cost on ViT
     encoders is the standard PTQ-int8 regime."""
-    sx = jnp.maximum(
-        jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True),
-        1e-8,
-    ) / 127.0
-    # round-to-nearest-EVEN: the hardware conversion. jnp.round's
-    # half-away-from-zero tie-break makes XLA compile this fusion for
-    # ~6 MINUTES and run 5x slower (measured); ties are noise for
-    # quantization.
-    xq = jnp.clip(
-        jax.lax.round(
-            x.astype(jnp.float32) / sx,
-            jax.lax.RoundingMethod.TO_NEAREST_EVEN,
-        ),
-        -127, 127,
-    ).astype(jnp.int8)
+    xq, sx = quantize_rows_int8(x)
     y = jnp.dot(xq, qvalues, preferred_element_type=jnp.int32)
     return (
         y.astype(jnp.float32) * sx * scales.astype(jnp.float32)[0]

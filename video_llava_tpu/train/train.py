@@ -213,10 +213,12 @@ def main(argv=None):
                 # so the trace shows one steady-state device step.
                 with jax.profiler.trace(args.profile):
                     state, metrics = step_fn(state, batch)
-                    jax.tree.map(
-                        lambda x: x.block_until_ready(),
-                        metrics,
-                    )
+                    # block_until_ready is a NO-OP over the tunneled
+                    # TPU (CLAUDE.md); a host fetch is the real barrier
+                    # that keeps the step inside the trace window
+                    from video_llava_tpu.utils.timing import sync
+
+                    sync(metrics)
                 print(f"profiler trace written to {args.profile}")
             else:
                 state, metrics = step_fn(state, batch)
