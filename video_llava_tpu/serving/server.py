@@ -418,6 +418,16 @@ def serve(
     elif batching:
         model = BatchingChatModel(model, max_batch, window_ms)
     server = ThreadingHTTPServer((host, port), make_handler(model, model_name))
+    if continuous:
+        # tie the engine's scheduler thread to the server lifecycle so
+        # shutdown() doesn't leak a forever-waiting thread
+        _orig_shutdown = server.shutdown
+
+        def _shutdown():
+            _orig_shutdown()
+            model.close()
+
+        server.shutdown = _shutdown
     if block:
         print(f"serving {model_name} on {host}:{port}")
         server.serve_forever()
