@@ -20,11 +20,11 @@ from typing import Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-# 'auto' currently keeps the XLA gather formulation everywhere; flip to
-# the Pallas matmul kernel (ops/deformable_pallas.py) per-process with
-# set_default_impl('pallas') — interpret-mode parity is tested, but the
-# kernel still awaits its first Mosaic compile + timing on a real chip
-# (the tunnel was down when it landed), so auto doesn't select it yet.
+# 'auto' selects the Pallas matmul kernel (ops/deformable_pallas.py) on
+# TPU and the XLA gather formulation elsewhere. On-chip validation
+# (scripts/validate_tpu_kernels.py, v5e): cos 0.99998 vs the XLA twin at
+# the GroundingDINO 800px encoder shape, 11.1 ms vs 59.2 ms (5.3x).
+# Force either path per-process with set_default_impl('xla'|'pallas').
 _DEFAULT_IMPL = "auto"
 
 
@@ -79,7 +79,10 @@ def multi_scale_deformable_attention(
     attention_weights: jax.Array,  # (b, q, heads, levels, points)
 ) -> jax.Array:
     """-> (b, q, heads * d)."""
-    if _DEFAULT_IMPL == "pallas":
+    impl = _DEFAULT_IMPL
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
         from video_llava_tpu.ops.deformable_pallas import (
             multi_scale_deformable_attention_pallas,
         )
