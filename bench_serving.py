@@ -214,6 +214,13 @@ def bench_continuous(cfg, params, cache_dtype, reqs, speculative=True,
 
 
 def main():
+    v = os.environ.get("BENCH_PAGED_KERNEL")
+    if v is not None:
+        # A/B the paged Pallas decode kernel (default on) against the
+        # XLA gather fallback in the paged modes: BENCH_PAGED_KERNEL=0|1.
+        from video_llava_tpu.ops import attention as attn_mod
+
+        attn_mod.enable_paged_kernel(v == "1")
     cfg, params, cache_dtype = build()
     reqs = workload(cfg)
     modes = {

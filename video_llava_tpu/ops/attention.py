@@ -44,12 +44,13 @@ def set_default_impl(impl: str) -> None:
     _DEFAULT_IMPL = impl
 
 
-# The paged decode kernel hasn't had its first on-chip Mosaic compile
-# yet (CPU interpret mode can pass while TPU lowering fails); paged
-# decode takes the XLA dense-gather path on TPU until a chip drive
-# flips this (enable_paged_kernel()). Same staging the deformable
-# kernel used.
-_PAGED_KERNEL = False
+# Default ON after on-chip validation (scripts/validate_tpu_kernels.py
+# + bench_serving.py, v5e): Mosaic compiles, cos 0.999999 vs the XLA
+# dense-gather twin, and the continuous_paged serving mode runs 215.5
+# vs 195.5 tok/s (the kernel streams pool blocks in place; the XLA
+# path materializes a per-row dense cache every step). Escape hatch:
+# enable_paged_kernel(False).
+_PAGED_KERNEL = True
 
 
 def enable_paged_kernel(on: bool = True) -> None:
