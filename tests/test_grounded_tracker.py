@@ -123,3 +123,68 @@ def test_batched_detection_matches_per_frame():
         assert a.frame_index == b.frame_index
         np.testing.assert_allclose(a.masks, b.masks)
         assert a.objects == b.objects
+
+
+class _CachingStubSegmenter:
+    """SamSegmenter-shaped stub: records precompute/call patterns so the
+    test can assert the tracker batch-encodes detection frames and
+    routes per-frame calls through the cache."""
+
+    supports_frame_cache = True
+
+    def __init__(self):
+        self.precomputed = []
+        self.cache = set()
+        self.cached_calls = 0
+        self.uncached_calls = 0
+        self.cleared = 0
+
+    def precompute_embeddings(self, frames, frame_indices):
+        self.precomputed.append(list(frame_indices))
+        self.cache.update(frame_indices)
+
+    def discard_embedding(self, frame_index):
+        self.cache.discard(frame_index)
+
+    def clear_cache(self):
+        self.cache = set()
+        self.cleared += 1
+
+    def __call__(self, image, boxes, frame_index=None):
+        if frame_index in self.cache:
+            self.cache.discard(frame_index)
+            self.cached_calls += 1
+        else:
+            self.uncached_calls += 1
+        return _stub_segmenter(image, boxes)
+
+
+def test_segmenter_embedding_precompute_used():
+    frames, _ = _make_video(n=11)
+    kw = dict(
+        detection_every=2,
+        tracker_cfg=TrackerConfig(max_objects=4, patch=4, temperature=0.02),
+    )
+    base = GroundedTracker(
+        detector=_stub_detector, segmenter=_stub_segmenter, **kw
+    )
+    ref = base.run_on_list_of_images(frames, ["red square"])
+
+    seg = _CachingStubSegmenter()
+    det = _BatchStubDetector()
+    tracked = GroundedTracker(
+        detector=det, segmenter=seg, detect_batch_size=4, **kw
+    )
+    got = tracked.run_on_list_of_images(frames, ["red square"])
+
+    # one precompute covering the 6 detection frames; every
+    # detect_and_segment hit the cache
+    assert seg.precomputed == [[0, 2, 4, 6, 8, 10]]
+    assert seg.cached_calls == 6
+    assert seg.uncached_calls == 0
+    assert not seg.cache
+    assert seg.cleared >= 1  # clear() at run start resets the cache
+    assert len(got) == len(ref)
+    for a, b in zip(ref, got):
+        assert a.frame_index == b.frame_index
+        np.testing.assert_allclose(a.masks, b.masks)

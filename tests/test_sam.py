@@ -94,3 +94,51 @@ def test_batched_boxes(sam_pair):
     masks, iou = sam_mod.predict_boxes(params, pixels, boxes, cfg)
     assert masks.shape == (2, 3, 3, 32, 32)
     assert iou.shape == (2, 3, 3)
+
+
+def test_predict_from_embeddings_matches_predict_boxes(sam_pair):
+    """Split encoder/decoder path (embedding cache) is bit-identical to
+    the fused predict_boxes pipeline."""
+    _, cfg, params = sam_pair
+    rng = np.random.default_rng(3)
+    pixels = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+    boxes = jnp.asarray(rng.uniform(0, 32, size=(2, 2, 4)).astype(np.float32))
+    boxes = boxes.at[..., 2:].add(16.0)
+    want_masks, want_iou = sam_mod.predict_boxes(params, pixels, boxes, cfg)
+    emb = sam_mod.vision_encoder(params["vision"], pixels, cfg.vision)
+    got_masks, got_iou = sam_mod.predict_from_embeddings(
+        params, emb, boxes, cfg
+    )
+    np.testing.assert_array_equal(np.asarray(got_masks), np.asarray(want_masks))
+    np.testing.assert_array_equal(np.asarray(got_iou), np.asarray(want_iou))
+
+
+def test_segmenter_embedding_cache_parity(sam_pair):
+    """SamSegmenter: precomputed-embedding calls return exactly what the
+    uncached path returns, and cache entries pop on use."""
+    from video_llava_tpu.grounding.builders import SamSegmenter
+
+    _, cfg, params = sam_pair
+    seg = SamSegmenter(params, cfg, encode_batch_size=2)
+    rng = np.random.default_rng(4)
+    frames = [
+        rng.integers(0, 255, size=(48, 56, 3)).astype(np.uint8)
+        for _ in range(3)
+    ]
+    boxes = np.array([[8.0, 8.0, 40.0, 44.0], [4.0, 4.0, 24.0, 30.0]],
+                     np.float32)
+    want = [seg(f, boxes) for f in frames]
+
+    seg.precompute_embeddings(frames, [0, 1, 2])  # chunks [2, 2(padded)]
+    assert set(seg._emb_cache) == {0, 1, 2}
+    got = [seg(f, boxes, frame_index=i) for i, f in enumerate(frames)]
+    assert not seg._emb_cache  # popped on use
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+
+    # discard + clear lifecycle
+    seg.precompute_embeddings(frames, [0, 1])
+    seg.discard_embedding(0)
+    assert set(seg._emb_cache) == {1}
+    seg.clear_cache()
+    assert not seg._emb_cache

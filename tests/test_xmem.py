@@ -567,3 +567,105 @@ def test_reference_slot_never_evicted():
     ring = sorted(float(np.asarray(st.keys[s, 0, 0])) for s in (1, 2, 3))
     assert ring == [7.0, 8.0, 9.0]
     assert bool(np.asarray(st.slot_valid).all())
+
+
+def test_propagate_chunk_matches_sequential_steps(models):
+    """step_chunk (batched key encode + on-device scan, incl. a
+    mem_every write and pad frames inside the chunk) reproduces the
+    per-frame step() chain: same outputs, same final state."""
+    from video_llava_tpu.grounding.memory_tracker import LearnedMemoryTracker
+
+    _, params, cfg = models
+    rng = np.random.default_rng(7)
+    ref_frame = rng.random((60, 60, 3), np.float32)
+    mask = np.zeros((1, 60, 60), np.float32)
+    mask[0, 10:30, 10:30] = 1
+    frames = [rng.random((60, 60, 3), np.float32) for _ in range(6)]
+
+    seq = LearnedMemoryTracker(params, cfg)
+    seq.add_reference(ref_frame, mask)
+    want = [seq.step(f) for f in frames]  # idx 1..6: write at idx 5
+
+    chk = LearnedMemoryTracker(params, cfg)
+    chk.add_reference(ref_frame, mask)
+    got = list(chk.step_chunk(frames[:3]))
+    got += list(chk.step_chunk(frames[3:], pad_to=5))  # 3 valid + 2 pad
+
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w, rtol=2e-4, atol=2e-5)
+    assert chk._frame_idx == seq._frame_idx
+    assert int(chk.state.next_slot) == int(seq.state.next_slot)
+    np.testing.assert_allclose(
+        np.asarray(chk.state.hidden), np.asarray(seq.state.hidden),
+        rtol=2e-4, atol=2e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(chk.state.keys), np.asarray(seq.state.keys),
+        rtol=2e-4, atol=2e-5,
+    )
+
+
+def test_grounded_tracker_chunked_propagation_parity(models):
+    """GroundedTracker's online gap-chunking (one device program per
+    inter-detection gap) matches the per-frame process_frame path."""
+    from video_llava_tpu.grounding.memory_tracker import LearnedMemoryTracker
+    from video_llava_tpu.grounding.tracker import GroundedTracker, TrackerConfig
+
+    _, params, cfg = models
+    rng = np.random.default_rng(11)
+    frames = []
+    for t in range(7):
+        img = np.full((48, 48, 3), 40, np.uint8)
+        x = 8 + 4 * t
+        img[10:30, x : x + 12] = (220, 40, 40)
+        frames.append(img)
+
+    def detector(image, prompts):
+        red = (image[..., 0] > 150) & (image[..., 1] < 100)
+        ys, xs = np.nonzero(red)
+        box = np.array(
+            [[xs.min(), ys.min(), xs.max() + 1, ys.max() + 1]], np.float32
+        )
+        return box, np.array([0.9], np.float32), np.array([0], np.int64)
+
+    def segmenter(image, boxes):
+        out = np.zeros((len(boxes),) + image.shape[:2], np.float32)
+        for i, (x0, y0, x1, y1) in enumerate(boxes.astype(int)):
+            out[i, y0:y1, x0:x1] = 1.0
+        return out
+
+    kw = dict(
+        detector=detector, segmenter=segmenter, detection_every=3,
+        tracker_cfg=TrackerConfig(max_objects=cfg.max_objects),
+    )
+    chunked = GroundedTracker(
+        propagator=LearnedMemoryTracker(params, cfg), **kw
+    )
+    got = chunked.run_on_list_of_images(frames, ["red box"])
+
+    class _NoChunk:
+        """Same learned propagator, step_chunk hidden -> per-frame path."""
+
+        def __init__(self, inner):
+            self._inner = inner
+
+        def __getattr__(self, name):
+            if name == "step_chunk":
+                raise AttributeError(name)
+            return getattr(self._inner, name)
+
+        @property
+        def state(self):
+            return self._inner.state
+
+    perframe = GroundedTracker(
+        propagator=_NoChunk(LearnedMemoryTracker(params, cfg)), **kw
+    )
+    want = perframe.run_on_list_of_images(frames, ["red box"])
+
+    assert len(got) == len(want) == len(frames)
+    for a, b in zip(want, got):
+        assert a.frame_index == b.frame_index
+        np.testing.assert_allclose(b.masks, a.masks, rtol=2e-4, atol=2e-5)
+        assert a.objects == b.objects

@@ -40,33 +40,83 @@ DEFAULT_TAG_LIST = [
 
 class SamSegmenter:
     """segmenter(image, boxes) -> (n, H, W) masks: best-of-3 multimask
-    by predicted IoU (reference grounding_new_api.py:410-418)."""
+    by predicted IoU (reference grounding_new_api.py:410-418).
 
-    def __init__(self, params, cfg: SamConfig):
+    The heavy ViT encoder and the light prompt+mask decoder are separate
+    jits: `precompute_embeddings` batch-encodes known-upfront frames
+    (the tracker's detection frames) so per-frame calls run only the
+    decoder against the cached embedding — the encoder cost amortizes
+    over the MXU batch dim exactly like batched detection."""
+
+    # GroundedTracker feature-detects this to pass frame_index through.
+    supports_frame_cache = True
+
+    def __init__(self, params, cfg: SamConfig, encode_batch_size: int = 4):
         self.params = params
         self.cfg = cfg
-        self._predict = jax.jit(
-            lambda p, px, bx: sam_mod.predict_boxes(p, px, bx, cfg)
+        self.encode_batch_size = encode_batch_size
+        self._encode = jax.jit(
+            lambda p, px: sam_mod.vision_encoder(p["vision"], px, cfg.vision)
         )
+        self._decode = jax.jit(
+            lambda p, e, bx: sam_mod.predict_from_embeddings(p, e, bx, cfg)
+        )
+        self._emb_cache: dict = {}
 
-    def __call__(self, image: np.ndarray, boxes: np.ndarray) -> np.ndarray:
-        H, W = image.shape[:2]
+    def _preprocess(self, image: np.ndarray) -> jnp.ndarray:
         size = self.cfg.vision.image_size
-        pixels = normalize_clip(
+        return normalize_clip(
             jnp.clip(
                 jnp.round(
-                    resize_bicubic(jnp.asarray(image.astype(np.float32)), size, size)
+                    resize_bicubic(
+                        jnp.asarray(image.astype(np.float32)), size, size
+                    )
                 ),
                 0,
                 255,
             )
-        )[None]
+        ).astype(next(iter(jax.tree.leaves(self.params))).dtype)
+
+    def precompute_embeddings(
+        self, frames, frame_indices, batch_size: Optional[int] = None
+    ) -> None:
+        """Encode `frames[i]` for i in frame_indices in fixed-size
+        batches, caching per-frame embeddings for later __call__s. The
+        last chunk pads by repetition so every chunk compiles once."""
+        k = batch_size or self.encode_batch_size
+        idx = [i for i in frame_indices if i not in self._emb_cache]
+        for start in range(0, len(idx), k):
+            chunk = idx[start : start + k]
+            padded = chunk + [chunk[-1]] * (k - len(chunk))
+            pixels = jnp.stack([self._preprocess(frames[i]) for i in padded])
+            emb = self._encode(self.params, pixels)  # (k, g, g, d)
+            for j, i in enumerate(chunk):
+                self._emb_cache[i] = emb[j : j + 1]
+
+    def discard_embedding(self, frame_index) -> None:
+        self._emb_cache.pop(frame_index, None)
+
+    def clear_cache(self) -> None:
+        self._emb_cache = {}
+
+    def __call__(
+        self, image: np.ndarray, boxes: np.ndarray,
+        frame_index: Optional[int] = None,
+    ) -> np.ndarray:
+        H, W = image.shape[:2]
+        size = self.cfg.vision.image_size
+        emb = (
+            self._emb_cache.pop(frame_index, None)
+            if frame_index is not None else None
+        )
+        if emb is None:
+            emb = self._encode(self.params, self._preprocess(image)[None])
         scale_x, scale_y = size / W, size / H
         scaled = boxes.astype(np.float32) * np.array(
             [scale_x, scale_y, scale_x, scale_y], np.float32
         )
-        masks, iou = self._predict(
-            self.params, pixels, jnp.asarray(scaled)[None]
+        masks, iou = self._decode(
+            self.params, emb, jnp.asarray(scaled)[None]
         )
         masks, iou = np.asarray(masks[0]), np.asarray(iou[0])  # (n, 3, g, g)
         best = iou.argmax(axis=1)

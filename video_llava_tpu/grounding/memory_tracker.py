@@ -323,6 +323,44 @@ class LearnedMemoryTracker:
         H, W = self._hw
         return np.asarray(prob)[:, :H, :W]
 
+    def step_chunk(
+        self, frames, pad_to: Optional[int] = None
+    ) -> np.ndarray:
+        """Propagate a run of frames in ONE device program ->
+        (len(frames), max_objects, H, W) soft masks.
+
+        Exactly equivalent to len(frames) sequential step() calls (same
+        mem_every/deep_update cadence), but the key encoder batches over
+        the chunk and the sequential read/decode/GRU runs as an
+        on-device scan (xmem.propagate_chunk). `pad_to` pads short
+        chunks by repeating the last frame (padded steps never write
+        memory) so every gap length compiles against one program.
+        """
+        assert self.state is not None, "add_reference first"
+        t = len(frames)
+        if t == 0:
+            H, W = self._hw
+            return np.zeros((0, self.cfg.max_objects, H, W), np.float32)
+        tt = max(pad_to or t, t)
+        upd = np.zeros(tt, np.bool_)
+        deep = np.zeros_like(upd)
+        valid = np.zeros_like(upd)
+        for j in range(t):
+            idx = self._frame_idx + j
+            upd[j] = (idx % self.cfg.mem_every) == 0
+            deep[j] = upd[j] and (idx % self.cfg.deep_update_every) == 0
+            valid[j] = True
+        stack = [self._prep(f) for f in frames]
+        stack += [stack[-1]] * (tt - t)
+        probs, self.state = self._xmem.propagate_chunk(
+            self.params, self.state, jnp.stack(stack),
+            jnp.asarray(upd), jnp.asarray(deep), self.cfg,
+            valid=jnp.asarray(valid),
+        )
+        self._frame_idx += t
+        H, W = self._hw
+        return np.asarray(probs)[:t, :, :H, :W]
+
     @property
     def num_objects(self) -> int:
         return int(self.state.num_objects) if self.state is not None else 0

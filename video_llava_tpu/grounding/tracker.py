@@ -82,6 +82,9 @@ class GroundedTracker:
         self._objects = []
         self._buffer = []
         self._det_cache = {}
+        clear_cache = getattr(self.segmenter, "clear_cache", None)
+        if clear_cache is not None:
+            clear_cache()
 
     # -- detection ------------------------------------------------------------
 
@@ -93,18 +96,23 @@ class GroundedTracker:
         batches, filling the per-frame cache that detect_and_segment
         consumes. No-op for detectors without `detect_batch`."""
         detect_batch = getattr(self.detector, "detect_batch", None)
-        if detect_batch is None or self.detect_batch_size <= 1:
-            return
-        idx = [i for i in frame_indices if i not in self._det_cache]
-        k = self.detect_batch_size
-        for start in range(0, len(idx), k):
-            chunk = idx[start : start + k]
-            # pad to the static chunk size by repeating the last frame
-            padded = chunk + [chunk[-1]] * (k - len(chunk))
-            batch = np.stack([frames[i] for i in padded])
-            results = detect_batch(batch, prompts)
-            for i, res in zip(chunk, results[: len(chunk)]):
-                self._det_cache[i] = res
+        if detect_batch is not None and self.detect_batch_size > 1:
+            idx = [i for i in frame_indices if i not in self._det_cache]
+            k = self.detect_batch_size
+            for start in range(0, len(idx), k):
+                chunk = idx[start : start + k]
+                # pad to the static chunk size by repeating the last frame
+                padded = chunk + [chunk[-1]] * (k - len(chunk))
+                batch = np.stack([frames[i] for i in padded])
+                results = detect_batch(batch, prompts)
+                for i, res in zip(chunk, results[: len(chunk)]):
+                    self._det_cache[i] = res
+        # SAM's image encoder is frame-independent too: batch-encode the
+        # detection frames so detect_and_segment only runs the light
+        # prompt+mask decoder per frame.
+        precompute_emb = getattr(self.segmenter, "precompute_embeddings", None)
+        if precompute_emb is not None and self.detect_batch_size > 1:
+            precompute_emb(frames, list(frame_indices))
 
     def detect_and_segment(
         self, image: np.ndarray, prompts: Sequence[str],
@@ -120,18 +128,24 @@ class GroundedTracker:
             boxes, conf, class_ids = cached
         else:
             boxes, conf, class_ids = self.detector(image, prompts)
+        if len(boxes):
+            keep = conf >= self.box_threshold
+            boxes, conf, class_ids = boxes[keep], conf[keep], class_ids[keep]
         if len(boxes) == 0:
-            return np.zeros((0,) + image.shape[:2], np.float32), []
-        keep = conf >= self.box_threshold
-        boxes, conf, class_ids = boxes[keep], conf[keep], class_ids[keep]
-        if len(boxes) == 0:
+            # release any precomputed SAM embedding for this frame
+            discard = getattr(self.segmenter, "discard_embedding", None)
+            if discard is not None and frame_index is not None:
+                discard(frame_index)
             return np.zeros((0,) + image.shape[:2], np.float32), []
         keep = np.asarray(
             nms(jnp.asarray(boxes), jnp.asarray(conf), self.nms_threshold)
         )
         boxes, conf, class_ids = boxes[keep], conf[keep], class_ids[keep]
 
-        masks = self.segmenter(image, boxes)  # (n, H, W)
+        if getattr(self.segmenter, "supports_frame_cache", False):
+            masks = self.segmenter(image, boxes, frame_index=frame_index)
+        else:
+            masks = self.segmenter(image, boxes)  # (n, H, W)
         if self.crop_filter is not None and len(boxes):
             keep = self.crop_filter(image, boxes, class_ids, prompts)
             boxes, conf, class_ids, masks = (
@@ -269,10 +283,52 @@ class GroundedTracker:
         )
         self.precompute_detections(frames, list(det_frames), list(classes))
         results: List[FrameResult] = []
-        for ti, frame in enumerate(frames):
-            out = self.process_frame(ti, frame)
-            if out:
-                results.extend(out)
+        chunk_step = (
+            getattr(self.tracker, "step_chunk", None)
+            if self.temporal_setting == "online" else None
+        )
+        if chunk_step is not None:
+            # Online mode with a chunk-capable propagator: the frames
+            # between two detections propagate as ONE device program
+            # (batched key encode + on-device scan) instead of one
+            # dispatch per frame.
+            n = len(frames)
+            ti = 0
+            while ti < n:
+                if ti % self.detection_every == 0:
+                    results.extend(self.process_frame(ti, frames[ti]))
+                    ti += 1
+                    continue
+                gap_end = min(
+                    n,
+                    (ti // self.detection_every + 1) * self.detection_every,
+                )
+                gap = list(range(ti, gap_end))
+                if self.tracker.state is None:
+                    zeros = np.zeros(
+                        (self.tracker_cfg.max_objects,)
+                        + frames[gap[0]].shape[:2],
+                        np.float32,
+                    )
+                    results.extend(
+                        FrameResult(tj, zeros, list(self._objects))
+                        for tj in gap
+                    )
+                else:
+                    masks = chunk_step(
+                        [frames[tj].astype(np.float32) / 255.0 for tj in gap],
+                        pad_to=self.detection_every - 1,
+                    )
+                    results.extend(
+                        FrameResult(tj, masks[j], list(self._objects))
+                        for j, tj in enumerate(gap)
+                    )
+                ti = gap_end
+        else:
+            for ti, frame in enumerate(frames):
+                out = self.process_frame(ti, frame)
+                if out:
+                    results.extend(out)
         # flush semionline remainder by propagation
         for tj, fj, _, _ in self._buffer:
             if self.tracker.state is not None:

@@ -346,17 +346,19 @@ def decode_masks(
     return masks[:, :1], iou[:, :1]
 
 
-def predict_boxes(
-    params, pixels: jax.Array, boxes: jax.Array, cfg: SamConfig,
+def predict_from_embeddings(
+    params, emb: jax.Array, boxes: jax.Array, cfg: SamConfig,
     multimask: bool = True,
 ):
-    """Full pipeline for one image batch + per-image boxes.
+    """Prompt-encode + mask-decode against precomputed image embeddings.
 
-    pixels: (b, H, W, 3) normalized; boxes: (b, n, 4) xyxy pixels.
+    emb: (b, g, g, d) from vision_encoder; boxes: (b, n, 4) xyxy pixels.
     Each box decodes independently (SAM semantics): returns
-    (masks (b, n, n_masks, 4g, 4g), iou (b, n, n_masks)).
+    (masks (b, n, n_masks, 4g, 4g), iou (b, n, n_masks)). Splitting the
+    heavy encoder from this cheap decode lets the tracker batch-encode
+    its detection frames upfront (the reference re-runs SamPredictor's
+    encoder per set_image, grounding_new_api.py:410-428).
     """
-    emb = vision_encoder(params["vision"], pixels, cfg.vision)
     b, n, _ = boxes.shape
     sparse = encode_boxes(params, boxes, cfg.vision.image_size)  # (b, 2n, d)
     sparse = sparse.reshape(b * n, 2, -1)
@@ -368,6 +370,19 @@ def predict_boxes(
         masks.reshape(b, n, -1, g4, g4),
         iou.reshape(b, n, -1),
     )
+
+
+def predict_boxes(
+    params, pixels: jax.Array, boxes: jax.Array, cfg: SamConfig,
+    multimask: bool = True,
+):
+    """Full pipeline for one image batch + per-image boxes.
+
+    pixels: (b, H, W, 3) normalized; boxes: (b, n, 4) xyxy pixels.
+    Returns (masks (b, n, n_masks, 4g, 4g), iou (b, n, n_masks)).
+    """
+    emb = vision_encoder(params["vision"], pixels, cfg.vision)
+    return predict_from_embeddings(params, emb, boxes, cfg, multimask)
 
 
 # -- HF conversion ----------------------------------------------------------------

@@ -504,6 +504,91 @@ def propagate_step(
     return prob, state
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def propagate_chunk(
+    params, state: XMemState, frames: jax.Array,
+    update_memory: jax.Array, deep_update: jax.Array, cfg: XMemConfig,
+    valid: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, XMemState]:
+    """T tracked frames in ONE program -> ((T, O, H, W) probs, state).
+
+    Semantically identical to T sequential propagate_step calls (same
+    sensory-GRU chain, same memory-write cadence via the per-frame
+    update_memory/deep_update bool vectors), but TPU-shaped: the key
+    encoder — the resnet50 trunk that dominates propagation — runs
+    batched over the chunk on the MXU, and the sequential part (memory
+    read, decoder, GRU, conditional writes) is a lax.scan carrying the
+    state. The tracker hands it the frames between two detections, so
+    the reference's per-frame deva.step host loop
+    (grounding_new_api.py:503-509) becomes one device dispatch per gap.
+
+    frames: (T, H, W, 3) in [0,1]; update_memory/deep_update: (T,) bool.
+    `valid` (T,) bool marks padding frames (chunks pad to a fixed T so
+    every gap length compiles once): invalid steps neither advance the
+    sensory GRU nor write memory, leaving the state exactly as if the
+    chunk had stopped at the last valid frame.
+    """
+    if valid is None:
+        valid = jnp.ones(frames.shape[:1], bool)
+    # batched key encode (frame-independent)
+    x = normalize_frame(frames)
+    f4, f8, f16 = trunk_forward(params["key_encoder"], x, KEY_TRUNK)
+    kp = params["key_proj"]
+    key = conv2d(kp["key_proj"], f16)
+    shrinkage = jnp.square(conv2d(kp["d_proj"], f16))[..., 0] + 1.0
+    selection = jax.nn.sigmoid(conv2d(kp["e_proj"], f16))
+    h16, w16 = key.shape[1:3]
+    n = h16 * w16
+
+    def body(st: XMemState, inp):
+        frame, f16_t, f8_t, f4_t, key_t, shr_t, sel_t, upd, deep, ok = inp
+        readout = read_memory(
+            st.keys.reshape(-1, cfg.key_dim),
+            st.shrinkage.reshape(-1),
+            st.values.reshape(-1, cfg.max_objects, cfg.value_dim),
+            jnp.repeat(st.slot_valid, n),
+            key_t.reshape(n, -1),
+            sel_t.reshape(n, -1),
+            cfg.top_k,
+        ).transpose(1, 0, 2).reshape(
+            cfg.max_objects, h16, w16, cfg.value_dim
+        )
+        logits, hidden = decode(
+            params, f16_t, f8_t, f4_t, st.hidden, readout,
+            update_hidden=True,
+        )
+        obj_valid = (
+            jnp.arange(cfg.max_objects) < st.num_objects
+        )[:, None, None]
+        prob = jax.nn.sigmoid(logits) * obj_valid
+        prob = aggregate(prob)[1:]
+        st = st._replace(hidden=jnp.where(ok, hidden, st.hidden))
+
+        def write(s: XMemState) -> XMemState:
+            value, hidden_deep = encode_value(
+                params, frame, f16_t, s.hidden, prob, deep_update=True
+            )
+            s = s._replace(
+                hidden=jnp.where(deep, hidden_deep, s.hidden)
+            )
+            return _write(
+                s,
+                key_t.reshape(n, -1),
+                shr_t.reshape(n),
+                value.reshape(cfg.max_objects, n, -1).transpose(1, 0, 2),
+            )
+
+        st = jax.lax.cond(upd & ok, write, lambda s: s, st)
+        return st, prob
+
+    state, probs = jax.lax.scan(
+        body, state,
+        (frames, f16, f8, f4, key, shrinkage, selection,
+         update_memory, deep_update, valid),
+    )
+    return probs, state
+
+
 # -- torch checkpoint conversion ----------------------------------------------
 
 
