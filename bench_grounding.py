@@ -104,7 +104,7 @@ def main():
 
     # -- SAM (ViT-B, 1024px, best-of-3) --------------------------------------
     print("building sam...", flush=True)
-    sam = build_sam(None)
+    sam = build_sam(None, variant="vit_b")
     sam.params = _cast(sam.params)
     boxes = np.asarray(
         [[40 + 10 * i, 60, 240 + 10 * i, 300] for i in range(N_BOXES)],
@@ -141,6 +141,27 @@ def main():
     )
     t_sam_amort = t_sam_enc_b / det_bs + t_sam_dec
 
+    # -- MobileSAM (TinyViT-5M, 1024px) — the SHIPPED default segmenter
+    # (build_sam variant='mobile'; reference live config
+    # grounding_new_api.py:104). Same prompt/mask decoder; ~10x cheaper
+    # encoder than ViT-B.
+    print("building mobile-sam...", flush=True)
+    msam = build_sam(None, variant="mobile")
+    msam.params = _cast(msam.params)
+    mpix = spix.astype(next(iter(jax.tree.leaves(msam.params))).dtype)
+    mpix_b = jnp.tile(mpix, (det_bs, 1, 1, 1))
+    msam._encode(msam.params, mpix_b)  # compile
+    t_msam_enc_b = measure(
+        lambda i: msam._encode(msam.params, mpix_b + 0.0 * i), iters=3
+    )
+    memb1 = msam._encode(msam.params, mpix)
+    msam._decode(msam.params, memb1, sboxes)
+    t_msam_dec = measure(
+        lambda i: msam._decode(msam.params, memb1 + 0.0 * i, sboxes)[0],
+        iters=3,
+    )
+    t_msam_amort = t_msam_enc_b / det_bs + t_msam_dec
+
     # -- learned propagation (XMem) ------------------------------------------
     print("building xmem...", flush=True)
     xcfg = xmem.XMemConfig(max_objects=N_BOXES)
@@ -175,11 +196,15 @@ def main():
     # on-device scan (xmem.propagate_chunk)
     gap = DETECT_EVERY - 1
     frames_gap = jnp.stack([fj] * gap)
-    flags = jnp.zeros((gap,), bool)
+    # Representative memory-write cadence: the shipped mem_every=5 fires
+    # roughly one value-encode+write inside each inter-detection gap, so
+    # the chunk is timed with one update flag set (not all-False).
+    flags = jnp.zeros((gap,), bool).at[gap // 2].set(True)
+    deep_flags = jnp.zeros((gap,), bool)
 
     def prop_chunk(i):
         out, _ = xmem.propagate_chunk(
-            xparams, state, frames_gap + 0.0 * i, flags, flags, xcfg,
+            xparams, state, frames_gap + 0.0 * i, flags, deep_flags, xcfg,
         )
         return out
 
@@ -220,10 +245,19 @@ def main():
     # Headline = device programs only (the TPU cost; host I/O here rides
     # a tunneled link whose transfer time says nothing about the design).
     # Models the shipped online orchestration: per detection frame one
-    # batched detect + SAM decode (encoders amortized) + one memory
-    # write (add_reference); per gap one chunked propagation program.
+    # batched detect + SAM decode (encoders amortized), one propagate
+    # (update_memory=False) inside _incorporate's match step (all
+    # detection frames after the first), and one memory write
+    # (add_reference); per gap one chunked propagation program timed
+    # with the representative in-chunk memory-write flag above.
     clip_s = (
+        n_det * (t_detect_amort + t_msam_amort + t_addref)
+        + (n_det - 1) * t_prop
+        + n_chunks * t_chunk
+    )
+    clip_s_vitb = (
         n_det * (t_detect_amort + t_sam_amort + t_addref)
+        + (n_det - 1) * t_prop
         + n_chunks * t_chunk
     )
     result = {
@@ -239,6 +273,14 @@ def main():
             ),
             "sam_decode_ms": round(t_sam_dec * 1e3, 1),
             "sam_amortized_per_frame_ms": round(t_sam_amort * 1e3, 1),
+            "mobile_sam_enc_batch4_per_frame_ms": round(
+                t_msam_enc_b / det_bs * 1e3, 1
+            ),
+            "mobile_sam_decode_ms": round(t_msam_dec * 1e3, 1),
+            "mobile_sam_amortized_per_frame_ms": round(
+                t_msam_amort * 1e3, 1
+            ),
+            "clip_s_vitb": round(clip_s_vitb, 3),
             "detect_pipeline_ms": round(t_detect * 1e3, 1),
             "sam_pipeline_ms": round(t_sam * 1e3, 1),
             "xmem_propagate_ms": round(t_prop * 1e3, 1),
@@ -249,7 +291,8 @@ def main():
             "detect_every": DETECT_EVERY,
             "frames": NUM_FRAMES,
             "boxes_per_detection": N_BOXES,
-            "models": f"gdino-swint-800px + sam-vit-b 1024px + "
+            "models": f"gdino-swint-800px + mobile-sam(tinyvit-5m) 1024px "
+                      f"(vit-b timed for comparison) + "
                       f"xmem r50/r18 {H}x{W}, {DTYPE}",
         },
     }

@@ -9,6 +9,7 @@ converters used in the parity tests.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Optional, Sequence, Tuple
 
 import numpy as np
@@ -25,7 +26,7 @@ from video_llava_tpu.grounding.tracker import GroundedTracker
 from video_llava_tpu.models import clip as clip_mod
 from video_llava_tpu.models import sam as sam_mod
 from video_llava_tpu.models import swin as swin_mod
-from video_llava_tpu.models.sam import SamConfig
+from video_llava_tpu.models.sam import SamConfig, SamVisionConfig
 from video_llava_tpu.models.swin import SwinConfig
 from video_llava_tpu.ops.image import normalize_clip, resize_bicubic
 
@@ -51,13 +52,21 @@ class SamSegmenter:
     # GroundedTracker feature-detects this to pass frame_index through.
     supports_frame_cache = True
 
-    def __init__(self, params, cfg: SamConfig, encode_batch_size: int = 4):
+    def __init__(self, params, cfg: SamConfig, encode_batch_size: int = 4,
+                 encode_fn=None):
+        """encode_fn(params, pixels) -> (b, g, g, d) image embeddings;
+        defaults to the SAM ViT encoder. The MobileSAM variant plugs the
+        TinyViT encoder here — prompt encoder and mask decoder are
+        byte-identical between the two (reference runs MobileSAM as its
+        live default, grounding_new_api.py:104)."""
         self.params = params
         self.cfg = cfg
         self.encode_batch_size = encode_batch_size
-        self._encode = jax.jit(
-            lambda p, px: sam_mod.vision_encoder(p["vision"], px, cfg.vision)
-        )
+        if encode_fn is None:
+            encode_fn = lambda p, px: sam_mod.vision_encoder(  # noqa: E731
+                p["vision"], px, cfg.vision
+            )
+        self._encode = jax.jit(encode_fn)
         self._decode = jax.jit(
             lambda p, e, bx: sam_mod.predict_from_embeddings(p, e, bx, cfg)
         )
@@ -92,6 +101,11 @@ class SamSegmenter:
             emb = self._encode(self.params, pixels)  # (k, g, g, d)
             for j, i in enumerate(chunk):
                 self._emb_cache[i] = emb[j : j + 1]
+
+    def num_cached_embeddings(self) -> int:
+        """Resident precomputed embeddings (the tracker's sliding-window
+        prefetch bounds this at its emb_prefetch_frames)."""
+        return len(self._emb_cache)
 
     def discard_embedding(self, frame_index) -> None:
         self._emb_cache.pop(frame_index, None)
@@ -132,7 +146,55 @@ class SamSegmenter:
 
 
 def build_sam(checkpoint_dir: Optional[str] = None,
-              cfg: Optional[SamConfig] = None) -> SamSegmenter:
+              cfg: Optional[SamConfig] = None,
+              variant: str = "mobile",
+              tiny_cfg=None) -> SamSegmenter:
+    """variant='mobile' (DEFAULT — the reference's live config,
+    grounding_new_api.py:104 sets cfg['sam_variant']='mobile'): TinyViT-5M
+    image encoder + the standard SAM prompt/mask decoder, ~10x cheaper
+    than ViT-B at 1024px. checkpoint may be the official `mobile_sam.pt`
+    file (image_encoder.* TinyViT keys + official prompt_encoder/
+    mask_decoder keys) or a dir of shards.
+
+    variant='vit_b' (or 'vit'): SAM ViT image encoder from an HF
+    SamModel state dict (facebook/sam-vit-*)."""
+    if variant == "mobile":
+        from video_llava_tpu.models import tiny_vit as tv
+
+        tiny_cfg = tiny_cfg or tv.TinyViTConfig()
+        cfg = cfg or SamConfig(
+            vision=dataclasses.replace(
+                SamConfig().vision, image_size=tiny_cfg.image_size
+            )
+        )
+        if checkpoint_dir:
+            import os
+
+            from video_llava_tpu.engine.weights import (
+                load_checkpoint_dir,
+                load_torch_checkpoint_file,
+            )
+
+            sd = (
+                load_torch_checkpoint_file(checkpoint_dir)
+                if os.path.isfile(checkpoint_dir)
+                else load_checkpoint_dir(checkpoint_dir)
+            )
+            params = {"vision": tv.convert_tiny_vit(sd, tiny_cfg)}
+            params.update(sam_mod.convert_official_sam_decoder(sd, cfg))
+        else:
+            import warnings
+
+            warnings.warn("MobileSAM weights not provided; using random init")
+            params = {
+                "vision": tv.init_params(jax.random.PRNGKey(0), tiny_cfg)
+            }
+            params.update(_random_sam_decoder_params(cfg))
+        encode_fn = (
+            lambda p, px: tv.encoder(p["vision"], px, tiny_cfg)  # noqa: E731
+        )
+        return SamSegmenter(params, cfg, encode_fn=encode_fn)
+
     cfg = cfg or SamConfig()
     if checkpoint_dir:
         from video_llava_tpu.engine.weights import load_checkpoint_dir
@@ -146,6 +208,24 @@ def build_sam(checkpoint_dir: Optional[str] = None,
         warnings.warn("SAM weights not provided; using random init")
         params = _random_sam_params(cfg)
     return SamSegmenter(params, cfg)
+
+
+def _random_sam_decoder_params(cfg: SamConfig):
+    """Random prompt-encoder + mask-decoder params (converter layout),
+    built through the HF module with a throwaway tiny vision tower so
+    the init distribution matches _random_sam_params."""
+    src = _random_sam_params(
+        dataclasses.replace(
+            cfg,
+            vision=SamVisionConfig(
+                image_size=64, patch_size=8, hidden_size=32, num_layers=1,
+                num_heads=2, mlp_dim=64, window_size=2,
+                global_attn_indexes=(0,),
+                output_channels=cfg.prompt_hidden,
+            ),
+        )
+    )
+    return {k: v for k, v in src.items() if k != "vision"}
 
 
 def _random_sam_params(cfg: SamConfig):
@@ -288,9 +368,11 @@ def build_grounding_stack(
     detection_every: int = 5,
     temporal_setting: str = "online",
     max_objects: int = 5,
+    sam_variant: str = "mobile",
 ) -> Tuple[GroundedTracker, TaggingModule, EntityMatchingModule]:
     """Wire the full PGVideoLLaVA grounding stack
-    (reference chat.py:243-252).
+    (reference chat.py:243-252). sam_variant defaults to 'mobile'
+    exactly like the reference's live config (grounding_new_api.py:104).
 
     xmem_checkpoint: optional XMem/DEVA-propagation .pth — switches mask
     propagation from the handcrafted-feature STM to the trained XMem
@@ -298,7 +380,7 @@ def build_grounding_stack(
     from video_llava_tpu.models import grounding_dino as gdino_mod
 
     detector = gdino_mod.build_detector(dino_checkpoint)
-    segmenter = build_sam(sam_checkpoint)
+    segmenter = build_sam(sam_checkpoint, variant=sam_variant)
     crop_filter = build_clip_filter(clip_checkpoint)
     propagator = None
     if xmem_checkpoint:

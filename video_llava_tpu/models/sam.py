@@ -385,6 +385,109 @@ def predict_boxes(
     return predict_from_embeddings(params, emb, boxes, cfg, multimask)
 
 
+# -- official-repo conversion -------------------------------------------------
+
+
+def convert_official_sam_decoder(sd, cfg: SamConfig, dtype=jnp.float32):
+    """Original segment-anything / MobileSAM checkpoint layout
+    (`mobile_sam.pt`, `sam_vit_*.pth`): prompt_encoder.* +
+    mask_decoder.* keys -> our non-vision params. MobileSAM reuses
+    SAM's prompt encoder and mask decoder verbatim, so this converter
+    serves both; pair it with tiny_vit.convert_tiny_vit (image_encoder.*)
+    for MobileSAM or a ViT converter for original SAM.
+
+    Key differences vs the HF layout (convert_hf_sam):
+    prompt_encoder.pe_layer.positional_encoding_gaussian_matrix ==
+    shared_embedding.positional_embedding; point_embeddings.{i} ==
+    point_embed.{i}; transformer norm{1..4} == layer_norm{1..4};
+    output_upscaling.{0,1,3} == upscale_conv1 / upscale_layer_norm /
+    upscale_conv2; MLPs store layers.{0,1,2} instead of
+    proj_in/layers.0/proj_out.
+    """
+
+    def a(k):
+        return np.asarray(sd[k], np.float32)
+
+    def t(k):
+        return np.ascontiguousarray(a(k).T)
+
+    def attn(prefix):
+        return {
+            "q": {"kernel": t(prefix + "q_proj.weight"),
+                  "bias": a(prefix + "q_proj.bias")},
+            "k": {"kernel": t(prefix + "k_proj.weight"),
+                  "bias": a(prefix + "k_proj.bias")},
+            "v": {"kernel": t(prefix + "v_proj.weight"),
+                  "bias": a(prefix + "v_proj.bias")},
+            "o": {"kernel": t(prefix + "out_proj.weight"),
+                  "bias": a(prefix + "out_proj.bias")},
+        }
+
+    def ln(prefix):
+        return {"scale": a(prefix + ".weight"), "bias": a(prefix + ".bias")}
+
+    def mlp3(prefix):
+        return {
+            f"lin{i}": {"kernel": t(f"{prefix}layers.{i}.weight"),
+                        "bias": a(f"{prefix}layers.{i}.bias")}
+            for i in range(3)
+        }
+
+    dec_layers = []
+    i = 0
+    while f"mask_decoder.transformer.layers.{i}.self_attn.q_proj.weight" in sd:
+        p = f"mask_decoder.transformer.layers.{i}."
+        dec_layers.append(
+            {
+                "self_attn": attn(p + "self_attn."),
+                "ln1": ln(p + "norm1"),
+                "cross_attn_t2i": attn(p + "cross_attn_token_to_image."),
+                "ln2": ln(p + "norm2"),
+                "fc1": {"kernel": t(p + "mlp.lin1.weight"),
+                        "bias": a(p + "mlp.lin1.bias")},
+                "fc2": {"kernel": t(p + "mlp.lin2.weight"),
+                        "bias": a(p + "mlp.lin2.bias")},
+                "ln3": ln(p + "norm3"),
+                "ln4": ln(p + "norm4"),
+                "cross_attn_i2t": attn(p + "cross_attn_image_to_token."),
+            }
+        )
+        i += 1
+
+    params = {
+        "shared_pe": a(
+            "prompt_encoder.pe_layer.positional_encoding_gaussian_matrix"
+        ),
+        "point_embed": np.stack(
+            [a(f"prompt_encoder.point_embeddings.{i}.weight")[0]
+             for i in range(4)]
+        ),
+        "no_mask_embed": a("prompt_encoder.no_mask_embed.weight"),
+        "mask_decoder": {
+            "iou_token": a("mask_decoder.iou_token.weight"),
+            "mask_tokens": a("mask_decoder.mask_tokens.weight"),
+            "layers": dec_layers,
+            "final_attn": attn(
+                "mask_decoder.transformer.final_attn_token_to_image."
+            ),
+            "ln_final": ln("mask_decoder.transformer.norm_final_attn"),
+            # ConvTranspose2d weights are (in, out, kH, kW) — exactly
+            # what decode_masks' conv_t einsum consumes.
+            "up1": {"kernel": a("mask_decoder.output_upscaling.0.weight"),
+                    "bias": a("mask_decoder.output_upscaling.0.bias")},
+            "up_ln": ln("mask_decoder.output_upscaling.1"),
+            "up2": {"kernel": a("mask_decoder.output_upscaling.3.weight"),
+                    "bias": a("mask_decoder.output_upscaling.3.bias")},
+            "hyper_mlps": [
+                mlp3(f"mask_decoder.output_hypernetworks_mlps.{i}.")
+                for i in range(cfg.num_mask_tokens)
+            ],
+            "iou_head": mlp3("mask_decoder.iou_prediction_head."),
+        },
+    }
+    return jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
+
+
 # -- HF conversion ----------------------------------------------------------------
 
 

@@ -303,6 +303,10 @@ def main(argv=None):
     p.add_argument("--model_size", default="7b")
     p.add_argument("--use_asr", action="store_true")
     p.add_argument("--with_grounding", action="store_true")
+    p.add_argument("--sam_variant", default="mobile",
+                   choices=("mobile", "vit_b"),
+                   help="segmenter encoder: MobileSAM TinyViT (the "
+                        "reference's live default) or SAM ViT-B")
     p.add_argument("--conv_mode", default="pg-video-llava")
     p.add_argument("--temperature", type=float, default=0.2)
     p.add_argument("--max_output_tokens", type=int, default=1024)
@@ -321,7 +325,9 @@ def main(argv=None):
     if args.with_grounding:
         from video_llava_tpu.grounding.builders import build_grounding_stack
 
-        tracker, tagging, matching = build_grounding_stack()
+        tracker, tagging, matching = build_grounding_stack(
+            sam_variant=args.sam_variant
+        )
         chat = PGVideoLLaVA(
             engine, tracker, tagging, matching,
             use_asr=args.use_asr, conv_mode=args.conv_mode,

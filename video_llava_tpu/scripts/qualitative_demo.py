@@ -25,6 +25,8 @@ def main(argv=None):
     p.add_argument("--model_size", default="7b")
     p.add_argument("--dino_checkpoint", default=None)
     p.add_argument("--sam_checkpoint", default=None)
+    p.add_argument("--sam_variant", default="mobile",
+                   choices=("mobile", "vit_b"))
     p.add_argument("--swin_checkpoint", default=None)
     p.add_argument("--clip_checkpoint", default=None)
     args = p.parse_args(argv)
@@ -49,7 +51,7 @@ def main(argv=None):
 
     tracker, tagger, matcher = build_grounding_stack(
         args.dino_checkpoint, args.sam_checkpoint, args.swin_checkpoint,
-        args.clip_checkpoint,
+        args.clip_checkpoint, sam_variant=args.sam_variant,
     )
     native = load_video_native_size(args.video_path)
     tags = tagger.run_on_video(frames.astype(np.float32) / 255.0, top_k=10)
