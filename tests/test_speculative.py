@@ -319,3 +319,115 @@ def test_pld_batched_early_stop_rows_freeze():
                                   np.asarray(got.lengths))
     np.testing.assert_array_equal(np.asarray(want.tokens),
                                   np.asarray(got.tokens))
+
+
+# -- keyword-stop (textual) templates through the speculative loop ----------
+
+
+def _keyword_both(cfg, params, ids, keywords, tok, max_new=24,
+                  check_every=8, eos=1):
+    """Run generate_with_keywords with and without speculation; returns
+    (plain_text, plain_res, spec_text, spec_res)."""
+    gen = GenerationConfig(max_new_tokens=max_new, do_sample=False,
+                           eos_token_id=eos, pad_token_id=0)
+    seq = jnp.asarray([ids.shape[1]], jnp.int32)
+    kw = dict(
+        decode_fn=lambda t: tok.decode(t, skip_special_tokens=True),
+        keywords=keywords,
+        keyword_check_every=check_every,
+        cache_dtype=jnp.float32,
+    )
+    t0, r0 = gen_mod.generate_with_keywords(
+        params, cfg, gen, ids, seq, None, jax.random.PRNGKey(0),
+        speculative=False, **kw,
+    )
+    t1, r1 = gen_mod.generate_with_keywords(
+        params, cfg, gen, ids, seq, None, jax.random.PRNGKey(0),
+        speculative=True, **kw,
+    )
+    return t0, r0, t1, r1
+
+
+def _byte_setup(seed=0):
+    import dataclasses as _dc
+
+    from video_llava_tpu.config import VideoLLaVAConfig as _V
+    from video_llava_tpu.runtime.tokenizer import ByteTokenizer
+
+    tok = ByteTokenizer()
+    cfg = _dc.replace(
+        _V.tiny(),
+        llm=LlamaConfig.tiny(vocab_size=512),
+        vid_patch_token_id=tok.vid_patch_token_id,
+        vid_start_token_id=tok.vid_start_token_id,
+        vid_end_token_id=tok.vid_end_token_id,
+    )
+    params = video_llava.init_params(jax.random.PRNGKey(seed), cfg,
+                                     jnp.float32)
+    return cfg, params, tok
+
+
+def test_keyword_path_speculative_parity_multichunk():
+    """VERDICT r2 #6: textual-stop ('###'-style) templates must produce
+    IDENTICAL greedy output with and without speculation, across
+    multiple host-checked chunks (the spec loop resumes its lookup
+    context between chunks)."""
+    cfg, params, tok = _byte_setup(seed=11)
+    # repetitive byte prompt -> the n-gram lookup proposes long drafts
+    ids = jnp.asarray(
+        [[tok.bos_token_id] + list(b"cat sat mat cat sat mat cat ")],
+        jnp.int32,
+    )
+    t0, r0, t1, r1 = _keyword_both(
+        cfg, params, ids, keywords=("~~NEVER~~",), tok=tok,
+        max_new=24, check_every=8, eos=-7,
+    )
+    assert t0 == t1
+    np.testing.assert_array_equal(np.asarray(r0.tokens),
+                                  np.asarray(r1.tokens))
+    assert int(r0.lengths[0]) == int(r1.lengths[0]) == 24  # 3 chunks
+
+
+def test_keyword_stop_truncates_with_speculation():
+    """Zeroed model emits byte 0 forever; the keyword '\\x00\\x00' must
+    stop the speculative path in the first chunk and strip the text."""
+    cfg, params, tok = _byte_setup()
+    params = jax.tree.map(jnp.zeros_like, params)
+    ids = jnp.asarray([[tok.bos_token_id, 65]], jnp.int32)
+    gen = GenerationConfig(max_new_tokens=32, do_sample=False,
+                           eos_token_id=tok.eos_token_id,
+                           pad_token_id=tok.pad_token_id)
+    text, res = gen_mod.generate_with_keywords(
+        params, cfg, gen, ids, jnp.asarray([2], jnp.int32), None,
+        jax.random.PRNGKey(0),
+        decode_fn=lambda t: tok.decode(t),
+        keywords=("\x00\x00",),
+        keyword_check_every=4,
+        cache_dtype=jnp.float32,
+        speculative=True,
+    )
+    assert text == ""
+    assert int(res.lengths[0]) <= 4
+
+
+def test_keyword_path_speculative_stop_id_midchunk():
+    """A stop token id emitted inside an accepted draft must end the
+    speculative keyword path exactly where plain decode ends."""
+    cfg, params, tok = _byte_setup(seed=13)
+    ids = jnp.asarray(
+        [[tok.bos_token_id] + list(b"ab ab ab ab ab ab ")], jnp.int32
+    )
+    gen0 = GenerationConfig(max_new_tokens=24, do_sample=False,
+                            eos_token_id=-7, pad_token_id=0)
+    seq = jnp.asarray([ids.shape[1]], jnp.int32)
+    base = gen_mod.generate(params, cfg, gen0, ids, seq, None,
+                            jax.random.PRNGKey(0), cache_dtype=jnp.float32)
+    eos = int(np.asarray(base.tokens)[0, 5])  # stop at the 6th token
+    t0, r0, t1, r1 = _keyword_both(
+        cfg, params, ids, keywords=("~~NEVER~~",), tok=tok,
+        max_new=24, check_every=16, eos=eos,
+    )
+    assert t0 == t1
+    assert int(r0.lengths[0]) == int(r1.lengths[0])
+    np.testing.assert_array_equal(np.asarray(r0.tokens),
+                                  np.asarray(r1.tokens))

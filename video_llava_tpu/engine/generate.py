@@ -181,6 +181,9 @@ def generate_with_keywords(
     on_delta: Optional[Callable[[str], None]] = None,
     postprocess: Optional[Callable[[str], str]] = None,
     mesh=None,
+    speculative: bool = False,
+    spec_ngram: int = 3,
+    spec_k: int = 8,
 ) -> Tuple[str, GenerateResult]:
     """Generation with reference keyword-stopping semantics
     (model/utils.py:6-26): stop when a decoded keyword substring appears.
@@ -189,6 +192,14 @@ def generate_with_keywords(
     the decoded text host-side between chunks; the final text has the
     keyword and anything after it stripped (inference.py:120-123).
     Batch size 1 (matches reference usage).
+
+    speculative: run each chunk through the prompt-lookup speculative
+    loop (engine/speculative.py) instead of plain decode — the chunked
+    host checks already bound how far past a textual stop the device
+    can run, so textual-stop templates get the same 1.5-3x echo-regime
+    speedup as token-id stops (greedy output is identical; sampled
+    output is distribution-exact). Ignored under a TP mesh (the spec
+    loop does not pin sharded cache layouts).
 
     on_delta: streaming callback, called once per device chunk with the
     newly finalized text. To never retract emitted text, emission holds
@@ -203,13 +214,30 @@ def generate_with_keywords(
     """
     assert input_ids.shape[0] == 1, "keyword stopping is per-conversation"
     b, s = input_ids.shape
+    if mesh is not None:
+        speculative = False
     if max_cache_len is None:
-        max_cache_len = s + gen.max_new_tokens
+        # The speculative verify writes optimistically up to k past the
+        # last kept token; the cache needs that slack.
+        max_cache_len = s + gen.max_new_tokens + (
+            spec_k + 1 if speculative else 0
+        )
     pre = prefill_jit(
         params, cfg, input_ids, seq_lens, video_features,
         max_cache_len=max_cache_len, cache_dtype=cache_dtype, mesh=mesh,
     )
     logits, cache = pre.logits_last, pre.cache
+    ctx = ctx_len = None
+    if speculative:
+        from video_llava_tpu.engine.speculative import (
+            _decode_loop_pld, _init_ctx,
+        )
+
+        ctx = _init_ctx(
+            input_ids, s + gen.max_new_tokens + spec_k + 1,
+            jnp.int32(gen.pad_token_id),
+        )
+        ctx_len = seq_lens.astype(jnp.int32)
 
     pieces: list = []
     text = ""
@@ -229,8 +257,14 @@ def generate_with_keywords(
     while remaining > 0:
         chunk = min(keyword_check_every, remaining)
         rng, sub = jax.random.split(rng)
-        out = _decode_loop(params, cfg, gen, logits, cache, sub, chunk,
-                           mesh=mesh)
+        if speculative:
+            out, ctx, ctx_len = _decode_loop_pld(
+                params, cfg, gen, logits, cache, ctx, ctx_len, sub,
+                chunk, spec_ngram, spec_k,
+            )
+        else:
+            out = _decode_loop(params, cfg, gen, logits, cache, sub, chunk,
+                               mesh=mesh)
         # One device->host transfer per chunk (per-scalar fetches cost
         # a ~26 ms round trip each on the tunneled TPU).
         n = int(out.lengths[0])

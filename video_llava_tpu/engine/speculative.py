@@ -143,6 +143,19 @@ def accept_tokens(
     return m, z
 
 
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _init_ctx(input_ids: jax.Array, cap: int, pad_token_id: jax.Array):
+    """Context buffer (prompt + accepted tokens) for the n-gram lookup.
+    One jitted program (eager buffer ops cost a host round trip each on
+    the tunneled TPU). cap must cover prompt + all future emissions +
+    the k+1 write overshoot."""
+    b = input_ids.shape[0]
+    ctx = jnp.full((b, cap), pad_token_id, jnp.int32)
+    return jax.lax.dynamic_update_slice(
+        ctx, input_ids.astype(jnp.int32), (0, 0)
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("cfg", "gen", "max_new_tokens", "ngram", "k")
 )
@@ -152,13 +165,13 @@ def _decode_loop_pld(
     gen: GenerationConfig,
     first_logits: jax.Array,
     cache: KVCache,
-    input_ids: jax.Array,
-    seq_lens: jax.Array,
+    ctx: jax.Array,
+    ctx_len: jax.Array,
     rng: jax.Array,
     max_new_tokens: int,
     ngram: int,
     k: int,
-) -> GenerateResult:
+):
     """Speculative decode loop (any batch size), greedy or sampled.
 
     Per-row state: rows draft, accept and advance independently (rows
@@ -167,17 +180,16 @@ def _decode_loop_pld(
     rewound). The cache max length must cover cache.length +
     max_new_tokens + k + 1 positions (the optimistic write may run k
     past the last kept token).
+
+    ctx/ctx_len: the lookup context from `_init_ctx`, threaded through
+    so callers can resume the loop across host-side keyword checks
+    (generate_with_keywords chunks). Returns (GenerateResult, ctx,
+    ctx_len) with the emitted tokens appended to ctx.
     """
     from video_llava_tpu.engine.generate import sample_token
 
-    b, s = input_ids.shape
-    # Context buffer (prompt + accepted tokens) for the n-gram lookup,
-    # built INSIDE the jit (eager buffer ops cost a host round trip
-    # each on the tunneled TPU).
-    cap = s + max_new_tokens + k + 1
-    ctx = jnp.full((b, cap), gen.pad_token_id, jnp.int32)
-    ctx = jax.lax.dynamic_update_slice(ctx, input_ids, (0, 0))
-    ctx_len = seq_lens.astype(jnp.int32)
+    b = first_logits.shape[0]
+    ctx_len = ctx_len.astype(jnp.int32)
     stop_ids = jnp.asarray(
         (gen.eos_token_id,) + tuple(gen.stop_token_ids), jnp.int32
     )
@@ -254,12 +266,14 @@ def _decode_loop_pld(
 
     state = (n0, buf0, tok0, cache, ctx0, done0,
              ctx_len + jnp.int32(1), rng)
-    n, buf, _, cache, _, _, _, _ = jax.lax.while_loop(cond, body, state)
+    n, buf, _, cache, ctx, _, ctx_len, _ = jax.lax.while_loop(
+        cond, body, state
+    )
     n = jnp.minimum(n, max_new_tokens)
     out = jnp.where(
         jnp.arange(buf_cap)[None] < n[:, None], buf, pad
     )[:, :max_new_tokens]
-    return GenerateResult(tokens=out, lengths=n, cache=cache)
+    return GenerateResult(tokens=out, lengths=n, cache=cache), ctx, ctx_len
 
 
 def generate_pld_text(
@@ -332,7 +346,12 @@ def generate_pld(
         params, cfg, input_ids, seq_lens, video_features,
         max_cache_len=max_cache_len, cache_dtype=cache_dtype,
     )
-    return _decode_loop_pld(
-        params, cfg, gen, res.logits_last, res.cache, input_ids,
-        seq_lens, rng, gen.max_new_tokens, ngram, k,
+    ctx = _init_ctx(
+        input_ids, s + gen.max_new_tokens + k + 1,
+        jnp.int32(gen.pad_token_id),
     )
+    out, _, _ = _decode_loop_pld(
+        params, cfg, gen, res.logits_last, res.cache, ctx,
+        seq_lens.astype(jnp.int32), rng, gen.max_new_tokens, ngram, k,
+    )
+    return out

@@ -76,14 +76,15 @@ class InferenceEngine:
     gen: GenerationConfig = dataclasses.field(default_factory=GenerationConfig)
     seq_pad_multiple: int = 128  # pad prompts to fixed buckets: fewer compiles
     cache_dtype: jnp.dtype = jnp.bfloat16
-    # Prompt-lookup speculative decoding (engine/speculative.py): used
-    # for requests whose stop condition is token-id based (the
-    # vicuna-family "</s>" templates). Exact for greedy (same text) and
-    # distribution-exact for sampling; fewer weight streams whenever
-    # the answer echoes prompt/transcript n-grams. DEFAULT ON: measured
-    # 3.4x decode speedup in the high-acceptance (prompt-echoing QA)
-    # regime with ~4% worst-case overhead on chip; opt out with
-    # speculative=False.
+    # Prompt-lookup speculative decoding (engine/speculative.py).
+    # Token-id-stop templates ("</s>") run the one-program PLD loop;
+    # textual-stop templates ("###" styles) run the SAME loop in
+    # host-checked chunks via generate_with_keywords(speculative=True).
+    # Exact for greedy (same text) and distribution-exact for sampling;
+    # fewer weight streams whenever the answer echoes prompt/transcript
+    # n-grams. DEFAULT ON: measured 3.4x decode speedup in the
+    # high-acceptance (prompt-echoing QA) regime with ~4% worst-case
+    # overhead on chip; opt out with speculative=False.
     speculative: bool = True
     # ('data','model') Mesh when params are TP-sharded (model_init
     # mesh_model>1); consumers that keep persistent device state (the
@@ -153,6 +154,10 @@ class InferenceEngine:
                 self.params, cfg, gen, input_ids, s_real, feats, rng,
                 tok, stop_str, cache_dtype=self.cache_dtype,
             )
+        # Textual-stop templates run the SAME speculative loop in host-
+        # checked chunks (generate_with_keywords speculative=True) —
+        # the chunked keyword check bounds the overrun, so '###'-style
+        # templates no longer silently lose the 1.5-3x echo speedup.
         text, _ = self._generate_keywords(
             gen, input_ids, s_real, feats, rng, stop_str, keywords
         )
@@ -177,6 +182,7 @@ class InferenceEngine:
             decode_fn=lambda t: tok.decode(t, skip_special_tokens=True),
             keywords=keywords,
             cache_dtype=self.cache_dtype,
+            speculative=self.speculative,
         )
 
 

@@ -119,6 +119,7 @@ class ChatModel:
             cache_dtype=self.cache_dtype,
             on_delta=on_delta,
             postprocess=_post,
+            speculative=self.speculative,
         )
         return text
 
