@@ -131,6 +131,9 @@ class _CachingStubSegmenter:
     routes per-frame calls through the cache."""
 
     supports_frame_cache = True
+    # The tracker gates embedding precompute on the SEGMENTER's own
+    # batching knob (independent of detect_batch_size).
+    encode_batch_size = 4
 
     def __init__(self):
         self.precomputed = []
@@ -138,10 +141,15 @@ class _CachingStubSegmenter:
         self.cached_calls = 0
         self.uncached_calls = 0
         self.cleared = 0
+        self.max_resident = 0
+
+    def num_cached_embeddings(self):
+        return len(self.cache)
 
     def precompute_embeddings(self, frames, frame_indices):
         self.precomputed.append(list(frame_indices))
         self.cache.update(frame_indices)
+        self.max_resident = max(self.max_resident, len(self.cache))
 
     def discard_embedding(self, frame_index):
         self.cache.discard(frame_index)
@@ -177,8 +185,8 @@ def test_segmenter_embedding_precompute_used():
     )
     got = tracked.run_on_list_of_images(frames, ["red square"])
 
-    # one precompute covering the 6 detection frames; every
-    # detect_and_segment hit the cache
+    # the 6 detection frames all precompute (window 8 covers them in
+    # one batch); every detect_and_segment hit the cache
     assert seg.precomputed == [[0, 2, 4, 6, 8, 10]]
     assert seg.cached_calls == 6
     assert seg.uncached_calls == 0
@@ -188,3 +196,43 @@ def test_segmenter_embedding_precompute_used():
     for a, b in zip(ref, got):
         assert a.frame_index == b.frame_index
         np.testing.assert_allclose(a.masks, b.masks)
+
+
+def test_segmenter_embedding_prefetch_window_bounds_residency():
+    """SAM embeddings are ~4 MB each; the tracker must keep a bounded
+    sliding window resident, not all detection frames of the clip
+    (advisor finding r2: unbounded HBM growth with video length)."""
+    frames, _ = _make_video(n=11)
+    seg = _CachingStubSegmenter()
+    det = _BatchStubDetector()
+    tracked = GroundedTracker(
+        detector=det, segmenter=seg, detect_batch_size=4,
+        detection_every=2, emb_prefetch_frames=2,
+        tracker_cfg=TrackerConfig(max_objects=4, patch=4, temperature=0.02),
+    )
+    got = tracked.run_on_list_of_images(frames, ["red square"])
+    assert len(got) == 11
+    # never more than the window resident; all frames still served from
+    # the cache (prefetch keeps up with the cursor)
+    assert seg.max_resident <= 2
+    assert seg.cached_calls == 6
+    assert seg.uncached_calls == 0
+    # streamed in several small batches rather than one big precompute
+    assert len(seg.precomputed) >= 3
+    assert sorted(i for b in seg.precomputed for i in b) == [0, 2, 4, 6, 8, 10]
+
+
+def test_segmenter_precompute_independent_of_detector_batching():
+    """detect_batch_size=1 (detector batching off) must NOT disable SAM
+    encoder amortization — the two knobs are independent (advisor
+    finding r2)."""
+    frames, _ = _make_video(n=7)
+    seg = _CachingStubSegmenter()
+    tracked = GroundedTracker(
+        detector=_stub_detector, segmenter=seg, detect_batch_size=1,
+        detection_every=2,
+        tracker_cfg=TrackerConfig(max_objects=4, patch=4, temperature=0.02),
+    )
+    tracked.run_on_list_of_images(frames, ["red square"])
+    assert seg.cached_calls == 4
+    assert seg.uncached_calls == 0

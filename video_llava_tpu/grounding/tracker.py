@@ -68,12 +68,20 @@ class GroundedTracker:
     # per-frame loop (grounding_new_api.py:448-521) cannot. The last
     # chunk pads by repeating frames so every chunk compiles once.
     detect_batch_size: int = 4
+    # Max SAM image embeddings resident at once: embeddings are ~4 MB
+    # each (64x64x256 f32), so precomputing ALL detection frames of a
+    # long clip upfront grows HBM linearly with video length. Instead a
+    # sliding window of this many detection frames is kept encoded ahead
+    # of the processing cursor (run_on_list_of_images tops it up before
+    # each detection frame; consumed embeddings are popped on use).
+    emb_prefetch_frames: int = 8
 
     def __post_init__(self):
         self.tracker = self.propagator or MemoryTracker(self.tracker_cfg)
         self._objects: List[ObjectInfo] = []
         self._buffer: List[Tuple[int, np.ndarray, np.ndarray, List[ObjectInfo]]] = []
         self._det_cache: Dict[int, Tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        self._emb_plan: List[int] = []
 
     # -- lifecycle (reference init_tracker/clear_tracker) --------------------
 
@@ -82,6 +90,7 @@ class GroundedTracker:
         self._objects = []
         self._buffer = []
         self._det_cache = {}
+        self._emb_plan = []
         clear_cache = getattr(self.segmenter, "clear_cache", None)
         if clear_cache is not None:
             clear_cache()
@@ -109,10 +118,41 @@ class GroundedTracker:
                     self._det_cache[i] = res
         # SAM's image encoder is frame-independent too: batch-encode the
         # detection frames so detect_and_segment only runs the light
-        # prompt+mask decoder per frame.
+        # prompt+mask decoder per frame. Gated on the SEGMENTER's own
+        # batching knob (independent of detect_batch_size: disabling
+        # detector batching must not silently disable SAM amortization),
+        # and bounded: only the first emb_prefetch_frames frames encode
+        # here; the rest stream in as the cursor advances.
         precompute_emb = getattr(self.segmenter, "precompute_embeddings", None)
-        if precompute_emb is not None and self.detect_batch_size > 1:
-            precompute_emb(frames, list(frame_indices))
+        if (
+            precompute_emb is not None
+            and getattr(self.segmenter, "encode_batch_size", 1) > 1
+        ):
+            self._emb_plan = [
+                i for i in frame_indices
+                if i not in getattr(self.segmenter, "_emb_cache", {})
+            ]
+            self._prefetch_embeddings(frames)
+
+    def _prefetch_embeddings(self, frames: Sequence[np.ndarray]) -> None:
+        """Top up the sliding window of precomputed SAM embeddings: keep
+        up to `emb_prefetch_frames` detection frames encoded ahead of the
+        cursor (bounds HBM at ~4 MB x window instead of growing with
+        video length)."""
+        if not self._emb_plan:
+            return
+        precompute_emb = getattr(self.segmenter, "precompute_embeddings", None)
+        if precompute_emb is None:
+            return
+        count = getattr(self.segmenter, "num_cached_embeddings", None)
+        cached = count() if callable(count) else 0
+        room = self.emb_prefetch_frames - cached
+        if room <= 0:
+            return
+        batch, self._emb_plan = (
+            self._emb_plan[:room], self._emb_plan[room:]
+        )
+        precompute_emb(frames, batch)
 
     def detect_and_segment(
         self, image: np.ndarray, prompts: Sequence[str],
@@ -296,6 +336,7 @@ class GroundedTracker:
             ti = 0
             while ti < n:
                 if ti % self.detection_every == 0:
+                    self._prefetch_embeddings(frames)
                     results.extend(self.process_frame(ti, frames[ti]))
                     ti += 1
                     continue
@@ -326,6 +367,7 @@ class GroundedTracker:
                 ti = gap_end
         else:
             for ti, frame in enumerate(frames):
+                self._prefetch_embeddings(frames)
                 out = self.process_frame(ti, frame)
                 if out:
                     results.extend(out)
