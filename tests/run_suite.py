@@ -1,0 +1,102 @@
+"""Process-isolated test-suite runner.
+
+A full single-process run of the suite once segfaulted (~90% in) inside
+a torch-mirror parity test that passes in isolation and in every
+targeted run — a long-run torch+JAX CPU interaction, not a test bug
+(VERDICT r2 weak #7b). Hardening: run each torch-mirror parity module
+in its OWN pytest process (fresh interpreter: no accumulated
+torch-thread/JAX-runtime state), and everything else in one process.
+pytest-forked is not available in this image; process-per-module is the
+equivalent isolation at module granularity.
+
+Usage:
+    python tests/run_suite.py            # full suite, isolated groups
+    python tests/run_suite.py --fast     # skip @pytest.mark.slow tests
+    python tests/run_suite.py -- -x -q   # extra args after `--` go to
+                                         # every pytest invocation
+
+Exit code is nonzero if ANY group fails. CI tiers:
+    fast tier  : python tests/run_suite.py --fast   (<5 min target)
+    full tier  : python tests/run_suite.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import subprocess
+import sys
+import time
+
+TESTS_DIR = pathlib.Path(__file__).parent
+
+# Modules that instantiate torch mirror models next to JAX — each runs
+# in its own interpreter (see module docstring).
+TORCH_MIRROR_MODULES = [
+    "test_bf16_models.py",
+    "test_clip_parity.py",
+    "test_clip_text_parity.py",
+    "test_deformable.py",
+    "test_extractor_parity.py",
+    "test_grounding_dino.py",
+    "test_image.py",
+    "test_llama_parity.py",
+    "test_mobile_sam.py",
+    "test_sam.py",
+    "test_swin.py",
+    "test_weight_loading.py",
+    "test_whisper.py",
+    "test_whisper_at.py",
+    "test_xmem.py",
+]
+
+
+def run_group(paths, extra) -> int:
+    cmd = [sys.executable, "-m", "pytest", "-q", *paths, *extra]
+    print(f"$ {' '.join(cmd)}", flush=True)
+    return subprocess.call(cmd, cwd=TESTS_DIR.parent)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fast", action="store_true",
+                    help='add -m "not slow" to every invocation')
+    ap.add_argument("extra", nargs="*",
+                    help="extra pytest args (after --)")
+    args = ap.parse_args(argv)
+
+    extra = list(args.extra)
+    if args.fast:
+        extra += ["-m", "not slow"]
+
+    mirror = [
+        str(TESTS_DIR / m)
+        for m in TORCH_MIRROR_MODULES
+        if (TESTS_DIR / m).exists()
+    ]
+    rest = sorted(
+        str(p)
+        for p in TESTS_DIR.glob("test_*.py")
+        if p.name not in TORCH_MIRROR_MODULES
+    )
+
+    failures = []
+    t0 = time.time()
+    rc = run_group(rest, extra)
+    if rc not in (0, 5):  # 5 = no tests collected (e.g. all deselected)
+        failures.append(("main-group", rc))
+    for m in mirror:
+        rc = run_group([m], extra)
+        if rc not in (0, 5):
+            failures.append((pathlib.Path(m).name, rc))
+
+    dt = time.time() - t0
+    if failures:
+        print(f"\nFAILED groups ({dt:.0f}s): {failures}", flush=True)
+        return 1
+    print(f"\nAll groups passed in {dt:.0f}s", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
