@@ -134,6 +134,28 @@ def _load_self_test():
     return params, cfg, ids
 
 
+def choose_format(results: dict, max_ppl_delta_pct: float = 1.0,
+                  min_top1: float = 0.97) -> str:
+    """The documented int4->int8->bf16 fallback gate: pick the narrowest
+    format whose teacher-forced quality stays within thresholds of the
+    bf16 reference (ppl regression AND greedy top-1 agreement). Serving
+    configs should run `--preflight` once per checkpoint and pin the
+    answer; until a real-weight run exists, quoted int4/int8 latencies
+    carry 'quality unvalidated' status (README perf table)."""
+    base = results["bf16"]["perplexity"]
+    for fmt in ("int4", "int8"):
+        m = results.get(fmt)
+        if m is None:
+            continue
+        ppl_delta = 100.0 * (m["perplexity"] - base) / base
+        if (
+            ppl_delta <= max_ppl_delta_pct
+            and m.get("top1_agreement_vs_bf16", 0.0) >= min_top1
+        ):
+            return fmt
+    return "bf16"
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--weights", help="HF checkpoint dir (bin/safetensors)")
@@ -144,6 +166,12 @@ def main(argv=None):
     ap.add_argument("--seq", type=int, default=1024)
     ap.add_argument("--stride", type=int, default=512)
     ap.add_argument("--self_test", action="store_true")
+    ap.add_argument("--preflight", action="store_true",
+                    help="print the serving format decision (int4 if "
+                         "within thresholds, else int8, else bf16) as "
+                         "the last JSON line")
+    ap.add_argument("--max_ppl_delta_pct", type=float, default=1.0)
+    ap.add_argument("--min_top1", type=float, default=0.97)
     args = ap.parse_args(argv)
 
     if args.self_test:
@@ -187,12 +215,28 @@ def main(argv=None):
                     flush=True,
                 )
 
+    if args.preflight:
+        chosen = choose_format(
+            results, args.max_ppl_delta_pct, args.min_top1
+        )
+        print(
+            json.dumps(
+                {
+                    "preflight_llm_format": chosen,
+                    "max_ppl_delta_pct": args.max_ppl_delta_pct,
+                    "min_top1": args.min_top1,
+                }
+            ),
+            flush=True,
+        )
+
     if args.self_test:
         d8 = abs(
             results["int8"]["perplexity"] - results["bf16"]["perplexity"]
         ) / results["bf16"]["perplexity"]
         assert d8 < 0.25, f"int8 self-test ppl delta {d8:.3f} implausible"
         assert results["int8"]["top1_agreement_vs_bf16"] > 0.5
+        assert choose_format(results) in ("bf16", "int8", "int4")
         print("self_test OK", flush=True)
     return 0
 
