@@ -20,12 +20,21 @@ TPU-first reformulation — no gathers, only MXU matmuls and VPU masks:
     second matmul, so the whole op runs at MXU rates;
   * out-of-map corners match no iota column and contribute exactly 0,
     reproducing grid_sample's zero padding without clip/select logic;
-  * attention weights and the sum over points fold in before a
-    sublane-preserving (qb*p, d) -> (qb, p, d) reduction.
+  * meta rows are ordered P-MAJOR within each query block
+    ([p0q0..p0qb, p1q0..] instead of [q0p0..q0p3, q1p0..]), so the sum
+    over points is p-1 contiguous sublane-block adds on s — which lets
+    it run BEFORE the fold (both are linear): the fold matmul then has
+    qb rows instead of qb*p. Its N = hd(=32) pads to a full 128-lane
+    MXU tile, so every row it does not process is a direct saving —
+    measured 16.3 -> 10.1 ms per 800 px layer (chained-iteration
+    timing, v5e) with query_block=64.
 
-Per encoder layer at 800 px (q = 13294, 8 heads, 4 levels, 4 points)
-this is ~0.5 TFLOP of bf16 matmul — ~3 ms of MXU time vs the hundreds
-of ms the gather path measures.
+Tile accounting at 800 px (q = 13294, 8 heads, 4 levels, 4 points,
+hd = 32): the y-matmuls must read every value tile per query block —
+ceil(h/128) * ceil(w*hd/128) summed over levels = 49 tile-ops per
+block — which puts their floor at ~7 ms on one v5e MXU; the p-collapse
+removes 3/4 of the fold's row-tiles on top of that. Measured 10.1 ms
+sits ~40% above the read floor (mask builds + the f32 fold's residue).
 """
 
 from __future__ import annotations
@@ -42,7 +51,8 @@ from jax.experimental.pallas import tpu as pltpu
 def _kernel(meta_ref, g_ref, *refs, shapes, qb, p, hd):
     """Grid (bh, nqb). refs = [v_0..v_{L-1}, out].
 
-    meta_ref: (1, 5*L, qb*p) f32 rows [y0, dy, x0, dx, aw] per level.
+    meta_ref: (1, 5*L, p*qb) f32 rows [y0, dy, x0, dx, aw] per level,
+        P-MAJOR within the block (row k*qb + i is point k of query i).
     g_ref: (max_wd, hd) fold matrix, G[x*hd + j, j] = 1.
     v_l: (1, h_l, w_l*hd) value map for this bh.
     out: (1, qb, hd) f32.
@@ -82,13 +92,19 @@ def _kernel(meta_ref, g_ref, *refs, shapes, qb, p, hd):
         mx = jnp.where(xiota == x0, 1.0 - dx, 0.0) + jnp.where(
             xiota == x0 + 1.0, dx, 0.0
         )
-        # attention weight folds into the mask (one multiply, saves a
-        # (qp, hd) pass after the dot).
+        # attention weight stays on the f32 mask (folding it into the
+        # bf16-cast wy costs ~bf16 epsilon of accuracy).
         s = r * (mx * aw)
-        samp = jnp.dot(
-            s, g_ref[:wd, :], preferred_element_type=jnp.float32
-        )  # (qp, hd)
-        acc = acc + jnp.sum(samp.reshape(qb, p, hd), axis=1)
+        # -- sum over points BEFORE the fold (both linear): p-major row
+        # order makes this p-1 contiguous sublane-block adds, and the
+        # fold matmul — whose N=hd pads to a full 128-lane MXU tile —
+        # then runs on qb rows instead of qb*p.
+        sq = s[0:qb]
+        for k in range(1, p):
+            sq = sq + s[k * qb : (k + 1) * qb]
+        acc = acc + jnp.dot(
+            sq, g_ref[:wd, :], preferred_element_type=jnp.float32
+        )  # (qb, hd)
     out_ref[0] = acc
 
 
@@ -98,11 +114,15 @@ def multi_scale_deformable_attention_pallas(
     sampling_locations: jax.Array,  # (b, q, nh, L, P, 2) in [0, 1]
     attention_weights: jax.Array,  # (b, q, nh, L, P)
     *,
-    query_block: int = 32,
+    query_block: int = 64,
     interpret: bool = False,
 ) -> jax.Array:
     """Drop-in twin of ops.deformable.multi_scale_deformable_attention
-    -> (b, q, nh*hd)."""
+    -> (b, q, nh*hd).
+
+    query_block: queries per grid step. 64 (default) measures fastest
+    within comfortable VMEM at 800 px; 128 is marginally faster but
+    sits at the ~16 MB scoped-VMEM edge for large level-0 maps."""
     b, sum_hw, nh, hd = value.shape
     q = sampling_locations.shape[1]
     n_levels = len(spatial_shapes)
@@ -141,12 +161,18 @@ def multi_scale_deformable_attention_pallas(
     dx = xy[..., 0] - x0
     dy = xy[..., 1] - y0
     meta = jnp.stack([y0, dy, x0, dx, aw], axis=2)  # (bh, L, 5, q, p)
-    meta = meta.reshape(bh, n_levels * 5, q * n_points)
     if q_pad != q:
         # pad queries: y0 = -10 matches no row -> zero contribution.
-        pad = jnp.zeros((bh, n_levels * 5, qp_pad - q * n_points), jnp.float32)
-        pad = pad.at[:, 0::5, :].set(-10.0)
-        meta = jnp.concatenate([meta, pad], axis=-1)
+        pad = jnp.zeros(
+            (bh, n_levels, 5, q_pad - q, n_points), jnp.float32
+        ).at[:, :, 0].set(-10.0)
+        meta = jnp.concatenate([meta, pad], axis=3)
+    # p-major within each query block (see _kernel): row k*qb + i is
+    # point k of query i, so the kernel's point-sum is contiguous
+    # sublane-block adds.
+    meta = meta.reshape(bh, n_levels, 5, q_pad // qb, qb, n_points)
+    meta = meta.transpose(0, 1, 2, 3, 5, 4)
+    meta = meta.reshape(bh, n_levels * 5, qp_pad)
 
     max_wd = max(w for (_, w) in shapes) * hd
     g = jnp.equal(
