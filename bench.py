@@ -69,6 +69,17 @@ if _KV_ENV:
     CACHE_DTYPE = "int8" if _KV_ENV == "int8" else "bf16"
 else:
     CACHE_DTYPE = "int8" if LLM_DTYPE == "int8" else "bf16"
+# BENCH_FROM_VIDEO=1 starts the measured pipeline from an ENCODED VIDEO
+# FILE instead of device-resident frames: each iteration runs native
+# libav decode -> uniform 100-frame sampling -> swscale resize to 224
+# -> one uint8 host->device transfer -> normalize -> CLIP -> pooling ->
+# projector -> prefill -> decode (the reference's full inference path,
+# model_utils.py:12-52 + inference.py:86-112). The clip is synthesized
+# and encoded once (h264, 640x360, 300 frames) at BENCH_VIDEO_PATH.
+# The bit-parity extraction path decodes at native size and resizes on
+# device (media/loader.load_video_native_size + ops.image); the bench
+# uses decode-time swscale scaling — the fast production path.
+FROM_VIDEO = os.environ.get("BENCH_FROM_VIDEO", "0") == "1"
 # BENCH_MESH=DxM (e.g. 1x8) runs the same pipeline TP/DP-sharded over a
 # ('data','model') mesh — the v5e-8 serving configuration. Requires D*M
 # visible devices (real chips, or a virtual CPU mesh for correctness
@@ -255,18 +266,69 @@ def build():
     )
 
 
+def _make_clip(path: str, src_h: int = 360, src_w: int = 640,
+               n: int = 300, fps: float = 25.0) -> None:
+    """Synthesize + h264-encode a test clip once (structured content so
+    the encode is fast and the decode workload realistic)."""
+    from video_llava_tpu.media.loader import encode_video
+
+    yy, xx = np.mgrid[0:src_h, 0:src_w]
+    base = np.stack(
+        [
+            (xx * 255 // src_w).astype(np.uint8),
+            (yy * 255 // src_h).astype(np.uint8),
+            ((xx + yy) * 255 // (src_h + src_w)).astype(np.uint8),
+        ],
+        axis=-1,
+    )
+    frames = np.empty((n, src_h, src_w, 3), np.uint8)
+    for i in range(n):
+        f = np.roll(base, 5 * i, axis=1)
+        y0 = (7 * i) % (src_h - 40)
+        f[y0 : y0 + 32, 32:96] = 255  # moving box: some temporal detail
+        frames[i] = f
+    encode_video(path, frames, fps=fps)
+
+
 def main():
     from video_llava_tpu.utils.timing import measure, sync
 
     cfg, params, frames, input_ids, seq_lens, rng, fns = build()
     encode_jit, prefill_jit, e2e_jit = fns
 
-    p50 = measure(
-        lambda i: e2e_jit(
-            params, frames, input_ids, seq_lens, jax.random.PRNGKey(i)
-        ),
-        iters=5,
-    )
+    t_media = None
+    if FROM_VIDEO:
+        import time as _time
+
+        from video_llava_tpu.media.loader import load_video
+
+        clip_path = os.environ.get("BENCH_VIDEO_PATH", "/tmp/bench_clip.mp4")
+        if not os.path.exists(clip_path):
+            _make_clip(clip_path)
+        size = cfg.vision.image_size
+
+        def full(i):
+            f = load_video(clip_path, num_frm=NUM_FRAMES, shape=(size, size))
+            return e2e_jit(
+                params, jnp.asarray(f), input_ids, seq_lens,
+                jax.random.PRNGKey(i),
+            )
+
+        p50 = measure(full, iters=5)
+        # decode+sample+scale alone (host stage of the same pipeline)
+        ts = []
+        for _ in range(5):
+            t0 = _time.perf_counter()
+            load_video(clip_path, num_frm=NUM_FRAMES, shape=(size, size))
+            ts.append(_time.perf_counter() - t0)
+        t_media = float(np.median(ts))
+    else:
+        p50 = measure(
+            lambda i: e2e_jit(
+                params, frames, input_ids, seq_lens, jax.random.PRNGKey(i)
+            ),
+            iters=5,
+        )
 
     # BENCH_PROFILE=DIR captures a jax.profiler trace of one warm e2e
     # iteration (view with tensorboard/xprof or perfetto).
@@ -286,7 +348,10 @@ def main():
         lambda i: prefill_jit(params, input_ids, seq_lens, feats).logits_last,
         iters=5,
     )
-    t_decode = max(p50 - t_encode - t_prefill, 1e-9)
+    # In from_video mode the residual also carries the host decode and
+    # the uint8 frame transfer; subtract the measured decode stage so
+    # decode_tok_per_s stays comparable across modes.
+    t_decode = max(p50 - t_encode - t_prefill - (t_media or 0.0), 1e-9)
 
     result = {
         "metric": "e2e_video_qa_p50",
@@ -317,6 +382,13 @@ def main():
             "num_frames": NUM_FRAMES,
         },
     }
+    if t_media is not None:
+        result["detail"]["media_decode_s"] = round(t_media, 4)
+        result["detail"]["from_video"] = (
+            "p50 includes native libav decode of a 640x360 h264 clip, "
+            "uniform 100-frame sampling, swscale resize to 224, and the "
+            "uint8 host->device transfer"
+        )
     print(json.dumps(result))
 
 

@@ -1,0 +1,223 @@
+"""Parity: the fused whole-clip program vs the host-loop tracker.
+
+`GroundedTracker.run_on_list_of_images_fused` runs the entire
+detect->associate->write->propagate chain as one device program
+(grounding/fused_clip.py); these tests pin it to the behavior of the
+regular `run_on_list_of_images` path (binary_masks=True, online mode,
+LearnedMemoryTracker) — same masks, same object tables — plus the
+bit-pack transport and the device-resident SAM batch decode.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from video_llava_tpu.grounding import fused_clip
+from video_llava_tpu.grounding.memory_tracker import (
+    LearnedMemoryTracker, TrackerConfig,
+)
+from video_llava_tpu.grounding.tracker import GroundedTracker
+from video_llava_tpu.models import xmem
+
+H, W = 64, 96  # 16-aligned: no stride padding on either path
+MAX_O = 4
+
+
+class StubDetector:
+    """Deterministic boxes that move with the frame index; distinct
+    areas (association/area-order parity is exact, no ties)."""
+
+    def __init__(self):
+        self.calls = 0
+
+    def detect_batch(self, images, prompts):
+        images = np.asarray(images)
+        out = []
+        for image in images:
+            ti = self.calls
+            self.calls += 1
+            boxes = np.asarray(
+                [
+                    [4 + ti, 6, 4 + ti + 30, 6 + 26],
+                    [50, 20 + ti, 50 + 22, 20 + ti + 18],
+                    [10, 40, 10 + 14, 40 + 12],
+                ],
+                np.float32,
+            )
+            conf = np.asarray([0.9, 0.7, 0.5], np.float32)
+            cids = np.asarray([0, 1, 0], np.int64)
+            out.append((boxes, conf, cids))
+        return out
+
+    def __call__(self, image, prompts):
+        return self.detect_batch(np.asarray(image)[None], prompts)[0]
+
+
+class StubSegmenter:
+    supports_frame_cache = False
+    encode_batch_size = 1
+
+    def __call__(self, image, boxes):
+        h, w = image.shape[:2]
+        m = np.zeros((len(boxes), h, w), np.float32)
+        for i, b in enumerate(boxes):
+            x0, y0, x1, y1 = (max(int(v), 0) for v in b)
+            m[i, y0:y1, x0:x1] = 1.0
+        return m
+
+
+def _frames(t):
+    rng = np.random.default_rng(3)
+    return [
+        rng.integers(0, 255, size=(H, W, 3)).astype(np.uint8)
+        for _ in range(t)
+    ]
+
+
+def _make_tracker(propagator):
+    return GroundedTracker(
+        detector=StubDetector(),
+        segmenter=StubSegmenter(),
+        detection_every=5,
+        box_threshold=0.0,
+        tracker_cfg=TrackerConfig(max_objects=MAX_O),
+        propagator=propagator,
+        binary_masks=True,
+    )
+
+
+@pytest.fixture(scope="module")
+def xsetup():
+    cfg = xmem.XMemConfig(max_objects=MAX_O, mem_slots=4, top_k=8)
+    params = xmem.init_params(jax.random.PRNGKey(0), cfg)
+    return params, cfg
+
+
+def test_pack_roundtrip():
+    rng = np.random.default_rng(0)
+    m = (rng.random((3, 2, 5, 16)) > 0.5).astype(np.uint8)
+    packed = np.asarray(fused_clip.pack_mask_bits(jnp.asarray(m)))
+    assert packed.shape == (3, 2, 5, 2)
+    np.testing.assert_array_equal(
+        fused_clip.unpack_mask_bits(packed, 16), m
+    )
+
+
+@pytest.mark.parametrize("t", [10, 12])  # multiple + ragged tail
+def test_fused_matches_host_loop(xsetup, t):
+    """Soft-prob parity: the fused program computes the same pipeline
+    as the host loop. (Binary comparison is ill-posed with random
+    weights — probs cluster near the 0.5 threshold, so benign batched-
+    vs-single conv float wobble flips pixels; soft masks compare with
+    a tolerance instead.)"""
+    params, cfg = xsetup
+    frames = _frames(t)
+
+    host = _make_tracker(LearnedMemoryTracker(params, cfg))
+    host.binary_masks = False
+    ref = host.run_on_list_of_images(list(frames), ["person", "dog"])
+
+    fused = _make_tracker(LearnedMemoryTracker(params, cfg))
+    got = fused.run_on_list_of_images_fused(
+        list(frames), ["person", "dog"], binary=False
+    )
+
+    assert len(ref) == len(got) == t
+    for r, g in zip(ref, got):
+        assert r.frame_index == g.frame_index
+        assert [tuple(o) for o in r.objects] == [
+            (o.id, o.category_id, pytest.approx(o.score, abs=1e-6))
+            for o in g.objects
+        ]
+        # allow a sliver of pixels where association-boundary wobble
+        # (prev>0.5 binarization feeding masks_to_boxes) shifts a box
+        # edge by one pixel between the two compilations
+        bad = np.mean(
+            np.abs(np.asarray(r.masks, np.float32) - g.masks) > 5e-3
+        )
+        assert bad < 5e-3, (r.frame_index, bad)
+
+
+def test_fused_binary_transport_matches_soft(xsetup):
+    """binary=True (packed uint8) is the thresholded soft output."""
+    params, cfg = xsetup
+    frames = _frames(10)
+    a = _make_tracker(LearnedMemoryTracker(params, cfg))
+    soft = a.run_on_list_of_images_fused(
+        list(frames), ["person", "dog"], binary=False
+    )
+    b = _make_tracker(LearnedMemoryTracker(params, cfg))
+    b.detector = StubDetector()
+    hard = b.run_on_list_of_images_fused(
+        list(frames), ["person", "dog"], binary=True
+    )
+    for s, h in zip(soft, hard):
+        assert h.masks.dtype == np.uint8
+        # identical program up to the final threshold+pack ops; allow a
+        # sliver of exactly-at-threshold wobble between the two compiles
+        diff = np.mean((s.masks > 0.5).astype(np.uint8) != h.masks)
+        assert diff < 1e-2, (s.frame_index, diff)
+
+
+def test_fused_no_detections(xsetup):
+    """Zero detections anywhere: all-zero masks, no objects, no NaNs."""
+    params, cfg = xsetup
+
+    class NoDet(StubDetector):
+        def detect_batch(self, images, prompts):
+            z = (
+                np.zeros((0, 4), np.float32),
+                np.zeros((0,), np.float32),
+                np.zeros((0,), np.int64),
+            )
+            return [z for _ in range(len(np.asarray(images)))]
+
+    tr = _make_tracker(LearnedMemoryTracker(params, cfg))
+    tr.detector = NoDet()
+    out = tr.run_on_list_of_images_fused(_frames(10), ["person"])
+    assert len(out) == 10
+    for r in out:
+        assert r.objects == []
+        assert r.masks.sum() == 0
+
+
+def test_fused_rejects_unsupported_configs(xsetup):
+    params, cfg = xsetup
+    tr = _make_tracker(LearnedMemoryTracker(params, cfg))
+    tr.temporal_setting = "semionline"
+    with pytest.raises(NotImplementedError):
+        tr.run_on_list_of_images_fused(_frames(5), ["person"])
+    tr2 = _make_tracker(None)  # handcrafted STM propagator
+    with pytest.raises(NotImplementedError):
+        tr2.run_on_list_of_images_fused(_frames(5), ["person"])
+
+
+def test_sam_batch_decode_matches_call():
+    """decode_masks_batch_device == per-frame __call__ masks."""
+    from video_llava_tpu.grounding.builders import (
+        SamSegmenter, _random_sam_params,
+    )
+    from video_llava_tpu.models.sam import SamConfig
+
+    cfg = SamConfig.tiny_test()
+    params = _random_sam_params(cfg)
+    seg = SamSegmenter(params, cfg, encode_batch_size=2)
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 255, size=(3, 48, 80, 3)).astype(np.uint8)
+    boxes = np.asarray(
+        [
+            [[4, 4, 40, 30], [10, 12, 60, 44]],
+            [[0, 0, 30, 30], [20, 10, 70, 40]],
+            [[5, 5, 20, 20], [30, 20, 75, 45]],
+        ],
+        np.float32,
+    )
+    batched = np.asarray(
+        seg.decode_masks_batch_device(frames, boxes, out_hw=(48, 80))
+    )
+    assert batched.shape == (3, 2, 48, 80)
+    for f in range(3):
+        ref = seg(frames[f], boxes[f]) > 0.5
+        np.testing.assert_array_equal(batched[f].astype(bool), ref)

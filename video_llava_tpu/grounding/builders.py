@@ -70,7 +70,25 @@ class SamSegmenter:
         self._decode = jax.jit(
             lambda p, e, bx: sam_mod.predict_from_embeddings(p, e, bx, cfg)
         )
+        # preprocess + encode fused into ONE device program taking RAW
+        # uint8 frames: one (cheap) host->device transfer and one
+        # dispatch per batch, with the f32 cast / resize / normalize on
+        # device (the eager composition cost ~5 host round trips and a
+        # 4x larger transfer per frame over a tunneled TPU).
+        size = cfg.vision.image_size
+        dtype = next(iter(jax.tree.leaves(params))).dtype
+
+        def _prep(raw):  # (k, H, W, 3) uint8 -> (k, size, size, 3)
+            x = resize_bicubic(raw.astype(jnp.float32), size, size)
+            return normalize_clip(
+                jnp.clip(jnp.round(x), 0, 255)
+            ).astype(dtype)
+
+        self._encode_raw = jax.jit(
+            lambda p, raw: encode_fn(p, _prep(raw))
+        )
         self._emb_cache: dict = {}
+        self._batch_decode_cache: dict = {}
 
     def _preprocess(self, image: np.ndarray) -> jnp.ndarray:
         size = self.cfg.vision.image_size
@@ -97,10 +115,79 @@ class SamSegmenter:
         for start in range(0, len(idx), k):
             chunk = idx[start : start + k]
             padded = chunk + [chunk[-1]] * (k - len(chunk))
-            pixels = jnp.stack([self._preprocess(frames[i]) for i in padded])
-            emb = self._encode(self.params, pixels)  # (k, g, g, d)
+            raw = np.stack([np.asarray(frames[i]) for i in padded])
+            emb = self._encode_raw(self.params, jnp.asarray(raw))
             for j, i in enumerate(chunk):
                 self._emb_cache[i] = emb[j : j + 1]
+
+    def decode_masks_batch_device(
+        self, frames, boxes: np.ndarray,
+        out_hw: Optional[Tuple[int, int]] = None,
+    ):
+        """Batched box->mask decode whose output STAYS ON DEVICE — the
+        producer side of the fused whole-clip tracker (grounding/
+        fused_clip.py), where detection masks feed the clip scan without
+        ever visiting the host.
+
+        frames: (F, H, W, 3) uint8; boxes: (F, K, 4) xyxy pixel coords
+        (padded rows arbitrary — callers carry a validity mask).
+        Returns jax (F, K, Hp, Wp) uint8 {0,1} where (Hp, Wp) =
+        out_hw or (H, W) (zero-padded bottom/right, matching the
+        tracker's stride-16 frame padding). Same mask math as __call__:
+        best-IoU head, >0 threshold, nearest upsample from the mask
+        grid."""
+        frames = np.asarray(frames)
+        f_count, H, W = frames.shape[:3]
+        hp, wp = out_hw or (H, W)
+        size = self.cfg.vision.image_size
+        k = self.encode_batch_size
+        embs = []
+        for s in range(0, f_count, k):
+            chunk = frames[s : s + k]
+            n = len(chunk)
+            if n < k:
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], k - n, axis=0)]
+                )
+            embs.append(self._encode_raw(self.params, jnp.asarray(chunk))[:n])
+        emb = jnp.concatenate(embs, axis=0)
+        scale = np.asarray(
+            [size / W, size / H, size / W, size / H], np.float32
+        )
+        scaled = jnp.asarray(np.asarray(boxes, np.float32) * scale)
+
+        key = (H, W, hp, wp)
+        fn = self._batch_decode_cache.get(key)
+        if fn is None:
+            cfg = self.cfg
+
+            def decode(params, emb, bx):
+                masks, iou = sam_mod.predict_from_embeddings(
+                    params, emb, bx, cfg
+                )  # (F, K, 3, g, g), (F, K, 3)
+                best = jnp.argmax(iou, axis=-1)
+                m = jnp.take_along_axis(
+                    masks, best[..., None, None, None], axis=2
+                )[:, :, 0]  # (F, K, g, g)
+                g = m.shape[-1]
+                ys = jnp.clip(jnp.arange(H) * g // H, 0, g - 1)
+                xs = jnp.clip(jnp.arange(W) * g // W, 0, g - 1)
+                up = (m[:, :, ys][:, :, :, xs] > 0).astype(jnp.uint8)
+                return jnp.pad(
+                    up, ((0, 0), (0, 0), (0, hp - H), (0, wp - W))
+                )
+
+            fn = jax.jit(decode)
+            self._batch_decode_cache[key] = fn
+
+        # decode in frame sub-chunks: the box-repeated embedding inside
+        # predict_from_embeddings is (F*K, g, g, d) — chunking bounds the
+        # transient without any host fetch between dispatches.
+        outs = [
+            fn(self.params, emb[s : s + 4], scaled[s : s + 4])
+            for s in range(0, f_count, 4)
+        ]
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
     def num_cached_embeddings(self) -> int:
         """Resident precomputed embeddings (the tracker's sliding-window
@@ -124,15 +211,28 @@ class SamSegmenter:
             if frame_index is not None else None
         )
         if emb is None:
-            emb = self._encode(self.params, self._preprocess(image)[None])
+            emb = self._encode_raw(self.params, jnp.asarray(image)[None])
         scale_x, scale_y = size / W, size / H
         scaled = boxes.astype(np.float32) * np.array(
             [scale_x, scale_y, scale_x, scale_y], np.float32
         )
+        # Pad the box count to a power-of-2 bucket: detection counts
+        # vary per frame, and an unpadded (1, n, 4) prompt shape would
+        # recompile the decoder for every distinct n (XLA static
+        # shapes). Padded boxes decode garbage masks that are sliced
+        # off below; each box decodes independently so real masks are
+        # unaffected.
+        n = len(scaled)
+        bucket = max(1, 1 << (n - 1).bit_length()) if n else 1
+        if bucket > n:
+            scaled = np.concatenate(
+                [scaled, np.zeros((bucket - n, 4), np.float32)]
+            )
         masks, iou = self._decode(
             self.params, emb, jnp.asarray(scaled)[None]
         )
-        masks, iou = np.asarray(masks[0]), np.asarray(iou[0])  # (n, 3, g, g)
+        masks = np.asarray(masks[0])[:n]  # (n, 3, g, g)
+        iou = np.asarray(iou[0])[:n]
         best = iou.argmax(axis=1)
         out = np.zeros((len(boxes), H, W), np.float32)
         for i, b in enumerate(best):

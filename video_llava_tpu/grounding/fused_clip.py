@@ -1,0 +1,376 @@
+"""Whole-clip fused grounded tracking: ONE device program per clip.
+
+The reference's hot loop (grounding_evaluation/grounding_new_api.py:
+448-521) interleaves per-frame host work — GroundingDINO every Nth
+frame, SAM masks, detection<->track association, DEVA propagation —
+with ~150 device dispatches and tens of MB of host<->device mask
+traffic per 100-frame clip. GroundedTracker.run_on_list_of_images
+already batches detection and chunk-propagates the gaps, but still
+pays per-segment transfers (frames up, masks down, SAM masks down,
+association round trips).
+
+This module fuses the ENTIRE clip into one XLA program
+(`run_clip_fused`): frames upload once as uint8, the precomputed
+per-detection-frame SAM masks stay device-resident, the
+detect->associate->write->propagate chain runs as a
+`lax.scan` over detection segments (batched key encode per segment on
+the MXU, sequential memory read/decode/GRU inside), and the output
+masks come back ONCE, thresholded and bit-packed on device (32x less
+device->host traffic than f32 soft masks).
+
+Semantics mirror GroundedTracker's host loop exactly (association
+greedy, area ordering, memory-write cadence) — parity-tested in
+tests/test_fused_clip.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from video_llava_tpu.models import xmem
+from video_llava_tpu.models.xmem import XMemConfig, XMemState
+from video_llava_tpu.ops.box_ops import box_iou, masks_to_boxes
+
+# -- bit-packed mask transport -------------------------------------------------
+
+_BITS = np.asarray([128, 64, 32, 16, 8, 4, 2, 1], np.uint8)  # MSB-first
+
+
+def pack_mask_bits(masks: jax.Array) -> jax.Array:
+    """(..., W) uint8/bool {0,1} -> (..., W/8) uint8, MSB-first (numpy
+    `unpackbits` convention). W must be a multiple of 8. Runs on device:
+    the packed masks are 8x cheaper to fetch than uint8, 32x than f32."""
+    w = masks.shape[-1]
+    assert w % 8 == 0, w
+    m = masks.astype(jnp.uint8).reshape(masks.shape[:-1] + (w // 8, 8))
+    return jnp.sum(m * jnp.asarray(_BITS), axis=-1, dtype=jnp.uint8)
+
+
+def unpack_mask_bits(packed: np.ndarray, w: int) -> np.ndarray:
+    """Host inverse of pack_mask_bits -> (..., w) uint8 {0,1}."""
+    out = np.unpackbits(packed, axis=-1)
+    return out[..., :w]
+
+
+# -- association (device mirror of GroundedTracker._incorporate) ---------------
+
+
+class ObjTable(NamedTuple):
+    """Per-slot object bookkeeping carried through the clip scan (the
+    device twin of GroundedTracker._objects)."""
+
+    category: jax.Array  # (O,) int32
+    score: jax.Array  # (O,) f32
+    count: jax.Array  # () int32 == state.num_objects
+
+
+def _area_order(det_masks, det_valid, det_cat, det_score):
+    """Sort detections by descending mask area (invalid last) — the
+    host path's painting order (tracker.detect_and_segment sorts by
+    area so new-object slot ids match)."""
+    areas = jnp.sum(det_masks > 0, axis=(1, 2)).astype(jnp.float32)
+    areas = jnp.where(det_valid, areas, -1.0)
+    order = jnp.argsort(-areas)
+    return (
+        det_masks[order], det_valid[order], det_cat[order],
+        det_score[order],
+    )
+
+
+def associate(
+    prev_prob: jax.Array,  # (O, H, W) f32 propagated masks
+    det_masks: jax.Array,  # (K, H, W) f32 {0,1}, area-ordered
+    det_valid: jax.Array,  # (K,) bool
+    det_cat: jax.Array,  # (K,) int32
+    det_score: jax.Array,  # (K,) f32
+    table: ObjTable,
+    iou_threshold: float,
+    binary: bool,
+) -> Tuple[jax.Array, ObjTable]:
+    """Device mirror of GroundedTracker._incorporate's greedy matching:
+    each detection (in area order) takes the argmax-IoU track if the
+    IoU clears the threshold and that track is unclaimed; otherwise it
+    becomes a new object (while slots remain). Unmatched tracks keep
+    their propagated mask. -> (slots (O, H, W) f32, new table)."""
+    max_o = prev_prob.shape[0]
+    prev_bin = prev_prob > 0.5
+    slots = prev_bin.astype(jnp.float32) if binary else prev_prob
+
+    det_boxes = masks_to_boxes(det_masks > 0)
+    prev_boxes = masks_to_boxes(prev_bin)
+    iou = box_iou(det_boxes, prev_boxes)[0]  # (K, O)
+    # tracks beyond count are empty masks -> zero boxes -> IoU 0, but
+    # mask them explicitly anyway
+    alive = jnp.arange(max_o) < table.count
+    iou = jnp.where(alive[None, :], iou, 0.0)
+
+    def body(d, carry):
+        slots, used, cat, score, cnt = carry
+        j = jnp.argmax(iou[d])
+        matched = det_valid[d] & (iou[d, j] >= iou_threshold) & ~used[j]
+        slots = jnp.where(
+            matched,
+            slots.at[j].set(det_masks[d]),
+            slots,
+        )
+        used = used.at[j].set(used[j] | matched)
+        # new object: next free slot (host: new_id = len(objects))
+        can_new = det_valid[d] & ~matched & (cnt < max_o)
+        new = jnp.clip(cnt, 0, max_o - 1)
+        slots = jnp.where(can_new, slots.at[new].set(det_masks[d]), slots)
+        cat = jnp.where(can_new, cat.at[new].set(det_cat[d]), cat)
+        score = jnp.where(can_new, score.at[new].set(det_score[d]), score)
+        cnt = cnt + can_new.astype(jnp.int32)
+        return slots, used, cat, score, cnt
+
+    slots, _, cat, score, cnt = jax.lax.fori_loop(
+        0, det_masks.shape[0], body,
+        (slots, jnp.zeros((max_o,), bool), table.category, table.score,
+         table.count),
+    )
+    return slots, ObjTable(cat, score, cnt)
+
+
+# -- the fused clip program ----------------------------------------------------
+
+
+def _batched_key_encode(params, frames):
+    """(E, H, W, 3) -> per-frame key-encoder outputs, batched on the
+    MXU (same math as xmem.encode_key; the batched form is what
+    propagate_chunk uses)."""
+    x = xmem.normalize_frame(frames)
+    f4, f8, f16 = xmem.trunk_forward(
+        params["key_encoder"], x, xmem.KEY_TRUNK
+    )
+    kp = params["key_proj"]
+    key = xmem.conv2d(kp["key_proj"], f16)
+    shrinkage = jnp.square(xmem.conv2d(kp["d_proj"], f16))[..., 0] + 1.0
+    selection = jax.nn.sigmoid(xmem.conv2d(kp["e_proj"], f16))
+    return f4, f8, f16, key, shrinkage, selection
+
+
+def _read_decode(params, state: XMemState, f16, f8, f4, key, sel, cfg):
+    """Memory read + grouped decode for one frame -> (prob (O, H, W),
+    new hidden). Identical to the body of xmem.propagate_step."""
+    h16, w16 = key.shape[:2]
+    n = h16 * w16
+    readout = xmem.read_memory(
+        state.keys.reshape(-1, cfg.key_dim),
+        state.shrinkage.reshape(-1),
+        state.values.reshape(-1, cfg.max_objects, cfg.value_dim),
+        jnp.repeat(state.slot_valid, n),
+        key.reshape(n, -1),
+        sel.reshape(n, -1),
+        cfg.top_k,
+    ).transpose(1, 0, 2).reshape(
+        cfg.max_objects, h16, w16, cfg.value_dim
+    )
+    logits, hidden = xmem.decode(
+        params, f16, f8, f4, state.hidden, readout, update_hidden=True
+    )
+    obj_valid = (
+        jnp.arange(cfg.max_objects) < state.num_objects
+    )[:, None, None]
+    prob = jax.nn.sigmoid(logits) * obj_valid
+    return xmem.aggregate(prob)[1:], hidden
+
+
+def _value_write(params, state: XMemState, frame, f16, key, shr, masks,
+                 cfg, deep: jax.Array) -> XMemState:
+    """encode_value + ring write (the body of xmem.add_reference_step /
+    the write arm of propagate_step), with `deep` as a traced bool."""
+    value, hidden_deep = xmem.encode_value(
+        params, frame, f16, state.hidden, masks, deep_update=True
+    )
+    state = state._replace(
+        hidden=jnp.where(deep, hidden_deep, state.hidden)
+    )
+    h16, w16 = key.shape[:2]
+    n = h16 * w16
+    return xmem._write(
+        state,
+        key.reshape(n, -1),
+        shr.reshape(n),
+        value.reshape(cfg.max_objects, n, -1).transpose(1, 0, 2),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "detect_every", "iou_threshold", "binary",
+                     "pack"),
+)
+def run_clip_fused(
+    params,
+    state: XMemState,
+    frames: jax.Array,  # (T, H, W, 3) uint8 (or f32 in [0,1])
+    det_masks: jax.Array,  # (F, K, H, W) uint8/f32 {0,1}
+    det_valid: jax.Array,  # (F, K) bool
+    det_cat: jax.Array,  # (F, K) int32
+    det_score: jax.Array,  # (F, K) f32
+    frame_valid: jax.Array,  # (T,) bool — padding tail frames are False
+    table: ObjTable,
+    cfg: XMemConfig,
+    detect_every: int,
+    iou_threshold: float = 0.5,
+    binary: bool = True,
+    pack: bool = True,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, XMemState]:
+    """The whole grounded clip as ONE program. T = F * detect_every;
+    frame s*detect_every is segment s's detection frame, whose
+    (NMS-filtered, SAM-decoded, device-resident) masks incorporate via
+    the same greedy association as GroundedTracker._incorporate; the
+    gap frames propagate like xmem.propagate_chunk (same mem_every /
+    deep_update cadence on the global frame index).
+
+    Returns (masks (T, O, H, W/8) packed uint8 — or (T, O, H, W) uint8
+    {0,1} if pack=False, or f32 soft if binary=False —, obj categories
+    (F, O) int32, obj scores (F, O) f32, obj counts (F,) int32
+    [post-detection snapshot per segment], final state).
+    """
+    E = detect_every
+    T = frames.shape[0]
+    F = T // E
+    assert F * E == T, (T, E)
+
+    seg_frames = frames.reshape((F, E) + frames.shape[1:])
+    seg_valid = frame_valid.reshape(F, E)
+
+    # The memory-write cadence carries LearnedMemoryTracker's
+    # _frame_idx through the scan rather than precomputing flags from
+    # the raw frame number: the host loop's detection frames advance
+    # the counter TWICE (the propagate step of _incorporate, then
+    # add_reference), so gap writes fire at
+    # (t + detections_so_far) % mem_every == 0 — and the counter only
+    # starts once tracking starts (no detections yet => no advance).
+
+    def seg_body(carry, inp):
+        state, table, fidx = carry
+        (sframes, det_m, det_v, det_c, det_s, s_ok) = inp
+        # cast the segment's detection masks (uint8 transport) here, not
+        # the whole (F, K, H, W) array — a clip-wide f32 copy would hold
+        # ~1 GB at the 100-frame bench shape
+        det_m = det_m.astype(jnp.float32)
+        f4, f8, f16, key, shr, sel = _batched_key_encode(params, sframes)
+
+        # ---- detection frame (index 0): incorporate + reference write
+        det_m, det_v, det_c, det_s = _area_order(det_m, det_v, det_c,
+                                                 det_s)
+        has_obj = table.count > 0
+
+        def with_step(_):
+            return _read_decode(
+                params, state, f16[0], f8[0], f4[0], key[0], sel[0], cfg
+            )
+
+        def without_step(_):
+            o = cfg.max_objects
+            return (
+                jnp.zeros((o,) + sframes.shape[1:3], jnp.float32),
+                state.hidden,
+            )
+
+        stepped = has_obj & s_ok[0]
+        prev_prob, hidden = jax.lax.cond(
+            stepped, with_step, without_step, None
+        )
+        fidx = fidx + stepped.astype(jnp.int32)
+        st = state._replace(hidden=hidden)
+        slots, new_table = associate(
+            prev_prob, det_m, det_v, det_c, det_s, table,
+            iou_threshold, binary,
+        )
+        table = jax.tree.map(
+            lambda a, b: jnp.where(s_ok[0], a, b), new_table, table
+        )
+
+        def write(s):
+            # host parity: GroundedTracker._incorporate hands
+            # add_reference the FULL (max_objects, H, W) slot array, so
+            # LearnedMemoryTracker sets num_objects = max_objects after
+            # the first reference (empty slots decode to ~0 and the
+            # object table governs what is reported)
+            s = s._replace(num_objects=jnp.int32(cfg.max_objects))
+            # raw frame: encode_value normalizes internally
+            return _value_write(
+                params, s, sframes[0], f16[0], key[0], shr[0], slots,
+                cfg, deep=jnp.asarray(True),
+            )
+
+        wrote = (table.count > 0) & s_ok[0]
+        st = jax.lax.cond(wrote, write, lambda s: s, st)
+        fidx = fidx + wrote.astype(jnp.int32)
+        out0 = (slots > 0.5).astype(jnp.uint8) if binary else slots
+        state = st
+
+        # ---- gap frames 1..E-1: chunk propagation
+        def gap_body(carry, g):
+            st, fidx = carry
+            f16_t, f8_t, f4_t, key_t, shr_t, sel_t, frame_t, ok = g
+            run = (st.num_objects > 0) & ok
+            u = run & ((fidx % cfg.mem_every) == 0)
+            dp = u & ((fidx % cfg.deep_update_every) == 0)
+
+            def live(_):
+                prob, hidden = _read_decode(
+                    params, st, f16_t, f8_t, f4_t, key_t, sel_t, cfg
+                )
+                s2 = st._replace(hidden=hidden)
+
+                def w(s):
+                    return _value_write(
+                        params, s, frame_t, f16_t, key_t, shr_t, prob,
+                        cfg, deep=dp,
+                    )
+
+                s2 = jax.lax.cond(u, w, lambda s: s, s2)
+                return prob, s2
+
+            def dead(_):
+                o = cfg.max_objects
+                return (
+                    jnp.zeros((o,) + frame_t.shape[:2], jnp.float32),
+                    st,
+                )
+
+            prob, st = jax.lax.cond(run, live, dead, None)
+            fidx = fidx + run.astype(jnp.int32)
+            out = (prob > 0.5).astype(jnp.uint8) if binary else prob
+            return (st, fidx), out
+
+        if E > 1:
+            (state, fidx), gap_out = jax.lax.scan(
+                gap_body, (state, fidx),
+                (f16[1:], f8[1:], f4[1:], key[1:], shr[1:], sel[1:],
+                 sframes[1:], s_ok[1:]),
+            )
+            seg_out = jnp.concatenate([out0[None], gap_out], axis=0)
+        else:
+            seg_out = out0[None]
+        if pack:
+            seg_out = pack_mask_bits(seg_out)
+        return (state, table, fidx), (seg_out, table.category,
+                                      table.score, table.count)
+
+    (state, table, _), (outs, cats, scores, counts) = jax.lax.scan(
+        seg_body, (state, table, jnp.zeros((), jnp.int32)),
+        (seg_frames, det_masks, det_valid, det_cat, det_score,
+         seg_valid),
+    )
+    masks = outs.reshape((T,) + outs.shape[2:])
+    return masks, cats, scores, counts, state
+
+
+def init_table(cfg: XMemConfig) -> ObjTable:
+    o = cfg.max_objects
+    return ObjTable(
+        category=jnp.zeros((o,), jnp.int32),
+        score=jnp.zeros((o,), jnp.float32),
+        count=jnp.zeros((), jnp.int32),
+    )

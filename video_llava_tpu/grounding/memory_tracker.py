@@ -47,8 +47,11 @@ class TrackerState(NamedTuple):
 
 def default_features(frame: jax.Array, cfg: TrackerConfig) -> jax.Array:
     """Handcrafted pixel features: patch-mean RGB (unit-scaled) ++
-    spatial coordinates. frame: (H, W, 3) float in [0,1] ->
+    spatial coordinates. frame: (H, W, 3) float in [0,1] — or uint8,
+    cast /255 on DEVICE (so callers transfer raw bytes) ->
     (N = (H/p)*(W/p), 5)."""
+    if frame.dtype == jnp.uint8:
+        frame = frame.astype(jnp.float32) / 255.0
     p = cfg.patch
     H, W, _ = frame.shape
     gh, gw = H // p, W // p
@@ -107,12 +110,14 @@ def write_memory(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "update_memory"))
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "update_memory", "binary"))
 def _default_step(
     state: TrackerState,
     frame: jax.Array,
     cfg: TrackerConfig,
     update_memory: bool,
+    binary: bool = False,
 ):
     """Whole tracker step as ONE device program (features + memory read
     + optional confident write + mask upsample): the eager composition
@@ -124,6 +129,8 @@ def _default_step(
         conf = jnp.where(grid > 0.5, grid, 0.0)
         state = write_memory(state, feats, conf, state.num_objects)
     masks = grid_to_masks(grid, (frame.shape[0], frame.shape[1]), cfg)
+    if binary:
+        masks = (masks > 0.5).astype(jnp.uint8)
     return masks, state
 
 
@@ -191,16 +198,20 @@ class MemoryTracker:
         self.state = None
 
     def add_reference(self, frame: np.ndarray, masks: np.ndarray) -> None:
-        """frame: (H, W, 3) in [0,1]; masks: (O, H, W) binary. Pads
-        objects to max_objects."""
-        frame = jnp.asarray(frame, jnp.float32)
+        """frame: (H, W, 3) in [0,1], or uint8 (cast /255 on device);
+        masks: (O, H, W) binary (f32 or uint8). Pads objects to
+        max_objects."""
+        frame = jnp.asarray(frame) if frame.dtype == np.uint8 else (
+            jnp.asarray(frame, jnp.float32)
+        )
         o = masks.shape[0]
         pad = self.cfg.max_objects - o
         if pad < 0:
             masks = masks[: self.cfg.max_objects]
             o, pad = self.cfg.max_objects, 0
+        mdtype = np.uint8 if masks.dtype == np.uint8 else np.float32
         masks = jnp.asarray(
-            np.pad(masks.astype(np.float32), ((0, pad), (0, 0), (0, 0)))
+            np.pad(masks.astype(mdtype), ((0, pad), (0, 0), (0, 0)))
         )
         if self.state is None or self._hw != tuple(frame.shape[:2]):
             feats_shape = jax.eval_shape(self.feature_fn, frame)
@@ -219,13 +230,18 @@ class MemoryTracker:
             self.state, feats, grid, jnp.int32(o)
         )
 
-    def step(self, frame: np.ndarray, update_memory: bool = True) -> np.ndarray:
-        """Propagate to a new frame -> (max_objects, H, W) soft masks."""
+    def step(self, frame: np.ndarray, update_memory: bool = True,
+             binary: bool = False) -> np.ndarray:
+        """Propagate to a new frame -> (max_objects, H, W) soft masks
+        (binary=True: uint8 {0,1}, thresholded on device)."""
         assert self.state is not None, "add_reference first"
-        frame = jnp.asarray(frame, jnp.float32)
+        frame = jnp.asarray(frame) if frame.dtype == np.uint8 else (
+            jnp.asarray(frame, jnp.float32)
+        )
         if self._fused:
             masks, self.state = _default_step(
-                self.state, frame, self.cfg, bool(update_memory)
+                self.state, frame, self.cfg, bool(update_memory),
+                binary=bool(binary),
             )
             return np.asarray(masks)
         feats = self.feature_fn(frame)
@@ -237,6 +253,8 @@ class MemoryTracker:
                 self.state, feats, conf, self.state.num_objects
             )
         masks = grid_to_masks(grid, self._hw, self.cfg)
+        if binary:
+            masks = (masks > 0.5).astype(jnp.uint8)
         return np.asarray(masks)
 
     @property
@@ -279,10 +297,15 @@ class LearnedMemoryTracker:
         ph, pw = -h % 16, -w % 16
         if ph or pw:
             frame = np.pad(frame, ((0, ph), (0, pw), (0, 0)), mode="edge")
+        # uint8 frames transfer raw and cast /255 on device
+        # (xmem.normalize_frame); floats normalize to f32 on host.
+        if frame.dtype == np.uint8:
+            return jnp.asarray(frame)
         return jnp.asarray(frame, jnp.float32)
 
     def add_reference(self, frame: np.ndarray, masks: np.ndarray) -> None:
-        """frame: (H, W, 3) in [0,1]; masks: (O, H, W) binary."""
+        """frame: (H, W, 3) in [0,1] or uint8; masks: (O, H, W) binary
+        (f32 or uint8 — uint8 transfers 4x less and casts on device)."""
         self._hw = tuple(frame.shape[:2])
         o = masks.shape[0]
         pad = self.cfg.max_objects - o
@@ -291,8 +314,9 @@ class LearnedMemoryTracker:
             o, pad = self.cfg.max_objects, 0
         f = self._prep(frame)
         H, W = f.shape[:2]
-        m = np.zeros((self.cfg.max_objects, H, W), np.float32)
-        m[:o, : masks.shape[1], : masks.shape[2]] = masks.astype(np.float32)
+        mdtype = np.uint8 if masks.dtype == np.uint8 else np.float32
+        m = np.zeros((self.cfg.max_objects, H, W), mdtype)
+        m[:o, : masks.shape[1], : masks.shape[2]] = masks.astype(mdtype)
         if self.state is None or self.state.hidden.shape[1:3] != (
             H // 16, W // 16
         ):
@@ -303,10 +327,12 @@ class LearnedMemoryTracker:
         )
         self._frame_idx += 1
 
-    def step(self, frame: np.ndarray, update_memory: Optional[bool] = None
-             ) -> np.ndarray:
-        """Propagate to a new frame -> (max_objects, H, W) soft masks.
-        Memory writes follow the mem_every cadence unless forced."""
+    def step(self, frame: np.ndarray, update_memory: Optional[bool] = None,
+             binary: bool = False) -> np.ndarray:
+        """Propagate to a new frame -> (max_objects, H, W) soft masks
+        (binary=True: uint8 {0,1}, thresholded on device — 4x less
+        device->host traffic). Memory writes follow the mem_every
+        cadence unless forced."""
         assert self.state is not None, "add_reference first"
         if update_memory is None:
             update_memory = (self._frame_idx % self.cfg.mem_every) == 0
@@ -318,13 +344,14 @@ class LearnedMemoryTracker:
         prob, self.state = self._xmem.propagate_step(
             self.params, self.state, f, self.cfg,
             update_memory=bool(update_memory), deep_update=bool(deep),
+            binary=bool(binary),
         )
         self._frame_idx += 1
         H, W = self._hw
         return np.asarray(prob)[:, :H, :W]
 
     def step_chunk(
-        self, frames, pad_to: Optional[int] = None
+        self, frames, pad_to: Optional[int] = None, binary: bool = False
     ) -> np.ndarray:
         """Propagate a run of frames in ONE device program ->
         (len(frames), max_objects, H, W) soft masks.
@@ -355,7 +382,7 @@ class LearnedMemoryTracker:
         probs, self.state = self._xmem.propagate_chunk(
             self.params, self.state, jnp.stack(stack),
             jnp.asarray(upd), jnp.asarray(deep), self.cfg,
-            valid=jnp.asarray(valid),
+            valid=jnp.asarray(valid), binary=bool(binary),
         )
         self._frame_idx += t
         H, W = self._hw

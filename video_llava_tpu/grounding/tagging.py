@@ -62,10 +62,12 @@ class TaggingModule:
         self.cfg = cfg
         self.tag_list = list(tag_list)
         self.threshold = threshold
-        self._fwd = jax.jit(
+        self._logits_fn = (
             logits_fn if logits_fn is not None
             else (lambda bp, hp, px: tag_logits(bp, hp, px, cfg))
         )
+        self._fwd = jax.jit(self._logits_fn)
+        self._raw_cache = {}
 
     @classmethod
     def with_ram_decoder(
@@ -99,14 +101,76 @@ class TaggingModule:
             self._fwd(self.backbone_params, self.head_params, jnp.asarray(frames))
         )
         probs = np.asarray(probs)
+        return self._threshold_rows(probs)
+
+    def _threshold_rows(self, probs: np.ndarray) -> List[List[str]]:
         out = []
         for row in probs:
             idx = np.nonzero(row > self.threshold)[0]
             out.append([self.tag_list[i] for i in idx])
         return out
 
+    def _raw_fwd(self, image_size: int):
+        """Jitted raw-uint8 forward: cast /255, bicubic resize to the
+        RAM inference size, imagenet-normalize, Swin forward — ONE
+        device program per batch shape. Matches the reference RAM
+        transform (Resize(384) + ToTensor + Normalize(imagenet),
+        recognize-anything inference pipeline) while transferring raw
+        bytes (4x less host->device traffic than host-side f32)."""
+        fn = self._raw_cache.get(image_size)
+        if fn is None:
+            from video_llava_tpu.ops.image import resize_bicubic
+
+            mean = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
+            std = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
+            inner = self._logits_fn
+
+            def run(bp, hp, raw):
+                x = resize_bicubic(
+                    raw.astype(jnp.float32) / 255.0, image_size, image_size
+                )
+                x = (jnp.clip(x, 0.0, 1.0) - mean) / std
+                # match the backbone dtype (bf16 backbones would other-
+                # wise force f32 mixed-precision dots)
+                leaves = jax.tree.leaves(bp)
+                if leaves:
+                    x = x.astype(leaves[0].dtype)
+                return inner(bp, hp, x)
+
+            fn = jax.jit(run)
+            self._raw_cache[image_size] = fn
+        return fn
+
+    def run_on_frames_raw(
+        self, frames: np.ndarray, image_size: int = 384,
+        batch_size: int = 20,
+    ) -> List[List[str]]:
+        """frames: (t, H, W, 3) uint8 RGB -> per-frame tag lists, with
+        all preprocessing on device. Frames run in fixed-size batches
+        (last one pads by repetition) so any clip length reuses one
+        compiled program."""
+        fn = self._raw_fwd(image_size)
+        t = len(frames)
+        rows = []
+        for s in range(0, t, batch_size):
+            chunk = np.asarray(frames[s : s + batch_size])
+            n = len(chunk)
+            if n < batch_size:
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], batch_size - n, axis=0)]
+                )
+            probs = jax.nn.sigmoid(
+                fn(self.backbone_params, self.head_params,
+                   jnp.asarray(chunk))
+            )
+            rows.append(np.asarray(probs)[:n])
+        return self._threshold_rows(np.concatenate(rows, axis=0))
+
     def run_on_video(self, frames: np.ndarray, top_k: int = 10) -> List[str]:
-        per_frame = self.run_on_frames(frames)
+        if frames.dtype == np.uint8:
+            per_frame = self.run_on_frames_raw(frames)
+        else:
+            per_frame = self.run_on_frames(frames)
         return get_unique_tags(per_frame)[:top_k]
 
 

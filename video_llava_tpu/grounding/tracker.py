@@ -24,8 +24,27 @@ import numpy as np
 
 import jax.numpy as jnp
 
+import jax
+
 from video_llava_tpu.grounding.memory_tracker import MemoryTracker, TrackerConfig
 from video_llava_tpu.ops.box_ops import box_iou, masks_to_boxes, nms
+
+
+# all detection frames' NMS in ONE program (the per-frame jit costs a
+# tunnel round trip each over the fused path's 20 detection frames)
+_nms_frames = jax.jit(
+    jax.vmap(nms, in_axes=(0, 0, None)), static_argnums=()
+)
+
+
+@jax.jit
+def _mask_match_iou(det_masks, prev_masks):
+    """detection/track association scores in ONE device program:
+    masks -> boxes for both sides + pairwise IoU (the eager composition
+    costs 3 dispatches + fetches per detection frame)."""
+    det_boxes = masks_to_boxes(det_masks > 0)
+    prev_boxes = masks_to_boxes(prev_masks > 0.5)
+    return box_iou(det_boxes, prev_boxes)[0]
 
 Detector = Callable[[np.ndarray, Sequence[str]], Tuple[np.ndarray, np.ndarray, np.ndarray]]
 Segmenter = Callable[[np.ndarray, np.ndarray], np.ndarray]
@@ -75,6 +94,11 @@ class GroundedTracker:
     # of the processing cursor (run_on_list_of_images tops it up before
     # each detection frame; consumed embeddings are popped on use).
     emb_prefetch_frames: int = 8
+    # binary_masks=True: propagators threshold at 0.5 ON DEVICE and
+    # return uint8 {0,1} masks — 4x less device->host mask traffic per
+    # frame (the dominant PCIe cost of the pipeline) at the price of
+    # losing sub-threshold soft values in FrameResult.masks.
+    binary_masks: bool = False
 
     def __post_init__(self):
         self.tracker = self.propagator or MemoryTracker(self.tracker_cfg)
@@ -202,6 +226,18 @@ class GroundedTracker:
         ]
         return masks[order].astype(np.float32), infos
 
+    # -- propagation plumbing --------------------------------------------------
+
+    def _mask_dtype(self):
+        return np.uint8 if self.binary_masks else np.float32
+
+    def _step(self, frame: np.ndarray, **kw) -> np.ndarray:
+        """tracker.step with the binary-mask flag threaded only when
+        enabled (custom/stub propagators need not accept it)."""
+        if self.binary_masks:
+            kw["binary"] = True
+        return self.tracker.step(frame, **kw)
+
     # -- detection <-> propagation association --------------------------------
 
     def _incorporate(
@@ -219,21 +255,23 @@ class GroundedTracker:
                 ObjectInfo(i + 1, det_infos[i].category_id, det_infos[i].score)
                 for i in range(n)
             ]
-            slots = np.zeros((max_o, H, W), np.float32)
+            slots = np.zeros((max_o, H, W), self._mask_dtype())
             slots[:n] = det_masks[:n]
             self.tracker.clear()
             if n:
                 self.tracker.add_reference(frame01, slots)
             return slots
 
-        prev = self.tracker.step(frame01, update_memory=False)  # (max_o, H, W)
+        prev = self._step(frame01, update_memory=False)  # (max_o, H, W)
         slots = prev.copy()
         used = set()
         if len(det_masks):
-            det_boxes = np.asarray(masks_to_boxes(jnp.asarray(det_masks)))
-            prev_boxes = np.asarray(masks_to_boxes(jnp.asarray(prev > 0.5)))
+            up = (
+                det_masks.astype(np.uint8)
+                if self.binary_masks else det_masks
+            )
             iou = np.asarray(
-                box_iou(jnp.asarray(det_boxes), jnp.asarray(prev_boxes))[0]
+                _mask_match_iou(jnp.asarray(up), jnp.asarray(prev))
             )
             for d in range(len(det_masks)):
                 j = int(np.argmax(iou[d])) if iou.shape[1] else -1
@@ -256,8 +294,12 @@ class GroundedTracker:
 
     def process_frame(self, ti: int, image: np.ndarray) -> Optional[List[FrameResult]]:
         """image: (H, W, 3) uint8 RGB. Returns results ready at this
-        step (semionline buffers frames; online returns one result)."""
-        frame01 = image.astype(np.float32) / 255.0
+        step (semionline buffers frames; online returns one result).
+
+        Frames flow to the propagators/detector as raw uint8 — the /255
+        float conversion happens on DEVICE inside their jitted programs
+        (4x less host->device traffic than converting on host)."""
+        frame01 = image
         prompts = list(self.classes)
 
         if self.temporal_setting == "online":
@@ -267,8 +309,9 @@ class GroundedTracker:
                 )
                 slots = self._incorporate(frame01, det_masks, infos)
             else:
-                slots = self.tracker.step(frame01) if self.tracker.state is not None else np.zeros(
-                    (self.tracker_cfg.max_objects,) + image.shape[:2], np.float32
+                slots = self._step(frame01) if self.tracker.state is not None else np.zeros(
+                    (self.tracker_cfg.max_objects,) + image.shape[:2],
+                    self._mask_dtype(),
                 )
             return [FrameResult(ti, slots, list(self._objects))]
 
@@ -286,7 +329,7 @@ class GroundedTracker:
         slots = self._incorporate(f0, voted_masks, voted_infos)
         results.append(FrameResult(t0, slots, list(self._objects)))
         for tj, fj, _, _ in self._buffer[1:]:
-            slots = self.tracker.step(fj)
+            slots = self._step(fj)
             results.append(FrameResult(tj, slots, list(self._objects)))
         self._buffer = []
         return results
@@ -349,16 +392,20 @@ class GroundedTracker:
                     zeros = np.zeros(
                         (self.tracker_cfg.max_objects,)
                         + frames[gap[0]].shape[:2],
-                        np.float32,
+                        self._mask_dtype(),
                     )
                     results.extend(
                         FrameResult(tj, zeros, list(self._objects))
                         for tj in gap
                     )
                 else:
+                    chunk_kw = (
+                        {"binary": True} if self.binary_masks else {}
+                    )
                     masks = chunk_step(
-                        [frames[tj].astype(np.float32) / 255.0 for tj in gap],
+                        [frames[tj] for tj in gap],
                         pad_to=self.detection_every - 1,
+                        **chunk_kw,
                     )
                     results.extend(
                         FrameResult(tj, masks[j], list(self._objects))
@@ -375,10 +422,172 @@ class GroundedTracker:
         for tj, fj, _, _ in self._buffer:
             if self.tracker.state is not None:
                 results.append(
-                    FrameResult(tj, self.tracker.step(fj), list(self._objects))
+                    FrameResult(tj, self._step(fj), list(self._objects))
                 )
         self._buffer = []
         results.sort(key=lambda r: r.frame_index)
+        return results
+
+    def run_on_list_of_images_fused(
+        self, frames: Sequence[np.ndarray], classes: Sequence[str],
+        max_dets: int = 8, binary: bool = True,
+    ) -> List[FrameResult]:
+        """Whole-clip fused path: the detect->associate->write->propagate
+        chain runs as ONE device program (grounding/fused_clip.py), with
+        frames uploaded once and bit-packed masks fetched once — vs the
+        regular path's per-segment dispatches and mask transfers (which
+        dominate wall clock on any host, catastrophically so on a
+        tunneled TPU).
+
+        Semantics match run_on_list_of_images for the supported config:
+        online mode, a LearnedMemoryTracker propagator, no crop filter
+        (parity-tested in tests/test_fused_clip.py). `max_dets` bounds
+        detections per frame post-NMS (top-scoring kept; the reference's
+        0.35 threshold leaves a handful with real weights).
+        """
+        from video_llava_tpu.grounding import fused_clip
+        from video_llava_tpu.models import xmem as xmem_mod
+
+        if self.temporal_setting != "online":
+            raise NotImplementedError("fused path is online-mode only")
+        if self.crop_filter is not None:
+            raise NotImplementedError(
+                "crop filter runs per detection frame on host; use "
+                "run_on_list_of_images"
+            )
+        prop = self.tracker
+        if not hasattr(prop, "_xmem"):
+            raise NotImplementedError(
+                "fused path needs a LearnedMemoryTracker propagator"
+            )
+        self.classes = list(classes)
+        self.clear()
+
+        E = self.detection_every
+        t0 = len(frames)
+        n_seg = -(-t0 // E)
+        t_pad = n_seg * E
+        arr = np.asarray(frames)
+        if t_pad > t0:
+            arr = np.concatenate(
+                [arr, np.repeat(arr[-1:], t_pad - t0, axis=0)]
+            )
+        h, w = arr.shape[1:3]
+        ph, pw = -h % 16, -w % 16  # XMem feature stride
+        padded = (
+            np.pad(arr, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
+            if (ph or pw) else arr
+        )
+        frame_valid = np.arange(t_pad) < t0
+
+        # -- detection: batched forwards, host threshold, ONE vmapped NMS
+        # (not precompute_detections: its SAM-embedding prefetch would
+        # encode frames decode_masks_batch_device re-encodes anyway)
+        det_idx = [s * E for s in range(n_seg) if s * E < t0]
+        detect_batch = getattr(self.detector, "detect_batch", None)
+        raw = []
+        if detect_batch is not None and self.detect_batch_size > 1:
+            kb = self.detect_batch_size
+            for start in range(0, len(det_idx), kb):
+                chunk = det_idx[start : start + kb]
+                pidx = chunk + [chunk[-1]] * (kb - len(chunk))
+                out = detect_batch(
+                    np.stack([arr[i] for i in pidx]), list(classes)
+                )
+                raw.extend(out[: len(chunk)])
+        else:
+            raw = [self.detector(arr[i], classes) for i in det_idx]
+        k_det = max_dets
+        boxes = np.zeros((n_seg, k_det, 4), np.float32)
+        score = np.zeros((n_seg, k_det), np.float32)
+        cat = np.zeros((n_seg, k_det), np.int64)
+        nms_in = np.zeros((len(raw), k_det, 4), np.float32)
+        nms_sc = np.full((len(raw), k_det), -np.inf, np.float32)
+        pre = []
+        for s, (b, c, ids) in enumerate(raw):
+            keep = c >= self.box_threshold
+            b, c, ids = b[keep], c[keep], ids[keep]
+            order = np.argsort(-c)[:k_det]
+            b, c, ids = b[order], c[order], ids[order]
+            pre.append((b, c, ids))
+            nms_in[s, : len(b)] = b
+            nms_sc[s, : len(b)] = c
+        if raw:
+            keep_all = np.asarray(
+                _nms_frames(
+                    jnp.asarray(nms_in), jnp.asarray(nms_sc),
+                    self.nms_threshold,
+                )
+            )
+        det_valid = np.zeros((n_seg, k_det), bool)
+        for s, (b, c, ids) in enumerate(pre):
+            kept = np.nonzero(keep_all[s, : len(b)])[0]
+            n = len(kept)
+            boxes[s, :n] = b[kept]
+            score[s, :n] = c[kept]
+            cat[s, :n] = ids[kept]
+            det_valid[s, :n] = True
+
+        # -- SAM masks for all detection frames, device-resident
+        seg = self.segmenter
+        if hasattr(seg, "decode_masks_batch_device"):
+            det_masks = seg.decode_masks_batch_device(
+                arr[det_idx], boxes[: len(det_idx)],
+                out_hw=(h + ph, w + pw),
+            )
+            if len(det_idx) < n_seg:  # padded tail segments
+                det_masks = jnp.concatenate(
+                    [det_masks,
+                     jnp.zeros((n_seg - len(det_idx),)
+                               + det_masks.shape[1:], det_masks.dtype)]
+                )
+        else:  # stub segmenters (tests): host masks, one upload
+            m = np.zeros((n_seg, k_det, h + ph, w + pw), np.uint8)
+            for s, i in enumerate(det_idx):
+                nv = int(det_valid[s].sum())
+                if nv:
+                    m[s, :nv, :h, :w] = seg(arr[i], boxes[s, :nv]) > 0.5
+            det_masks = jnp.asarray(m)
+
+        cfg = prop.cfg
+        state = xmem_mod.init_state(cfg, (h + ph) // 16, (w + pw) // 16)
+        table = fused_clip.init_table(cfg)
+        masks, cats, scores_out, counts, state = fused_clip.run_clip_fused(
+            prop.params, state, jnp.asarray(padded), det_masks,
+            jnp.asarray(det_valid), jnp.asarray(cat.astype(np.int32)),
+            jnp.asarray(score), jnp.asarray(frame_valid), table, cfg,
+            detect_every=E,
+            iou_threshold=self.iou_match_threshold,
+            # binary=False (tests/debug): soft f32 masks, unpacked —
+            # 32x more device->host traffic than the packed default
+            binary=binary, pack=binary,
+        )
+        prop.state = state
+        prop._hw = (h, w)
+        prop._frame_idx = t_pad
+        packed = np.asarray(masks)  # (T, O, Hp, Wp/8) — ONE fetch
+        cats = np.asarray(cats)
+        scores_out = np.asarray(scores_out)
+        counts = np.asarray(counts)
+
+        results: List[FrameResult] = []
+        obj_cache: Dict[int, List[ObjectInfo]] = {}
+        for t in range(t0):
+            s = t // E
+            objs = obj_cache.get(s)
+            if objs is None:
+                objs = [
+                    ObjectInfo(i + 1, int(cats[s, i]),
+                               float(scores_out[s, i]))
+                    for i in range(int(counts[s]))
+                ]
+                obj_cache[s] = objs
+            full = (
+                fused_clip.unpack_mask_bits(packed[t], w + pw)
+                if binary else packed[t]
+            )
+            results.append(FrameResult(t, full[:, :h, :w], list(objs)))
+        self._objects = list(obj_cache.get(n_seg - 1, []))
         return results
 
     def run_on_video(

@@ -934,13 +934,18 @@ class GroundingDinoDetector:
         self.tokenize = tokenize  # str -> List[int] (BERT ids, with specials)
         self.image_size = image_size
         self.box_threshold = box_threshold
-        # whole preprocessing (resize+round+normalize) as one device
-        # program per (k, H, W) shape — eager ops cost a tunnel RTT each
+        # whole preprocessing (cast+resize+round+normalize) as one device
+        # program per (k, H, W) shape — eager ops cost a tunnel RTT
+        # each. Frames arrive uint8 and cast to f32 ON DEVICE (4x less
+        # host->device transfer than casting on host).
         self._preprocess = jax.jit(
             lambda imgs: normalize_clip(
                 jnp.clip(
                     jnp.round(
-                        resize_bicubic(imgs, self.image_size, self.image_size)
+                        resize_bicubic(
+                            imgs.astype(jnp.float32),
+                            self.image_size, self.image_size,
+                        )
                     ),
                     0, 255,
                 )
@@ -964,7 +969,7 @@ class GroundingDinoDetector:
             np.asarray(ids1, np.int64)[None], (k, len(ids1))
         )
 
-        pixels = self._preprocess(jnp.asarray(images.astype(np.float32)))
+        pixels = self._preprocess(jnp.asarray(images))
         logits, boxes = forward(self.params, self.cfg, pixels, ids)
         probs_b = np.asarray(jax.nn.sigmoid(logits))  # (k, nq, text_len)
         boxes_b = np.asarray(boxes)  # (k, nq, 4) cxcywh normalized

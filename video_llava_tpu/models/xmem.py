@@ -244,7 +244,11 @@ def init_params(key, cfg: XMemConfig = XMemConfig(), dtype=jnp.float32):
 
 
 def normalize_frame(frame: jax.Array) -> jax.Array:
-    """(H, W, 3) float in [0, 1] -> imagenet-normalized."""
+    """(H, W, 3) float in [0, 1] — or uint8 in [0, 255] — ->
+    imagenet-normalized. uint8 frames cast on DEVICE so callers can
+    transfer raw bytes (4x less host->device traffic than f32)."""
+    if frame.dtype == jnp.uint8:
+        frame = frame.astype(jnp.float32) / 255.0
     return (frame - IMAGENET_MEAN) / IMAGENET_STD
 
 
@@ -434,7 +438,10 @@ def add_reference_step(
     num_objects: jax.Array, cfg: XMemConfig,
 ) -> XMemState:
     """Ground-truth (or detector) masks for a frame -> memory write with
-    deep sensory update."""
+    deep sensory update. masks may arrive uint8 {0,1} (cheap host->device
+    transfer); they cast to f32 on device."""
+    if masks.dtype != jnp.float32:
+        masks = masks.astype(jnp.float32)
     f16, _, _, key, shrinkage, _ = encode_key(params, frame)
     value, hidden = encode_value(
         params, frame, f16, state.hidden, masks, deep_update=True
@@ -454,12 +461,15 @@ def add_reference_step(
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "update_memory",
-                                             "deep_update"))
+                                             "deep_update", "binary"))
 def propagate_step(
     params, state: XMemState, frame: jax.Array, cfg: XMemConfig,
     update_memory: bool = False, deep_update: bool = False,
+    binary: bool = False,
 ) -> Tuple[jax.Array, XMemState]:
     """One tracked frame -> ((O, H, W) object probabilities, new state).
+    binary=True thresholds at 0.5 on DEVICE and returns uint8 {0,1}
+    masks (4x less device->host traffic; memory writes stay soft).
 
     Replaces deva.step (grounding_new_api.py:503-509): encode query,
     read memory, decode masks; optionally value-encode the prediction
@@ -501,14 +511,17 @@ def propagate_step(
             shrinkage.reshape(n),
             value.reshape(cfg.max_objects, n, -1).transpose(1, 0, 2),
         )
+    if binary:
+        prob = (prob > 0.5).astype(jnp.uint8)
     return prob, state
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "binary"))
 def propagate_chunk(
     params, state: XMemState, frames: jax.Array,
     update_memory: jax.Array, deep_update: jax.Array, cfg: XMemConfig,
     valid: Optional[jax.Array] = None,
+    binary: bool = False,
 ) -> Tuple[jax.Array, XMemState]:
     """T tracked frames in ONE program -> ((T, O, H, W) probs, state).
 
@@ -522,7 +535,9 @@ def propagate_chunk(
     the reference's per-frame deva.step host loop
     (grounding_new_api.py:503-509) becomes one device dispatch per gap.
 
-    frames: (T, H, W, 3) in [0,1]; update_memory/deep_update: (T,) bool.
+    frames: (T, H, W, 3) in [0,1] (or uint8, cast on device);
+    update_memory/deep_update: (T,) bool. binary=True returns uint8
+    {0,1} masks thresholded on device (less device->host traffic).
     `valid` (T,) bool marks padding frames (chunks pad to a fixed T so
     every gap length compiles once): invalid steps neither advance the
     sensory GRU nor write memory, leaving the state exactly as if the
@@ -579,7 +594,8 @@ def propagate_chunk(
             )
 
         st = jax.lax.cond(upd & ok, write, lambda s: s, st)
-        return st, prob
+        out = (prob > 0.5).astype(jnp.uint8) if binary else prob
+        return st, out
 
     state, probs = jax.lax.scan(
         body, state,

@@ -235,9 +235,12 @@ class PGVideoLLaVA(VideoChatGPTInterface):
         if not with_grounding or llm_output is None:
             return llm_output
 
-        # Tag all frames (batched) -> top-10 unique tags.
-        frames01 = self.video_frames.astype(np.float32) / 255.0
-        entity_list = self.tagging_model.run_on_video(frames01, top_k=10)
+        # Tag all frames (batched) -> top-10 unique tags. Raw uint8
+        # frames: the /255 + resize + normalize run on device
+        # (tagging.run_on_frames_raw), not on host.
+        entity_list = self.tagging_model.run_on_video(
+            self.video_frames, top_k=10
+        )
         highlight_output, match_state = self.entity_match_module(
             llm_output, entity_list
         )
