@@ -83,3 +83,65 @@ def test_decoder_shape_900_queries():
     np.testing.assert_allclose(
         np.asarray(ref), np.asarray(out), atol=1e-4, rtol=1e-4
     )
+
+
+def test_row_window_branch_local_offsets():
+    """Maps tall enough to exercise the dynamic row-WINDOW branch
+    (h > win_tiles*row_tile): raster-ordered queries with small local
+    offsets — every block's y-span fits the window, the typical
+    encoder self-attention regime."""
+    rng = np.random.default_rng(3)
+    shapes = ((48, 20), (40, 10))
+    L = len(shapes)
+    nh, hd, P = 2, 32, 4
+    sum_hw = sum(h * w for h, w in shapes)
+    value = jnp.asarray(
+        rng.standard_normal((1, sum_hw, nh, hd)), jnp.float32
+    )
+    # reference grid of level 0, like the encoder's raster queries
+    h0, w0 = shapes[0]
+    q = h0 * w0
+    ys = (np.arange(h0) + 0.5) / h0
+    xs = (np.arange(w0) + 0.5) / w0
+    gy, gx = np.meshgrid(ys, xs, indexing="ij")
+    ref_pts = np.stack([gx.reshape(-1), gy.reshape(-1)], -1)  # (q, 2)
+    offs = rng.uniform(-0.02, 0.02, (q, nh, L, P, 2))
+    locs = jnp.asarray(
+        (ref_pts[:, None, None, None] + offs)[None], jnp.float32
+    )
+    weights = jnp.asarray(rng.uniform(0, 1, (1, q, nh, L, P)), jnp.float32)
+    ref = msda_xla(value, shapes, locs, weights)
+    out = msda_pallas(
+        value, shapes, locs, weights, interpret=True, query_block=32,
+        win_tiles=2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref), np.asarray(out), atol=1e-4, rtol=1e-4
+    )
+
+
+def test_row_window_fallback_mixed_spans():
+    """Some blocks fit the window, some (wild offsets) take the
+    full-height fallback — both branches in one call, plus edge
+    straddlers (samples outside the map)."""
+    rng = np.random.default_rng(4)
+    shapes = ((64, 12),)
+    nh, hd, P = 2, 32, 2
+    value = jnp.asarray(
+        rng.standard_normal((1, 64 * 12, nh, hd)), jnp.float32
+    )
+    q = 96
+    locs_local = rng.uniform(0.4, 0.45, (q // 2, nh, 1, P, 2))
+    locs_wild = rng.uniform(-0.3, 1.3, (q // 2, nh, 1, P, 2))
+    locs = jnp.asarray(
+        np.concatenate([locs_local, locs_wild])[None], jnp.float32
+    )
+    weights = jnp.asarray(rng.uniform(0, 1, (1, q, nh, 1, P)), jnp.float32)
+    ref = msda_xla(value, shapes, locs, weights)
+    out = msda_pallas(
+        value, shapes, locs, weights, interpret=True, query_block=48,
+        win_tiles=2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref), np.asarray(out), atol=1e-4, rtol=1e-4
+    )

@@ -120,9 +120,27 @@ def validate_deformable(args):
     value = jnp.asarray(
         rng.normal(size=(b, lq, nh, hd)).astype(np.float32), jnp.bfloat16
     )
-    locs = jnp.asarray(
-        rng.random((b, lq, nh, len(shapes), npts, 2)).astype(np.float32)
-    )
+    if args.locs == "local":
+        # The encoder regime (grounding_dino._deformable_attention):
+        # raster reference points + pixel-unit offsets normalized per
+        # level — the case the dynamic row-window kernel targets.
+        refs = []
+        for h, w in shapes:
+            ys = (np.arange(h) + 0.5) / h
+            xs = (np.arange(w) + 0.5) / w
+            gy, gx = np.meshgrid(ys, xs, indexing="ij")
+            refs.append(np.stack([gx.ravel(), gy.ravel()], -1))
+        ref_pts = np.concatenate(refs)  # (lq, 2)
+        offs = rng.normal(size=(b, lq, nh, len(shapes), npts, 2)) * 4.0
+        norm = np.asarray([[w, h] for (h, w) in shapes], np.float32)
+        locs = jnp.asarray(
+            (ref_pts[None, :, None, None, None] + offs / norm[:, None])
+            .astype(np.float32)
+        )
+    else:
+        locs = jnp.asarray(
+            rng.random((b, lq, nh, len(shapes), npts, 2)).astype(np.float32)
+        )
     attw = jax.nn.softmax(jnp.asarray(
         rng.normal(size=(b, lq, nh, len(shapes), npts)).astype(np.float32)
     ), axis=-1)
@@ -143,7 +161,7 @@ def validate_deformable(args):
     t_p = _time(lambda: f_p(value, locs, attw), iters=10)
     out = {
         "kernel": "deformable_attention_pallas", "queries": lq,
-        "cos_vs_xla": round(cos, 6),
+        "locs": args.locs, "cos_vs_xla": round(cos, 6),
         "xla_ms": round(t_x * 1e3, 3), "pallas_ms": round(t_p * 1e3, 3),
     }
     print(json.dumps(out), flush=True)
@@ -156,6 +174,12 @@ def main(argv=None):
     ap.add_argument("--which", default="all",
                     choices=["all", "paged", "deformable"])
     ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--locs", default="local",
+                    choices=["local", "uniform"],
+                    help="deformable sampling-location regime: 'local' "
+                    "mirrors the encoder (raster refs + pixel-unit "
+                    "offsets); 'uniform' is the worst case for the "
+                    "row-window kernel")
     ap.add_argument("--interpret", action="store_true",
                     help="CPU smoke (forces the cpu backend + interpret "
                     "mode; timings meaningless)")
