@@ -152,8 +152,12 @@ def _kernel(win_ref, meta_ref, g_ref, *refs, shapes, qb, p, hd, th,
         sq = s[0:qb]
         for k in range(1, p):
             sq = sq + s[k * qb : (k + 1) * qb]
+        # fold runs in the VALUE dtype (g_ref is built in it): an f32
+        # MXU matmul costs several bf16 passes, and with bf16 values
+        # the products are bf16-precision-limited anyway.
         acc = acc + jnp.dot(
-            sq, g_ref[:wd, :], preferred_element_type=jnp.float32
+            sq.astype(g_ref.dtype), g_ref[:wd, :],
+            preferred_element_type=jnp.float32,
         )  # (qb, hd)
     out_ref[0] = acc
 
@@ -290,10 +294,12 @@ def multi_scale_deformable_attention_pallas(
     meta = meta.reshape(bh, n_levels * 5, qp_pad)
 
     max_wd = max(w for (_, w) in shapes) * hd
+    # the fold matrix is exact (0/1) in any dtype; building it in the
+    # value dtype lets the fold matmul run at bf16 MXU rates on chip.
     g = jnp.equal(
         jax.lax.broadcasted_iota(jnp.int32, (max_wd, hd), 0) % hd,
         jax.lax.broadcasted_iota(jnp.int32, (max_wd, hd), 1),
-    ).astype(jnp.float32)
+    ).astype(value.dtype)
 
     grid = (bh, nqb)
     in_specs = [
