@@ -416,7 +416,7 @@ def forward(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "stage"))
 def _forward_device(
     params,
     cfg: GroundingDinoConfig,
@@ -426,7 +426,12 @@ def _forward_device(
     text_self_mask: jnp.ndarray,
     position_ids: jnp.ndarray,
     text_token_mask: jnp.ndarray,
+    stage: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    # `stage` truncates the program after a pipeline stage and returns
+    # that stage's output — a profiling knob (scripts/profile_gdino.py):
+    # successive-prefix timings decompose the forward without touching
+    # the shipped stage=None program.
     b = pixels.shape[0]
     d = cfg.d_model
     eps = cfg.layer_norm_eps
@@ -443,6 +448,8 @@ def _forward_device(
         position_ids=position_ids,
     )
     text_features = linear(params["text_projection"], text_features)
+    if stage == "text":
+        return text_features, text_features
 
     # vision backbone: selected Swin stages (+ stage norms) + extra level
     stages = swin_mod.forward_features(params["swin"], pixels, cfg.swin)
@@ -486,6 +493,8 @@ def _forward_device(
     pos_flatten = jnp.concatenate(
         [jnp.broadcast_to(p, (b,) + p.shape[1:]) for p in pos_embeds], axis=1
     )
+    if stage == "backbone":
+        return source_flatten, pos_flatten
 
     # encoder reference points: normalized grid centers per level,
     # replicated across levels (valid ratios = 1)
@@ -507,6 +516,8 @@ def _forward_device(
             lp, cfg, vision, text, pos_flatten, reference_points,
             spatial_shapes, text_pad_mask, text_self_mask, position_ids,
         )
+    if stage == "encoder":
+        return vision, text
 
     # two-stage proposal generation
     proposals = []
@@ -549,6 +560,8 @@ def _forward_device(
         enc_coord_logits, topk_idx[:, :, None], axis=1
     )
     reference = jax.nn.sigmoid(topk_coords)  # (b, nq, 4)
+    if stage == "two_stage":
+        return reference, reference
 
     target = jnp.broadcast_to(
         params["query_embeds"][None], (b, topk, d)

@@ -13,13 +13,15 @@ TPU-first reformulation — no gathers, only MXU matmuls and VPU masks:
     per (batch*head) grid row;
   * bilinear sampling is separable: the y-interpolation of BOTH corner
     rows is ONE matmul  W_y @ V  where W_y (qp, h) is a 2-hot matrix
-    carrying (1-dy, dy) — built with an iota compare, no scatter;
-  * the x-selection multiplies the interpolated rows (qp, w*d) by a
-    2-hot lane mask ((iota//d == x0)*(1-dx) + (iota//d == x0+1)*dx) and
+    built as the bilinear TENT  relu(1 - |row - yf|)  (times the
+    attention weight) — no floor/compare/select, no scatter;
+  * the x-selection multiplies the interpolated rows (qp, w*d) by the
+    same tent over the lane-group index  relu(1 - |iota//d - xf|)  and
     folds w*d -> d with a constant binary matrix G[x*d+j, j] = 1 — a
     second matmul, so the whole op runs at MXU rates;
-  * out-of-map corners match no iota column and contribute exactly 0,
-    reproducing grid_sample's zero padding without clip/select logic;
+  * out-of-map corners land >= 1 away from every in-map integer (and
+    padded rows hold zeros), so the tent reproduces grid_sample's zero
+    padding with no clip/select logic;
   * meta rows are ordered P-MAJOR within each query block
     ([p0q0..p0qb, p1q0..] instead of [q0p0..q0p3, q1p0..]), so the sum
     over points is p-1 contiguous sublane-block adds on s — which lets
@@ -62,8 +64,16 @@ def _kernel(win_ref, meta_ref, g_ref, *refs, shapes, qb, p, hd, th,
         span doesn't fit (or the level is small), the full-height dot
         runs — the worst case is exactly the untiled kernel. Exact
         either way: the window provably covers all matching rows.
-    meta_ref: (1, 5*L, p*qb) f32 rows [y0, dy, x0, dx, aw] per level,
+    meta_ref: (1, 3*L, p*qb) f32 rows [yf, xf, aw] per level — the
+        CONTINUOUS sample coordinates (grid-sample pixel space) —
         P-MAJOR within the block (row k*qb + i is point k of query i).
+        Interpolation weights are the bilinear TENT function
+        relu(1 - |iota - coord|): it reproduces both corner weights
+        ((1-d) at floor(coord), d at floor(coord)+1), is exactly 0 at
+        every other integer, and needs no floor/compare/select — 4 VPU
+        ops per element instead of the 7 of the 2-hot compare form on
+        the x path, which is where the kernel's non-MXU time lives
+        ((qp, w*hd) elements vs the y path's (qp, h)).
     g_ref: (max_wd, hd) fold matrix, G[x*hd + j, j] = 1.
     v_l: (1, h_pad_l, w_l*hd) value map for this bh (h zero-padded to
         the row-tile size; padded rows are zero and OOB y's match
@@ -86,20 +96,23 @@ def _kernel(win_ref, meta_ref, g_ref, *refs, shapes, qb, p, hd, th,
         def col(k):
             # (1, qp) meta row -> (qp, 1) column vector.
             return jnp.transpose(
-                meta_ref[0, 5 * lvl + k : 5 * lvl + k + 1, :], (1, 0)
+                meta_ref[0, 3 * lvl + k : 3 * lvl + k + 1, :], (1, 0)
             )
 
-        y0, dy, x0, dx, aw = (col(k) for k in range(5))
+        yf, xf, aw = (col(k) for k in range(3))
 
         def wy_rows(base, rows):
-            # 2-hot y-interpolation rows for riota = base + [0, rows)
-            # (int32 iota + convert: Mosaic's iota is integer-typed).
+            # bilinear tent rows for riota = base + [0, rows) (int32
+            # iota + convert: Mosaic's iota is integer-typed), carrying
+            # the attention weight (linear in v, so it can ride the
+            # 32x-smaller y operand; in bf16 values the extra rounding
+            # is below the value dtype's own epsilon).
             riota = (
                 jax.lax.broadcasted_iota(jnp.int32, (qp, rows), 1)
                 + base
             ).astype(jnp.float32)
-            return jnp.where(riota == y0, 1.0 - dy, 0.0) + jnp.where(
-                riota == y0 + 1.0, dy, 0.0
+            return (
+                jnp.maximum(0.0, 1.0 - jnp.abs(riota - yf)) * aw
             )
 
         v_dtype = refs[lvl].dtype
@@ -134,16 +147,14 @@ def _kernel(win_ref, meta_ref, g_ref, *refs, shapes, qb, p, hd, th,
                 preferred_element_type=jnp.float32,
             )
 
-        # -- x selection: 2-hot lane mask (iota//hd pattern) carrying
-        # the attention weight (aw stays on the f32 mask: folding it
-        # into the bf16-cast wy costs ~bf16 epsilon of accuracy).
-        xiota = (
+        # -- x selection: bilinear tent over the lane-group index (the
+        # attention weight already rode the y operand). Built per level:
+        # a hoisted (qp, max_wd) iota sliced to wd crashes Mosaic's
+        # vector layout pass when wd isn't a 128-lane multiple.
+        xg = (
             jax.lax.broadcasted_iota(jnp.int32, (qp, wd), 1) // hd
         ).astype(jnp.float32)
-        mxa = (
-            jnp.where(xiota == x0, 1.0 - dx, 0.0)
-            + jnp.where(xiota == x0 + 1.0, dx, 0.0)
-        ) * aw
+        mxa = jnp.maximum(0.0, 1.0 - jnp.abs(xg - xf))
         s = r_ref[:, :wd] * mxa
         # -- sum over points BEFORE the fold (both linear): p-major row
         # order makes this p-1 contiguous sublane-block adds, and the
@@ -235,15 +246,13 @@ def multi_scale_deformable_attention_pallas(
     )
     wh = jnp.asarray([[w, h] for (h, w) in shapes], jnp.float32)
     xy = locs * wh[None, :, None, None, :] - 0.5
-    x0 = jnp.floor(xy[..., 0])
-    y0 = jnp.floor(xy[..., 1])
-    dx = xy[..., 0] - x0
-    dy = xy[..., 1] - y0
-    meta = jnp.stack([y0, dy, x0, dx, aw], axis=2)  # (bh, L, 5, q, p)
+    # continuous grid-sample coords: the kernel's tent weights
+    # relu(1 - |iota - coord|) reproduce both bilinear corners exactly.
+    meta = jnp.stack([xy[..., 1], xy[..., 0], aw], axis=2)  # (bh,L,3,q,p)
     if q_pad != q:
-        # pad queries: y0 = -10 matches no row -> zero contribution.
+        # pad queries: yf = -10 is > 1 away from every row -> tent 0.
         pad = jnp.zeros(
-            (bh, n_levels, 5, q_pad - q, n_points), jnp.float32
+            (bh, n_levels, 3, q_pad - q, n_points), jnp.float32
         ).at[:, :, 0].set(-10.0)
         meta = jnp.concatenate([meta, pad], axis=3)
 
@@ -258,7 +267,7 @@ def multi_scale_deformable_attention_pallas(
         # window disabled: static full-height kernel, dummy prefetch.
         win = jnp.zeros((1,), jnp.int32)
     else:
-        y0_blocks = meta[:, :, 0].reshape(
+        y0_blocks = jnp.floor(meta[:, :, 0]).reshape(
             bh, n_levels, nqb, qb * n_points
         )
         win_cols = []
@@ -289,9 +298,9 @@ def multi_scale_deformable_attention_pallas(
     # p-major within each query block (see _kernel): row k*qb + i is
     # point k of query i, so the kernel's point-sum is contiguous
     # sublane-block adds.
-    meta = meta.reshape(bh, n_levels, 5, q_pad // qb, qb, n_points)
+    meta = meta.reshape(bh, n_levels, 3, q_pad // qb, qb, n_points)
     meta = meta.transpose(0, 1, 2, 3, 5, 4)
-    meta = meta.reshape(bh, n_levels * 5, qp_pad)
+    meta = meta.reshape(bh, n_levels * 3, qp_pad)
 
     max_wd = max(w for (_, w) in shapes) * hd
     # the fold matrix is exact (0/1) in any dtype; building it in the
@@ -304,7 +313,7 @@ def multi_scale_deformable_attention_pallas(
     grid = (bh, nqb)
     in_specs = [
         pl.BlockSpec(
-            (1, 5 * n_levels, qb * n_points),
+            (1, 3 * n_levels, qb * n_points),
             lambda i, j, mask: (i, 0, j),
             memory_space=pltpu.VMEM,
         ),
