@@ -54,7 +54,8 @@ def test_pallas_matches_xla(shapes, q, b):
 
 def test_pallas_bf16_value():
     """bf16 maps (detector checkpoints): PTQ-level tolerance — the
-    2-hot weights round to bf16 inside the MXU dot."""
+    tent*attention-weight products round to the value dtype before the
+    MXU dots."""
     rng = np.random.default_rng(1)
     shapes = ((9, 9), (4, 4))
     value, locs, weights = _case(rng, shapes, 21, 1, dtype=jnp.bfloat16)
@@ -144,4 +145,32 @@ def test_row_window_fallback_mixed_spans():
     )
     np.testing.assert_allclose(
         np.asarray(ref), np.asarray(out), atol=1e-4, rtol=1e-4
+    )
+
+
+def test_nonfinite_locations_contribute_zero():
+    """NaN/Inf sampling coords (degenerate inputs) sanitize to the
+    padding sentinel: zero contribution, never NaN in the output."""
+    rng = np.random.default_rng(3)
+    shapes = ((8, 8),)
+    value, locs, weights = _case(rng, shapes, 16, 1)
+    bad = np.array(locs, copy=True)
+    bad[0, :4, :, :, :2, 0] = np.nan
+    bad[0, 4:8, :, :, :2, 1] = np.inf
+    # finite twin with the bad points fully out of bounds (same
+    # semantics: those points contribute zero)
+    fin = np.array(locs, copy=True)
+    fin[0, :4, :, :, :2, 0] = -5.0
+    fin[0, 4:8, :, :, :2, 1] = -5.0
+    out_bad = msda_pallas(
+        value, shapes, jnp.asarray(bad), weights, interpret=True,
+        query_block=8,
+    )
+    out_fin = msda_pallas(
+        value, shapes, jnp.asarray(fin), weights, interpret=True,
+        query_block=8,
+    )
+    assert np.isfinite(np.asarray(out_bad)).all()
+    np.testing.assert_allclose(
+        np.asarray(out_bad), np.asarray(out_fin), atol=1e-5, rtol=1e-5
     )

@@ -221,7 +221,8 @@ def multi_scale_deformable_attention_pallas(
     qp_pad = q_pad * n_points
 
     # -- per-level value maps, (bh, h_pad, w*hd), head-major; h zero-
-    # pads to the row-tile size (padded rows match no y0 -> contribute 0)
+    # pads to the row-tile size (padded rows hold zero values, so any
+    # tent weight landing on them contributes 0)
     v_levels = []
     offset = 0
     for (h, w), (hp, _) in zip(shapes, shapes_pad):
@@ -246,6 +247,11 @@ def multi_scale_deformable_attention_pallas(
     )
     wh = jnp.asarray([[w, h] for (h, w) in shapes], jnp.float32)
     xy = locs * wh[None, :, None, None, :] - 0.5
+    # Non-finite sampling coords (degenerate inputs) map to the padding
+    # sentinel: the tent max(0, 1-|iota-coord|) would propagate NaN into
+    # the output, whereas -10 is > 1 away from every row/lane -> exact
+    # zero contribution (the old 2-hot equality masks' behavior).
+    xy = jnp.where(jnp.isfinite(xy), xy, -10.0)
     # continuous grid-sample coords: the kernel's tent weights
     # relu(1 - |iota - coord|) reproduce both bilinear corners exactly.
     meta = jnp.stack([xy[..., 1], xy[..., 0], aw], axis=2)  # (bh,L,3,q,p)

@@ -60,7 +60,7 @@ def main(argv=None):
     out = {"batch": args.batch, "image_size": dsize}
     for st in STAGES:
         fn = lambda i: gdino_mod._forward_device(  # noqa: E731
-            dev_args[0], dev_args[1], dev_args[2] + 0.0 * i,
+            dev_args[0], dev_args[1], dev_args[2] + i * 1e-9,
             *dev_args[3:], stage=st,
         )[0]
         t = measure(fn, iters=args.iters)
