@@ -1,15 +1,18 @@
 """Grounding-pipeline benchmark (BASELINE.md config 5) on real TPU.
 
 Headline: a MEASURED wall-clock run of the real
-`GroundedTracker.run_on_list_of_images` over a 100-frame clip —
-batched GroundingDINO detection, NMS, MobileSAM masks, IoU
-detection<->track association, chunked XMem propagation, and all the
-host glue between device programs (the reference's per-frame hot loop,
-grounding_evaluation/grounding_new_api.py:448-521). Supporting stages
-measured alongside: RAM tagging over all frames (reference
-chat.py:261) and the (network-bound, here stub-timed) entity matching
-(chat.py:265), so the full grounded-chat pipeline (BASELINE config 5)
-is costed end to end.
+`GroundedTracker.run_on_list_of_images` over a 100-frame clip — under
+this build (learned propagator + device-capable crop filter) that
+dispatches to the FUSED whole-clip device program: batched
+GroundingDINO detection, NMS, the batched-on-device CLIP ViT-B/32
+zero-shot crop filter, MobileSAM masks, IoU detection<->track
+association, chunked XMem propagation (the reference's per-frame hot
+loop, grounding_evaluation/grounding_new_api.py:448-521, with its
+always-on crop filter :373-445). The per-segment host loop is measured
+alongside (`hostloop_s`), as are RAM tagging over all frames
+(reference chat.py:261) and the (network-bound, here stub-timed)
+entity matching (chat.py:265), so the full grounded-chat pipeline
+(BASELINE config 5) is costed end to end.
 
 A per-stage device-program PROJECTION of the same clip is kept in the
 detail fields (`projected_clip_s`): the gap between it and the
@@ -155,6 +158,27 @@ class _TimedSegmenter:
         return getattr(self._seg, name)
 
 
+class _TimedFilter:
+    """Delegating crop-filter wrapper timing the host per-frame path
+    and the batched device path separately."""
+
+    def __init__(self, f):
+        self._f = f
+        self.call = _Timed(f.__call__)
+        self.batch = _Timed(f.filter_frames_device)
+
+    supports_batch_device = True
+
+    def __call__(self, *a, **k):
+        return self.call(*a, **k)
+
+    def filter_frames_device(self, *a, **k):
+        return self.batch(*a, **k)
+
+    def __getattr__(self, name):
+        return getattr(self._f, name)
+
+
 def measured_pipeline(detector, segmenter, xparams, xcfg, tagger):
     """Wall-clock the REAL grounded pipeline (no projections): tracker
     over a 100-frame clip + RAM tagging + (stubbed) entity matching.
@@ -162,6 +186,7 @@ def measured_pipeline(detector, segmenter, xparams, xcfg, tagger):
     measured-vs-projected gap decomposes into stages + glue."""
     import time
 
+    from video_llava_tpu.grounding.builders import random_clip_filter
     from video_llava_tpu.grounding.entity_matching import (
         EntityMatchingModule,
     )
@@ -180,15 +205,26 @@ def measured_pipeline(detector, segmenter, xparams, xcfg, tagger):
         _TimedSegmenter(segmenter)
         if hasattr(segmenter, "precompute_embeddings") else segmenter
     )
+    # CLIP ViT-B/32 crop filter, random weights (real ones are
+    # unreachable here; latency is weight-value independent). The
+    # reference filters inside EVERY detection step
+    # (grounding_new_api.py:373-445), so the measured config keeps it
+    # ON. Thresholds at 0/0 keep ~half the random-score detections —
+    # representative object counts downstream (the shipped 0.1/0.2
+    # thresholds would reject noise-scored crops wholesale).
+    crop_filter = _TimedFilter(
+        random_clip_filter(prob_threshold=0.0, score_threshold=0.0)
+    )
+    crop_filter._f.vision_params = _cast(crop_filter._f.vision_params)
+    crop_filter._f.text_params = _cast(crop_filter._f.text_params)
+    crop_filter._f.visual_projection = _cast(
+        crop_filter._f.visual_projection
+    )
     prop = LearnedMemoryTracker(xparams, xcfg)
     tracker = GroundedTracker(
         detector=_TopKDetector(detector, PRE_NMS_BOXES),
         segmenter=seg_wrap,
-        # CLIP crop filter needs real weights + tokenizer (absent in
-        # this environment; scores from random towers would be noise) —
-        # its device cost is tiny (bucketed ViT-B/32 crops); the host
-        # crop/transfer glue it would add is noted in ROADMAP.
-        crop_filter=None,
+        crop_filter=crop_filter,
         detection_every=DETECT_EVERY,
         box_threshold=0.0,  # _TopKDetector already applied the cut
         tracker_cfg=TrackerConfig(max_objects=N_BOXES),
@@ -200,6 +236,7 @@ def measured_pipeline(detector, segmenter, xparams, xcfg, tagger):
         "propagate_step": _Timed(prop.step),
         "propagate_chunk": _Timed(prop.step_chunk),
         "memory_write": _Timed(prop.add_reference),
+        "crop_filter_host": crop_filter.call,
     }
     tracker.detector.detect_batch = stage_timers["detect"]
     prop.step = stage_timers["propagate_step"]
@@ -209,8 +246,9 @@ def measured_pipeline(detector, segmenter, xparams, xcfg, tagger):
         stage_timers["sam_decode"] = seg_wrap.call
         stage_timers["sam_encode"] = seg_wrap.pre
 
+    # -- per-segment host loop (the fallback path), filter ON
     t0 = time.perf_counter()
-    res = tracker.run_on_list_of_images(list(frames), classes)
+    res = tracker.run_host_loop(list(frames), classes)
     first_run_s = time.perf_counter() - t0
     assert len(res) == NUM_FRAMES
     times = []
@@ -218,7 +256,7 @@ def measured_pipeline(detector, segmenter, xparams, xcfg, tagger):
         for tm in stage_timers.values():
             tm.reset()
         t0 = time.perf_counter()
-        tracker.run_on_list_of_images(list(frames), classes)
+        tracker.run_host_loop(list(frames), classes)
         times.append(time.perf_counter() - t0)
     measured_s = float(np.median(times))
     stage_s = {k: round(v.t, 3) for k, v in stage_timers.items()}
@@ -226,20 +264,37 @@ def measured_pipeline(detector, segmenter, xparams, xcfg, tagger):
         v.t for v in stage_timers.values()
     ), 3)
 
-    # The FUSED whole-clip path (grounding/fused_clip.py): same
+    # -- the FUSED whole-clip path (grounding/fused_clip.py): the
     # pipeline as one device program — frames up once, bit-packed masks
-    # down once (the production path; parity vs the host loop is pinned
-    # by tests/test_fused_clip.py).
+    # down once. This IS the path run_on_list_of_images dispatches to
+    # under this build (learned propagator + device-capable filter):
+    # the headline measures what chat/eval actually run
+    # (tests/test_fused_clip.py pins parity + dispatch).
+    assert tracker.fused_eligible()
     t0 = time.perf_counter()
-    fres = tracker.run_on_list_of_images_fused(list(frames), classes)
+    fres = tracker.run_on_list_of_images(list(frames), classes)
     fused_first_s = time.perf_counter() - t0
     assert len(fres) == NUM_FRAMES
     fused_times = []
+    filter_batch_s = []
+    for _ in range(MEASURED_RUNS):
+        crop_filter.batch.reset()
+        t0 = time.perf_counter()
+        tracker.run_on_list_of_images(list(frames), classes)
+        fused_times.append(time.perf_counter() - t0)
+        filter_batch_s.append(crop_filter.batch.t)
+    fused_s = float(np.median(fused_times))
+
+    # filter-OFF fused run: isolates the batched filter's cost
+    tracker.crop_filter = None
+    tracker.run_on_list_of_images(list(frames), classes)  # compile
+    nofilter_times = []
     for _ in range(MEASURED_RUNS):
         t0 = time.perf_counter()
-        tracker.run_on_list_of_images_fused(list(frames), classes)
-        fused_times.append(time.perf_counter() - t0)
-    fused_s = float(np.median(fused_times))
+        tracker.run_on_list_of_images(list(frames), classes)
+        nofilter_times.append(time.perf_counter() - t0)
+    tracker.crop_filter = crop_filter
+    fused_nofilter_s = float(np.median(nofilter_times))
 
     # RAM tagging over all frames (reference chat.py:261 runs this
     # before tracking even starts); device-side resize/normalize.
@@ -262,9 +317,13 @@ def measured_pipeline(detector, segmenter, xparams, xcfg, tagger):
     entity_stub_s = time.perf_counter() - t0
 
     return {
-        "measured_s": round(fused_s, 3),  # fused clip = production path
+        # run_on_list_of_images dispatch (= fused program, crop filter
+        # ON — the config chat/eval run under this build)
+        "measured_s": round(fused_s, 3),
         "fused_runs": [round(t, 3) for t in fused_times],
         "fused_first_run_s": round(fused_first_s, 3),  # incl. compiles
+        "fused_nofilter_s": round(fused_nofilter_s, 3),
+        "crop_filter_batch_s": round(float(np.median(filter_batch_s)), 3),
         "hostloop_s": round(measured_s, 3),  # per-segment dispatch path
         "hostloop_runs": [round(t, 3) for t in times],
         "stage_s": stage_s,  # host-blocking decomposition, host loop
@@ -569,7 +628,8 @@ def main():
             "detect_every": DETECT_EVERY,
             "frames": NUM_FRAMES,
             "boxes_per_detection": N_BOXES,
-            "models": f"gdino-swint-800px + mobile-sam(tinyvit-5m) 1024px "
+            "models": f"gdino-swint-800px + clip-b32-filter + "
+                      f"mobile-sam(tinyvit-5m) 1024px "
                       f"(vit-b timed for comparison) + "
                       f"xmem r50/r18 {H}x{W}, {DTYPE}",
         },

@@ -117,7 +117,7 @@ def test_fused_matches_host_loop(xsetup, t):
 
     host = _make_tracker(LearnedMemoryTracker(params, cfg))
     host.binary_masks = False
-    ref = host.run_on_list_of_images(list(frames), ["person", "dog"])
+    ref = host.run_host_loop(list(frames), ["person", "dog"])
 
     fused = _make_tracker(LearnedMemoryTracker(params, cfg))
     got = fused.run_on_list_of_images_fused(
@@ -221,3 +221,121 @@ def test_sam_batch_decode_matches_call():
     for f in range(3):
         ref = seg(frames[f], boxes[f]) > 0.5
         np.testing.assert_array_equal(batched[f].astype(bool), ref)
+
+
+class StubFilter:
+    """Crop filter implementing BOTH interfaces (per-frame host
+    __call__ + batched filter_frames_device) with identical,
+    box-geometry-determined decisions — pins that the fused path
+    applies filtering at the same point in the pipeline as the host
+    loop's detect_and_segment."""
+
+    supports_batch_device = True
+
+    @staticmethod
+    def _keep(boxes):
+        b = np.trunc(np.asarray(boxes, np.float32)).astype(int)
+        return (b[..., 0] + b[..., 1]) % 2 == 0
+
+    def __call__(self, image, boxes, class_ids, classes):
+        return self._keep(boxes)
+
+    def filter_frames_device(self, frames, boxes, valid, class_ids,
+                             classes):
+        return self._keep(boxes) & np.asarray(valid, bool)
+
+
+def test_fused_with_filter_matches_host_loop(xsetup):
+    """VERDICT r3 #1: fused-with-filter == host-loop-with-filter."""
+    params, cfg = xsetup
+    frames = _frames(12)
+
+    host = _make_tracker(LearnedMemoryTracker(params, cfg))
+    host.crop_filter = StubFilter()
+    host.binary_masks = False
+    ref = host.run_host_loop(list(frames), ["person", "dog"])
+
+    fused = _make_tracker(LearnedMemoryTracker(params, cfg))
+    fused.crop_filter = StubFilter()
+    got = fused.run_on_list_of_images_fused(
+        list(frames), ["person", "dog"], binary=False
+    )
+
+    # the filter must actually drop something in this configuration,
+    # otherwise the test degenerates to the unfiltered parity case
+    det = StubDetector()
+    dropped = 0
+    for ti in (0, 5, 10):
+        boxes, _, _ = det.detect_batch(
+            np.zeros((1, H, W, 3), np.uint8), ["x"]
+        )[0]
+        dropped += int((~StubFilter._keep(boxes)).sum())
+    assert dropped > 0
+
+    assert len(ref) == len(got) == 12
+    for r, g in zip(ref, got):
+        assert r.frame_index == g.frame_index
+        assert [tuple(o) for o in r.objects] == [
+            (o.id, o.category_id, pytest.approx(o.score, abs=1e-6))
+            for o in g.objects
+        ]
+        bad = np.mean(
+            np.abs(np.asarray(r.masks, np.float32) - g.masks) > 5e-3
+        )
+        assert bad < 5e-3, (r.frame_index, bad)
+
+
+def test_dispatch_routes_learned_builds_to_fused(xsetup):
+    """run_on_list_of_images == the fused program under a learned
+    propagator (chat/eval call run_on_list_of_images; VERDICT r3 #1
+    requires them to take the fused path)."""
+    params, cfg = xsetup
+    frames = _frames(10)
+    tr = _make_tracker(LearnedMemoryTracker(params, cfg))
+    assert tr.fused_eligible()
+    called = {}
+    orig = tr.run_on_list_of_images_fused
+
+    def spy(*a, **kw):
+        called["kw"] = kw
+        return orig(*a, **kw)
+
+    tr.run_on_list_of_images_fused = spy
+    out = tr.run_on_list_of_images(list(frames), ["person"])
+    assert called["kw"] == {"binary": True}  # binary_masks=True build
+    assert len(out) == 10 and out[0].masks.dtype == np.uint8
+
+    # handcrafted-STM build: not eligible, host loop runs
+    tr2 = _make_tracker(None)
+    assert not tr2.fused_eligible()
+    tr2.run_on_list_of_images_fused = lambda *a, **k: pytest.fail(
+        "host-loop build must not dispatch to fused"
+    )
+    out2 = tr2.run_on_list_of_images(list(frames), ["person"])
+    assert len(out2) == 10
+
+    # device-incapable crop filter: not eligible either
+    tr3 = _make_tracker(LearnedMemoryTracker(params, cfg))
+    tr3.crop_filter = lambda image, boxes, cids, classes: np.ones(
+        (len(boxes),), bool
+    )
+    assert not tr3.fused_eligible()
+
+
+def test_fused_accepts_device_frames(xsetup):
+    """A device-resident (T, H, W, 3) clip (chat's shared upload)
+    produces the same results as np frames."""
+    import jax.numpy as jnp
+
+    params, cfg = xsetup
+    frames = _frames(10)
+    a = _make_tracker(LearnedMemoryTracker(params, cfg))
+    ra = a.run_on_list_of_images_fused(list(frames), ["person"],
+                                       binary=False)
+    b = _make_tracker(LearnedMemoryTracker(params, cfg))
+    rb = b.run_on_list_of_images_fused(
+        jnp.asarray(np.stack(frames)), ["person"], binary=False
+    )
+    for x, y in zip(ra, rb):
+        assert x.frame_index == y.frame_index
+        np.testing.assert_allclose(x.masks, y.masks, atol=2e-5)

@@ -642,7 +642,7 @@ def test_grounded_tracker_chunked_propagation_parity(models):
     chunked = GroundedTracker(
         propagator=LearnedMemoryTracker(params, cfg), **kw
     )
-    got = chunked.run_on_list_of_images(frames, ["red box"])
+    got = chunked.run_host_loop(frames, ["red box"])
 
     class _NoChunk:
         """Same learned propagator, step_chunk hidden -> per-frame path."""
@@ -662,7 +662,7 @@ def test_grounded_tracker_chunked_propagation_parity(models):
     perframe = GroundedTracker(
         propagator=_NoChunk(LearnedMemoryTracker(params, cfg)), **kw
     )
-    want = perframe.run_on_list_of_images(frames, ["red box"])
+    want = perframe.run_host_loop(frames, ["red box"])
 
     assert len(got) == len(want) == len(frames)
     for a, b in zip(want, got):

@@ -48,6 +48,17 @@ class CLIPVisionConfig:
     def head_dim(self) -> int:
         return self.hidden_size // self.num_heads
 
+    @classmethod
+    def b32(cls) -> "CLIPVisionConfig":
+        """OpenAI CLIP ViT-B/32 — the tower the grounding stack's
+        zero-shot crop filter runs (reference loads clip.load('ViT-B/32'),
+        grounding_evaluation/grounding_new_api.py:295)."""
+        return cls(
+            image_size=224, patch_size=32, hidden_size=768,
+            intermediate_size=3072, num_layers=12, num_heads=12,
+            projection_dim=512,
+        )
+
 
 @dataclasses.dataclass(frozen=True)
 class CLIPTextConfig:
@@ -64,6 +75,15 @@ class CLIPTextConfig:
     layer_norm_eps: float = 1e-5
     hidden_act: str = "quick_gelu"
     projection_dim: int = 768
+
+    @classmethod
+    def b32(cls) -> "CLIPTextConfig":
+        """ViT-B/32 companion text tower (crop-filter zero-shot
+        classifier)."""
+        return cls(
+            hidden_size=512, intermediate_size=2048, num_layers=12,
+            num_heads=8, projection_dim=512,
+        )
 
 
 @dataclasses.dataclass(frozen=True)

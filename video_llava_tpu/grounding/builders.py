@@ -129,14 +129,18 @@ class SamSegmenter:
         fused_clip.py), where detection masks feed the clip scan without
         ever visiting the host.
 
-        frames: (F, H, W, 3) uint8; boxes: (F, K, 4) xyxy pixel coords
+        frames: (F, H, W, 3) uint8 — np, or a device-resident jax array
+        (the fused path slices its single clip upload; no second
+        host->device transfer). boxes: (F, K, 4) xyxy pixel coords
         (padded rows arbitrary — callers carry a validity mask).
         Returns jax (F, K, Hp, Wp) uint8 {0,1} where (Hp, Wp) =
         out_hw or (H, W) (zero-padded bottom/right, matching the
         tracker's stride-16 frame padding). Same mask math as __call__:
         best-IoU head, >0 threshold, nearest upsample from the mask
         grid."""
-        frames = np.asarray(frames)
+        xp = jnp if isinstance(frames, jax.Array) else np
+        if xp is np:
+            frames = np.asarray(frames)
         f_count, H, W = frames.shape[:3]
         hp, wp = out_hw or (H, W)
         size = self.cfg.vision.image_size
@@ -146,8 +150,8 @@ class SamSegmenter:
             chunk = frames[s : s + k]
             n = len(chunk)
             if n < k:
-                chunk = np.concatenate(
-                    [chunk, np.repeat(chunk[-1:], k - n, axis=0)]
+                chunk = xp.concatenate(
+                    [chunk, xp.repeat(chunk[-1:], k - n, axis=0)]
                 )
             embs.append(self._encode_raw(self.params, jnp.asarray(chunk))[:n])
         emb = jnp.concatenate(embs, axis=0)
@@ -426,6 +430,45 @@ def build_tagger(
         backbone = swin_mod.init_params(jax.random.PRNGKey(0), cfg)
     head = init_tag_head(jax.random.PRNGKey(1), cfg.num_features, len(tag_list))
     return TaggingModule(backbone, head, cfg, tag_list)
+
+
+def random_clip_filter(
+    seed: int = 0, dtype=jnp.float32,
+    prob_threshold: float = 0.1, score_threshold: float = 0.2,
+) -> ClipCropFilter:
+    """Random-weight ViT-B/32 crop filter with a deterministic hash
+    tokenizer — NOT for quality (random towers score noise), but the
+    exact compute/transfer shape of the real filter: benches time it,
+    tests pin device-vs-host parity with it."""
+    vcfg = CLIPVisionConfig.b32()
+    tcfg = CLIPTextConfig.b32()
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
+    vparams = clip_mod.init_vision_params(k1, vcfg, dtype)
+    tparams = clip_mod.init_text_params(k2, tcfg, dtype)
+    proj = jax.random.normal(
+        k3, (vcfg.hidden_size, vcfg.projection_dim), dtype
+    ) * (vcfg.hidden_size ** -0.5)
+
+    import zlib
+
+    def tokenize(s: str):
+        # deterministic (crc32 — Python's hash() is per-process
+        # salted), vocabulary-bounded; EOT = max vocab id so
+        # text_forward's argmax pooling lands on it (OpenAI convention)
+        ids = [
+            zlib.crc32(w.encode()) % (tcfg.vocab_size - 2) + 1
+            for w in s.split()
+        ]
+        return ids[: tcfg.max_position_embeddings - 1] + [
+            tcfg.vocab_size - 1
+        ]
+
+    return ClipCropFilter(
+        vparams, vcfg, tparams, tcfg, tokenize=tokenize,
+        visual_projection={"kernel": proj},
+        prob_threshold=prob_threshold,
+        score_threshold=score_threshold,
+    )
 
 
 def build_clip_filter(

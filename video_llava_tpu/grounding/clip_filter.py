@@ -22,7 +22,11 @@ import jax.numpy as jnp
 from video_llava_tpu.config import CLIPTextConfig, CLIPVisionConfig
 from video_llava_tpu.models import clip as clip_mod
 from video_llava_tpu.models.layers import linear
-from video_llava_tpu.ops.image import normalize_clip, resize_bicubic
+from video_llava_tpu.ops.image import (
+    crop_resize_bicubic_batch,
+    normalize_clip,
+    resize_bicubic,
+)
 
 # Prompt ensemble (a compact subset of the 80 ImageNet templates the
 # reference ensembles over; configurable).
@@ -41,6 +45,9 @@ DEFAULT_TEMPLATES = (
 
 
 class ClipCropFilter:
+    # GroundedTracker feature-detects this for fused-path eligibility.
+    supports_batch_device = True
+
     def __init__(
         self,
         vision_params,
@@ -75,6 +82,27 @@ class ClipCropFilter:
                 clip_mod.vision_pooled_embedding(p, batch, self.vision_cfg),
             )
         )
+
+        # Whole-batch device scorer (the fused grounded-clip path): all
+        # K boxes of a frame chunk crop+resize as matmuls and encode in
+        # ONE program — no per-crop host slice/transfer/dispatch (the
+        # host loop in embed_crops costs a tunnel RTT per crop).
+        def _scores(vp, proj, tw, frames, boxes):
+            size = self.vision_cfg.image_size
+            crops = crop_resize_bicubic_batch(frames, boxes, size)
+            c, k = crops.shape[:2]
+            batch = normalize_clip(crops).reshape(
+                (c * k, size, size, crops.shape[-1])
+            )
+            emb = linear(
+                proj, clip_mod.vision_pooled_embedding(
+                    vp, batch, self.vision_cfg
+                ),
+            )
+            emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+            return (emb @ tw).reshape(c, k, -1)
+
+        self._scores_jit = jax.jit(_scores)
 
     def zeroshot_weights(self, classes: Sequence[str]) -> jax.Array:
         """(proj_dim, n_classes) L2-normalized ensemble embeddings
@@ -135,9 +163,79 @@ class ClipCropFilter:
         w = self.zeroshot_weights(classes)
         emb = self.embed_crops(image, boxes)
         scores = np.asarray(emb @ w)  # (n, n_classes) cosine
-        probs = np.asarray(jax.nn.softmax(100.0 * jnp.asarray(scores), axis=-1))
-        idx = np.arange(len(boxes))
-        cls = np.clip(class_ids, 0, len(classes) - 1)
-        return (probs[idx, cls] > self.prob_threshold) & (
-            scores[idx, cls] >= self.score_threshold
+        return self._decide(scores, class_ids, len(classes))
+
+    def _decide(
+        self, scores: np.ndarray, class_ids: np.ndarray, n_classes: int
+    ) -> np.ndarray:
+        """scores (..., n_classes) cosine -> keep mask (...,) bool
+        (reference thresholds: prob > 0.1 AND raw score >= 0.2,
+        grounding_new_api.py:430-443)."""
+        probs = np.asarray(
+            jax.nn.softmax(100.0 * jnp.asarray(scores), axis=-1)
         )
+        cls = np.clip(np.asarray(class_ids), 0, n_classes - 1)
+        sel = np.take_along_axis(scores, cls[..., None], axis=-1)[..., 0]
+        psel = np.take_along_axis(probs, cls[..., None], axis=-1)[..., 0]
+        return (psel > self.prob_threshold) & (
+            sel >= self.score_threshold
+        )
+
+    # -- batched device path (fused grounded clip) --------------------------
+
+    def score_frames_device(
+        self,
+        frames,  # (F, H, W, 3) uint8 — np or device-resident jax array
+        boxes,  # (F, K, 4) xyxy pixel coords
+        classes: Sequence[str],
+        chunk: int = 4,
+    ) -> np.ndarray:
+        """-> (F, K, n_classes) cosine scores. Frames process in
+        fixed-size chunks (last pads by repetition) so any detection
+        count reuses one compiled program per (H, W, K) shape; device-
+        resident frames never revisit the host."""
+        w = self.zeroshot_weights(classes)
+        xp = jnp if isinstance(frames, jax.Array) else np
+        boxes = (
+            boxes if isinstance(boxes, jax.Array)
+            else np.asarray(boxes, np.float32)
+        )
+        f_count = len(frames)
+        outs = []
+        for s in range(0, f_count, chunk):
+            fc, bc = frames[s : s + chunk], boxes[s : s + chunk]
+            n = len(fc)
+            if n < chunk:
+                reps = xp.repeat(fc[-1:], chunk - n, axis=0)
+                fc = xp.concatenate([fc, reps])
+                bc = jnp.concatenate(
+                    [jnp.asarray(bc),
+                     jnp.repeat(jnp.asarray(bc[-1:]), chunk - n, axis=0)]
+                )
+            outs.append(
+                np.asarray(
+                    self._scores_jit(
+                        self.vision_params, self.visual_projection, w,
+                        jnp.asarray(fc), jnp.asarray(bc),
+                    )
+                )[:n]
+            )
+        return np.concatenate(outs, axis=0)
+
+    def filter_frames_device(
+        self,
+        frames,  # (F, H, W, 3) uint8 (np or device)
+        boxes,  # (F, K, 4)
+        valid,  # (F, K) bool
+        class_ids,  # (F, K) int
+        classes: Sequence[str],
+    ) -> np.ndarray:
+        """Batched twin of __call__ over all detection frames of a clip
+        -> keep (F, K) bool (False wherever `valid` is False). Same
+        decision math as the per-frame host path; parity pinned by
+        tests/test_clip_filter.py."""
+        valid = np.asarray(valid, bool)
+        if not valid.any():
+            return np.zeros_like(valid)
+        scores = self.score_frames_device(frames, boxes, classes)
+        return self._decide(scores, class_ids, len(classes)) & valid

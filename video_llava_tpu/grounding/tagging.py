@@ -145,19 +145,23 @@ class TaggingModule:
         self, frames: np.ndarray, image_size: int = 384,
         batch_size: int = 20,
     ) -> List[List[str]]:
-        """frames: (t, H, W, 3) uint8 RGB -> per-frame tag lists, with
-        all preprocessing on device. Frames run in fixed-size batches
-        (last one pads by repetition) so any clip length reuses one
-        compiled program."""
+        """frames: (t, H, W, 3) uint8 RGB — np, or a device-resident
+        jax array (grounded chat shares ONE clip upload across tagging
+        and tracking). Per-frame tag lists, with all preprocessing on
+        device. Frames run in fixed-size batches (last one pads by
+        repetition) so any clip length reuses one compiled program."""
         fn = self._raw_fwd(image_size)
+        xp = jnp if isinstance(frames, jax.Array) else np
         t = len(frames)
         rows = []
         for s in range(0, t, batch_size):
-            chunk = np.asarray(frames[s : s + batch_size])
+            chunk = frames[s : s + batch_size]
+            if xp is np:
+                chunk = np.asarray(chunk)
             n = len(chunk)
             if n < batch_size:
-                chunk = np.concatenate(
-                    [chunk, np.repeat(chunk[-1:], batch_size - n, axis=0)]
+                chunk = xp.concatenate(
+                    [chunk, xp.repeat(chunk[-1:], batch_size - n, axis=0)]
                 )
             probs = jax.nn.sigmoid(
                 fn(self.backbone_params, self.head_params,

@@ -99,6 +99,11 @@ class GroundedTracker:
     # frame (the dominant PCIe cost of the pipeline) at the price of
     # losing sub-threshold soft values in FrameResult.masks.
     binary_masks: bool = False
+    # prefer_fused=True routes run_on_list_of_images through the fused
+    # whole-clip program whenever the build supports it (online mode +
+    # learned propagator + device-capable or absent crop filter) — the
+    # per-segment host loop stays as run_host_loop for other configs.
+    prefer_fused: bool = True
 
     def __post_init__(self):
         self.tracker = self.propagator or MemoryTracker(self.tracker_cfg)
@@ -354,7 +359,37 @@ class GroundedTracker:
 
     # -- public APIs (reference :574-598) ----------------------------------------
 
+    def fused_eligible(self) -> bool:
+        """True when this build can take the fused whole-clip program:
+        online mode, a learned (XMem) propagator, and a crop filter
+        that either is absent or scores box batches on device."""
+        return (
+            self.prefer_fused
+            and self.temporal_setting == "online"
+            and hasattr(self.tracker, "_xmem")
+            and (
+                self.crop_filter is None
+                or getattr(self.crop_filter, "supports_batch_device",
+                           False)
+            )
+        )
+
     def run_on_list_of_images(
+        self, frames: Sequence[np.ndarray], classes: Sequence[str]
+    ) -> List[FrameResult]:
+        """Reference run_on_list_of_images (grounding_new_api.py:
+        592-598). Dispatches to the fused whole-clip device program
+        when the build supports it (chat/eval take this path under a
+        learned propagator), else the per-segment host loop."""
+        if self.fused_eligible():
+            # binary mirrors binary_masks so the FrameResult contract
+            # (uint8 {0,1} vs f32 soft masks) matches the host loop's.
+            return self.run_on_list_of_images_fused(
+                frames, classes, binary=self.binary_masks
+            )
+        return self.run_host_loop(frames, classes)
+
+    def run_host_loop(
         self, frames: Sequence[np.ndarray], classes: Sequence[str]
     ) -> List[FrameResult]:
         self.classes = list(classes)
@@ -439,21 +474,33 @@ class GroundedTracker:
         dominate wall clock on any host, catastrophically so on a
         tunneled TPU).
 
-        Semantics match run_on_list_of_images for the supported config:
-        online mode, a LearnedMemoryTracker propagator, no crop filter
-        (parity-tested in tests/test_fused_clip.py). `max_dets` bounds
-        detections per frame post-NMS (top-scoring kept; the reference's
-        0.35 threshold leaves a handful with real weights).
+        Semantics match run_host_loop for the supported config: online
+        mode, a LearnedMemoryTracker propagator, optionally a
+        batch-device-capable crop filter (parity-tested in
+        tests/test_fused_clip.py). `max_dets` bounds detections per
+        frame post-NMS (top-scoring kept; the reference's 0.35
+        threshold leaves a handful with real weights).
+
+        The clip uploads to the device ONCE (uint8); detection
+        batches, SAM encodes and the crop filter all consume
+        device-resident slices of that one buffer (the r3 path
+        re-uploaded the detection frames twice on top of the clip —
+        ~2x the required host->device traffic, seconds on a tunneled
+        link). Callers may also pass `frames` as an already
+        device-resident (T, H, W, 3) jax array (chat shares one upload
+        across tagging and tracking).
         """
         from video_llava_tpu.grounding import fused_clip
         from video_llava_tpu.models import xmem as xmem_mod
 
         if self.temporal_setting != "online":
             raise NotImplementedError("fused path is online-mode only")
-        if self.crop_filter is not None:
+        if self.crop_filter is not None and not getattr(
+            self.crop_filter, "supports_batch_device", False
+        ):
             raise NotImplementedError(
-                "crop filter runs per detection frame on host; use "
-                "run_on_list_of_images"
+                "crop filter lacks filter_frames_device; use "
+                "run_host_loop"
             )
         prop = self.tracker
         if not hasattr(prop, "_xmem"):
@@ -467,36 +514,49 @@ class GroundedTracker:
         t0 = len(frames)
         n_seg = -(-t0 // E)
         t_pad = n_seg * E
-        arr = np.asarray(frames)
+        on_device = isinstance(frames, jax.Array)
+        xp = jnp if on_device else np
+        arr = frames if on_device else np.asarray(frames)
         if t_pad > t0:
-            arr = np.concatenate(
-                [arr, np.repeat(arr[-1:], t_pad - t0, axis=0)]
+            arr = xp.concatenate(
+                [arr, xp.repeat(arr[-1:], t_pad - t0, axis=0)]
             )
         h, w = arr.shape[1:3]
         ph, pw = -h % 16, -w % 16  # XMem feature stride
         padded = (
-            np.pad(arr, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
+            xp.pad(arr, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
             if (ph or pw) else arr
         )
         frame_valid = np.arange(t_pad) < t0
+        # THE one clip upload: every downstream consumer (detector, crop
+        # filter, SAM, the fused scan) slices this device buffer.
+        dev_clip = jnp.asarray(padded)
 
         # -- detection: batched forwards, host threshold, ONE vmapped NMS
         # (not precompute_detections: its SAM-embedding prefetch would
         # encode frames decode_masks_batch_device re-encodes anyway)
         det_idx = [s * E for s in range(n_seg) if s * E < t0]
+        # detection frames as device slices of the clip buffer (one
+        # gather program; no second host->device transfer)
+        dev_det = dev_clip[jnp.asarray(det_idx, jnp.int32), :h, :w]
         detect_batch = getattr(self.detector, "detect_batch", None)
         raw = []
         if detect_batch is not None and self.detect_batch_size > 1:
             kb = self.detect_batch_size
             for start in range(0, len(det_idx), kb):
-                chunk = det_idx[start : start + kb]
-                pidx = chunk + [chunk[-1]] * (kb - len(chunk))
-                out = detect_batch(
-                    np.stack([arr[i] for i in pidx]), list(classes)
-                )
-                raw.extend(out[: len(chunk)])
+                n_chunk = min(kb, len(det_idx) - start)
+                chunk = dev_det[start : start + n_chunk]
+                if n_chunk < kb:  # pad by repeating the last frame
+                    chunk = jnp.concatenate(
+                        [chunk, jnp.repeat(chunk[-1:], kb - n_chunk,
+                                           axis=0)]
+                    )
+                out = detect_batch(chunk, list(classes))
+                raw.extend(out[:n_chunk])
         else:
-            raw = [self.detector(arr[i], classes) for i in det_idx]
+            det_host = np.asarray(dev_det)  # stub detectors (tests)
+            raw = [self.detector(det_host[i], classes)
+                   for i in range(len(det_idx))]
         k_det = max_dets
         boxes = np.zeros((n_seg, k_det, 4), np.float32)
         score = np.zeros((n_seg, k_det), np.float32)
@@ -527,12 +587,29 @@ class GroundedTracker:
             score[s, :n] = c[kept]
             cat[s, :n] = ids[kept]
             det_valid[s, :n] = True
+        # NMS-survivor counts per segment (a prefix of the slots) —
+        # the crop filter below may invalidate mid-prefix slots, but
+        # mask decode keeps slot correspondence over the full prefix
+        n_nms = det_valid.sum(axis=1)
+
+        # -- CLIP zero-shot crop filter, batched over ALL detection
+        # frames as device matmul crops (host path: detect_and_segment
+        # filters after NMS per frame; filter decisions depend only on
+        # boxes, so running it before SAM skips mask decodes for
+        # rejected detections — same results, less device work)
+        if self.crop_filter is not None and det_valid.any():
+            keep = self.crop_filter.filter_frames_device(
+                dev_det, boxes[: len(det_idx)],
+                det_valid[: len(det_idx)], cat[: len(det_idx)],
+                list(classes),
+            )
+            det_valid[: len(det_idx)] &= np.asarray(keep, bool)
 
         # -- SAM masks for all detection frames, device-resident
         seg = self.segmenter
         if hasattr(seg, "decode_masks_batch_device"):
             det_masks = seg.decode_masks_batch_device(
-                arr[det_idx], boxes[: len(det_idx)],
+                dev_det, boxes[: len(det_idx)],
                 out_hw=(h + ph, w + pw),
             )
             if len(det_idx) < n_seg:  # padded tail segments
@@ -542,18 +619,21 @@ class GroundedTracker:
                                + det_masks.shape[1:], det_masks.dtype)]
                 )
         else:  # stub segmenters (tests): host masks, one upload
+            det_host = np.asarray(dev_det)
             m = np.zeros((n_seg, k_det, h + ph, w + pw), np.uint8)
-            for s, i in enumerate(det_idx):
-                nv = int(det_valid[s].sum())
+            for s in range(len(det_idx)):
+                nv = int(n_nms[s])
                 if nv:
-                    m[s, :nv, :h, :w] = seg(arr[i], boxes[s, :nv]) > 0.5
+                    m[s, :nv, :h, :w] = (
+                        seg(det_host[s], boxes[s, :nv]) > 0.5
+                    )
             det_masks = jnp.asarray(m)
 
         cfg = prop.cfg
         state = xmem_mod.init_state(cfg, (h + ph) // 16, (w + pw) // 16)
         table = fused_clip.init_table(cfg)
         masks, cats, scores_out, counts, state = fused_clip.run_clip_fused(
-            prop.params, state, jnp.asarray(padded), det_masks,
+            prop.params, state, dev_clip, det_masks,
             jnp.asarray(det_valid), jnp.asarray(cat.astype(np.int32)),
             jnp.asarray(score), jnp.asarray(frame_valid), table, cfg,
             detect_every=E,

@@ -971,10 +971,14 @@ class GroundingDinoDetector:
     def detect_batch(
         self, images: np.ndarray, prompts: Sequence[str]
     ) -> List[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
-        """images: (k, H, W, 3) uint8 — one caption, k frames, ONE
+        """images: (k, H, W, 3) uint8 — np, or an already
+        device-resident jax array (the fused grounded-clip path slices
+        its single clip upload; converting back to np here would cost a
+        device->host fetch per batch). One caption, k frames, ONE
         jitted forward. Returns per-frame (boxes xyxy, scores,
         class_ids)."""
-        images = np.asarray(images)
+        if not isinstance(images, jax.Array):
+            images = np.asarray(images)
         k, H, W = images.shape[0], images.shape[1], images.shape[2]
         caption = " . ".join(p.strip().lower() for p in prompts) + " ."
         ids1 = self.tokenize(caption)

@@ -57,6 +57,84 @@ def resize_bicubic(frames: jax.Array, out_h: int, out_w: int) -> jax.Array:
     )
 
 
+def _keys_cubic(x: jax.Array) -> jax.Array:
+    """Keys cubic kernel (a=-0.5) — the kernel jax.image.resize uses
+    for method='bicubic' (same piecewise forms/boundaries)."""
+    out = ((1.5 * x - 2.5) * x) * x + 1.0
+    out = jnp.where(x >= 1.0, ((-0.5 * x + 2.5) * x - 4.0) * x + 2.0, out)
+    return jnp.where(x >= 2.0, 0.0, out)
+
+
+def crop_resize_weights(
+    lo: jax.Array, hi: jax.Array, in_size: int, out_size: int
+) -> jax.Array:
+    """Separable resize weights for the integer crop [lo, hi) of an
+    `in_size` axis, resized to `out_size`, expressed in GLOBAL input
+    coordinates: (..., in_size, out_size) such that
+    `w.T @ axis == jax.image.resize(axis[lo:hi], out_size,
+    method='bicubic', antialias=True)` (same kernel, antialias scaling
+    and weight renormalization as jax's compute_weight_mat; the
+    sample-outside-input zeroing never triggers for crop resizes, where
+    samples always land within [-0.5, span-0.5]).
+
+    lo/hi: int arrays of any (matching) batch shape — the crop bounds
+    are TRACED, so one compiled program serves every box geometry
+    (the host-side `resize_bicubic(image[y0:y1, x0:x1])` composition
+    would recompile per crop shape and pay a dispatch per crop).
+    """
+    lo_f = lo.astype(jnp.float32)[..., None, None]
+    span = (hi - lo).astype(jnp.float32)[..., None, None]
+    inv_scale = span / out_size
+    kernel_scale = jnp.maximum(inv_scale, 1.0)  # antialias=True
+    rows = jnp.arange(in_size, dtype=jnp.float32)[:, None]
+    cols = jnp.arange(out_size, dtype=jnp.float32)[None, :]
+    sample = (cols + 0.5) * inv_scale - 0.5 + lo_f  # (..., 1, out)
+    w = _keys_cubic(jnp.abs(sample - rows) / kernel_scale)
+    w = w * ((rows >= lo_f) & (rows < lo_f + span))
+    total = jnp.sum(w, axis=-2, keepdims=True)
+    eps = 1000.0 * float(np.finfo(np.float32).eps)
+    return jnp.where(
+        jnp.abs(total) > eps,
+        w / jnp.where(total != 0.0, total, 1.0),
+        0.0,
+    )
+
+
+def crop_resize_bicubic_batch(
+    images: jax.Array, boxes: jax.Array, out_size: int
+) -> jax.Array:
+    """Batched device crop+resize: (c, H, W, 3) frames + (c, K, 4)
+    xyxy pixel boxes -> (c, K, out_size, out_size, 3) f32 crops, each
+    equal (up to f32 accumulation order) to
+    `resize_bicubic(images[f, y0:y1, x0:x1], out_size, out_size)` with
+    the grounding crop filter's host clamp (x0,y0 >= 0; x1 in
+    [x0+1, W]; y1 in [y0+1, H]; int truncation) — the device twin of
+    ClipCropFilter.embed_crops' per-crop host loop (reference
+    mask_and_crop, grounding_evaluation/grounding_new_api.py:196-230).
+
+    Degenerate boxes lying fully outside the frame (where the host
+    slice would be empty) clamp to a 1-pixel edge crop instead of
+    erroring — callers mask those out via their validity masks.
+
+    All-matmul (two einsums against the separable weight matrices), so
+    the whole K-crop batch is MXU work in one program: no per-crop
+    dispatch, no host crop glue.
+    """
+    c, H, W = images.shape[:3]
+    b = jnp.trunc(boxes.astype(jnp.float32)).astype(jnp.int32)
+    x0 = jnp.maximum(b[..., 0], 0)
+    y0 = jnp.maximum(b[..., 1], 0)
+    x1 = jnp.minimum(jnp.maximum(b[..., 2], x0 + 1), W)
+    y1 = jnp.minimum(jnp.maximum(b[..., 3], y0 + 1), H)
+    x0 = jnp.minimum(x0, x1 - 1)
+    y0 = jnp.minimum(y0, y1 - 1)
+    wy = crop_resize_weights(y0, y1, H, out_size)  # (c, K, H, s)
+    wx = crop_resize_weights(x0, x1, W, out_size)  # (c, K, W, s)
+    img = images.astype(jnp.float32)
+    t = jnp.einsum("chwd,ckhs->ckswd", img, wy)
+    return jnp.einsum("ckswd,ckwt->ckstd", t, wx)
+
+
 def center_crop(frames: jax.Array, size: int) -> jax.Array:
     """Center crop to (size, size); HF CLIPImageProcessor semantics."""
     h, w = frames.shape[-3], frames.shape[-2]

@@ -236,10 +236,16 @@ class PGVideoLLaVA(VideoChatGPTInterface):
             return llm_output
 
         # Tag all frames (batched) -> top-10 unique tags. Raw uint8
-        # frames: the /255 + resize + normalize run on device
-        # (tagging.run_on_frames_raw), not on host.
+        # frames upload to the device ONCE and are shared by tagging
+        # and (when the fused tracker path is available) tracking —
+        # the /255 + resize + normalize all run on device
+        # (tagging.run_on_frames_raw). Reference runs tagging then
+        # tracking over the same frames (chat.py:254-302).
+        import jax.numpy as jnp
+
+        dev_frames = jnp.asarray(np.asarray(self.video_frames))
         entity_list = self.tagging_model.run_on_video(
-            self.video_frames, top_k=10
+            dev_frames, top_k=10
         )
         highlight_output, match_state = self.entity_match_module(
             llm_output, entity_list
@@ -258,10 +264,17 @@ class PGVideoLLaVA(VideoChatGPTInterface):
         output_video_path = os.path.join(output_dir, f"video_{stamp}_{rand}.mp4")
 
         annotated = []
+        fused = getattr(self.tracker, "fused_eligible", lambda: False)()
         if class_list:
             for start, end in detect_scenes(self.video_frames):
+                # fused path: device slices of the shared clip upload;
+                # host loop: np frames (it works frame-by-frame on host)
+                scene = (
+                    dev_frames[start:end] if fused
+                    else list(self.video_frames[start:end])
+                )
                 results = self.tracker.run_on_list_of_images(
-                    list(self.video_frames[start:end]), class_list
+                    scene, class_list
                 )
                 for r, frame in zip(results, self.video_frames[start:end]):
                     cids = [o.category_id for o in r.objects]
