@@ -48,9 +48,19 @@ LAYERS = int(os.environ.get("BENCH_LAYERS", "0"))  # 0 = full depth
 # g=128, W4A8 stacked Pallas matvec with scalar-prefetch layer select —
 # zero per-layer slice copies) is the default: measured 8.31 ms/step 7B
 # (vs int8's 11.42) and 14.85 ms/step 13B (vs 22.24). BENCH_LLM_DTYPE
-# selects int4 (default) / int8 / bf16. BENCH_FUSE=0 disables the fused
+# selects int4 (default) / int8 / bf16 / auto ('auto' resolves through
+# the quant-preflight record — BENCH_WEIGHTS names the checkpoint dir
+# carrying quant_preflight.json; without weights it falls back to int8,
+# the checkpoint-independent format). BENCH_FUSE=0 disables the fused
 # wqkv / gate_up decode layouts.
 LLM_DTYPE = os.environ.get("BENCH_LLM_DTYPE", "int4")
+if LLM_DTYPE == "auto":
+    from video_llava_tpu.engine.quant_select import resolve_quant
+
+    LLM_DTYPE = resolve_quant(
+        "auto", os.environ.get("BENCH_WEIGHTS") or None
+    ) or "bf16"
+    print(f"# BENCH_LLM_DTYPE=auto -> {LLM_DTYPE}", flush=True)
 FUSE = os.environ.get("BENCH_FUSE", "1") == "1"
 # BENCH_MODEL=13b benches Vicuna-13B (the reference's larger config);
 # int8 weights (~13 GB) are tight on a 16 GB chip, int4 (~6.6 GB) is
@@ -84,6 +94,15 @@ FROM_VIDEO = os.environ.get("BENCH_FROM_VIDEO", "0") == "1"
 # ('data','model') mesh — the v5e-8 serving configuration. Requires D*M
 # visible devices (real chips, or a virtual CPU mesh for correctness
 # runs). The metric name stays e2e_video_qa_p50 either way.
+# BENCH_WITH_AUDIO=1 measures BASELINE config 4 (audio-augmented
+# conversation) alongside: native audio decode of a WAV fixture ->
+# log-mel -> Whisper large-v2 encode (with layer states for the TL-TR
+# AT head) -> KV-cached greedy decode -> AT speech/music filter ->
+# wav2vec2 CTC forced alignment -> transcript splice into the prompt ->
+# the same answer pipeline. Stage timings land in detail['audio'];
+# the headline metric/value are unchanged. (Reference path:
+# chat.py:62-73 + audio_transcript/transcribe.py:51-99.)
+WITH_AUDIO = os.environ.get("BENCH_WITH_AUDIO", "0") == "1"
 MESH_ENV = os.environ.get("BENCH_MESH")
 if MESH_ENV:
     # fused wqkv/gate_up names match no TP sharding rule (they would
@@ -290,6 +309,153 @@ def _make_clip(path: str, src_h: int = 360, src_w: int = 640,
     encode_video(path, frames, fps=fps)
 
 
+def _make_wav(path: str, seconds: int = 60, rate: int = 16000) -> None:
+    """Synthesize a speech-band WAV fixture (chirps + tones; the ASR
+    compute cost is content-independent)."""
+    import wave
+
+    t = np.arange(seconds * rate) / rate
+    x = 0.4 * np.sin(2 * np.pi * (200 + 60 * (t % 3)) * t)
+    x += 0.2 * np.sin(2 * np.pi * 440 * t) * (np.sin(0.7 * t) > 0)
+    pcm = (x * 32767).astype(np.int16)
+    with wave.open(path, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes(pcm.tobytes())
+
+
+def _build_transcriber():
+    """Whisper large-v2 (the reference's whisperX model) + random TL-TR
+    AT head + wav2vec2-BASE CTC aligner, all random weights, bf16
+    towers — the exact compute/transfer shape of the shipped audio
+    stack (audio/builders.build_default_transcriber with checkpoints).
+    BENCH_AUDIO_SIZE=tiny-test shrinks everything for CPU smoke runs."""
+    from video_llava_tpu.audio.align import ForcedAligner
+    from video_llava_tpu.audio.transcribe import Transcriber
+    from video_llava_tpu.models import wav2vec2 as w2v
+    from video_llava_tpu.models import whisper as whisper_mod
+
+    tiny = os.environ.get("BENCH_AUDIO_SIZE") == "tiny-test"
+    dtype = jnp.float32 if tiny else jnp.bfloat16
+    cfg = (
+        whisper_mod.WhisperConfig.tiny_test() if tiny
+        else whisper_mod.WhisperConfig.large_v2()
+    )
+    params = jax.jit(
+        lambda k: whisper_mod.init_params(k, cfg, dtype)
+    )(jax.random.PRNGKey(11))
+    atc = (
+        whisper_mod.WhisperATConfig.tiny_test(rep_dim=cfg.d_model)
+        if tiny else whisper_mod.WhisperATConfig(rep_dim=cfg.d_model)
+    )
+    params = dict(params)
+    params["at_head"] = jax.jit(
+        lambda k: whisper_mod.init_at_head_tltr(k, atc, dtype)
+    )(jax.random.PRNGKey(12))
+
+    w2v_cfg = (
+        w2v.Wav2Vec2Config.tiny_test() if tiny
+        else w2v.Wav2Vec2Config.base()
+    )
+    w2v_params = jax.jit(
+        lambda k: w2v.init_params(k, w2v_cfg, dtype)
+    )(jax.random.PRNGKey(13))
+    n_letters = min(26, w2v_cfg.vocab_size - 5)
+    vocab = {"<pad>": 0, "|": 4, **{chr(ord("A") + i): 5 + i
+                                    for i in range(n_letters)}}
+    aligner = ForcedAligner(w2v_params, w2v_cfg, vocab)
+
+    # random-weight decode emits no real text; map ids to letter codes
+    # (within the aligner vocab) so alignment/splice get
+    # realistic-length transcripts
+    def decode_text(ids):
+        return " ".join(
+            "".join(chr(ord("A") + (int(i) >> (4 * s)) % n_letters)
+                    for s in range(3))
+            for i in ids
+        )
+
+    return Transcriber(
+        params, cfg, decode_text, start_tokens=(1,), eot_token=2,
+        max_new_tokens=112, at_cfg=atc,
+    )
+
+
+def _bench_audio(e2e_jit, params, frames, input_ids, seq_lens):
+    """BASELINE config 4: audio stages + transcript splice + answer.
+    Returns the detail dict (medians of AUDIO_ITERS runs)."""
+    import time as _time
+
+    from video_llava_tpu.media.audio import load_audio
+
+    wav = os.environ.get("BENCH_AUDIO_PATH", "/tmp/bench_audio.wav")
+    if not os.path.exists(wav):
+        _make_wav(wav)
+    tr = _build_transcriber()
+
+    def once():
+        st = {}
+        t0 = _time.perf_counter()
+        audio = load_audio(wav)
+        st["audio_decode_s"] = _time.perf_counter() - t0
+
+        t0 = _time.perf_counter()
+        segments = tr.transcribe_audio(audio)
+        st["asr_s"] = _time.perf_counter() - t0  # mel+encode+decode+AT
+
+        t0 = _time.perf_counter()
+        kept = [s for s in segments if s.keep and s.text]
+        words = tr.aligner.align_segments(audio, kept) if (
+            tr.aligner and kept
+        ) else []
+        st["align_s"] = _time.perf_counter() - t0
+
+        t0 = _time.perf_counter()
+        text = " ".join(s.text for s in kept)
+        # transcript splice: the reference appends the transcript text
+        # to the prompt before tokenization (chat.py:89-104); with the
+        # bench's synthetic ids the equivalent is writing hashed word
+        # ids into the prompt tail
+        ids = np.asarray(input_ids).copy()
+        wordids = [
+            3 + (hash(wd) % 29000) for wd in text.split()[:64]
+        ]
+        if wordids:
+            ids[0, -len(wordids):] = wordids
+        out = e2e_jit(
+            params, frames, jnp.asarray(ids), seq_lens,
+            jax.random.PRNGKey(0),
+        )
+        np.asarray(out)  # block
+        st["splice_answer_s"] = _time.perf_counter() - t0
+        st["_n_words"] = len(words)
+        st["_n_chars"] = len(text)
+        return st
+
+    once()  # compile whisper/aligner programs
+    iters = int(os.environ.get("BENCH_AUDIO_ITERS", "3"))
+    runs = [once() for _ in range(iters)]
+    med = {
+        k: round(float(np.median([r[k] for r in runs])), 4)
+        for k in runs[0]
+        if not k.startswith("_")
+    }
+    med["transcript_s"] = round(
+        med["audio_decode_s"] + med["asr_s"] + med["align_s"], 4
+    )
+    med["e2e_with_audio_s"] = round(
+        med["transcript_s"] + med["splice_answer_s"], 4
+    )
+    med["aligned_words"] = runs[-1]["_n_words"]
+    med["transcript_chars"] = runs[-1]["_n_chars"]
+    med["models"] = (
+        "whisper-large-v2 bf16 + tltr-at-head + wav2vec2-base CTC "
+        "aligner, 60s wav, random weights"
+    )
+    return med
+
+
 def main():
     from video_llava_tpu.utils.timing import measure, sync
 
@@ -382,6 +548,10 @@ def main():
             "num_frames": NUM_FRAMES,
         },
     }
+    if WITH_AUDIO:
+        result["detail"]["audio"] = _bench_audio(
+            e2e_jit, params, frames, input_ids, seq_lens
+        )
     if t_media is not None:
         result["detail"]["media_decode_s"] = round(t_media, 4)
         result["detail"]["from_video"] = (

@@ -8,3 +8,27 @@ from video_llava_tpu.scripts.validate_quant_quality import main
 
 def test_self_test_bf16_int8():
     assert main(["--self_test", "--formats", "bf16,int8"]) == 0
+
+
+def test_self_test_preflight_record(tmp_path):
+    """--preflight --record writes a record engine/quant_select can
+    resolve (the '--quant auto' loop, VERDICT r3 #8)."""
+    import json
+
+    from video_llava_tpu.engine.quant_select import (
+        RECORD_NAME, resolve_quant,
+    )
+
+    rec = tmp_path / RECORD_NAME
+    main([
+        "--self_test", "--formats", "bf16,int8",
+        "--preflight", "--record", str(rec),
+    ])
+    data = json.loads(rec.read_text())
+    assert data["preflight_llm_format"] in ("bf16", "int8", "int4")
+    assert "metrics" in data and "bf16" in data["metrics"]
+    got = resolve_quant("auto", str(tmp_path))
+    assert got == (
+        None if data["preflight_llm_format"] == "bf16"
+        else data["preflight_llm_format"]
+    )

@@ -170,6 +170,12 @@ def main(argv=None):
                     help="print the serving format decision (int4 if "
                          "within thresholds, else int8, else bf16) as "
                          "the last JSON line")
+    ap.add_argument("--record", nargs="?", const="", default=None,
+                    help="with --preflight: persist the decision as a "
+                         "quant_preflight.json record. Bare --record "
+                         "writes next to --weights; an explicit path "
+                         "overrides. serving --quant auto / int4 read "
+                         "this record (engine/quant_select.py)")
     ap.add_argument("--max_ppl_delta_pct", type=float, default=1.0)
     ap.add_argument("--min_top1", type=float, default=0.97)
     args = ap.parse_args(argv)
@@ -219,16 +225,26 @@ def main(argv=None):
         chosen = choose_format(
             results, args.max_ppl_delta_pct, args.min_top1
         )
-        print(
-            json.dumps(
-                {
-                    "preflight_llm_format": chosen,
-                    "max_ppl_delta_pct": args.max_ppl_delta_pct,
-                    "min_top1": args.min_top1,
-                }
-            ),
-            flush=True,
-        )
+        record = {
+            "preflight_llm_format": chosen,
+            "max_ppl_delta_pct": args.max_ppl_delta_pct,
+            "min_top1": args.min_top1,
+            "metrics": results,
+        }
+        print(json.dumps(record), flush=True)
+        if args.record is not None:
+            import os
+
+            from video_llava_tpu.engine.quant_select import record_path
+
+            path = args.record or (
+                record_path(args.weights) if args.weights else None
+            )
+            if not path:
+                ap.error("--record without a path needs --weights")
+            with open(path, "w") as f:
+                json.dump(record, f, indent=1)
+            print(f"# preflight record written to {path}", flush=True)
 
     if args.self_test:
         d8 = abs(

@@ -26,8 +26,13 @@ def main(argv=None):
                     help="HF Vicuna checkpoint dir (tokenizer + weights)")
     ap.add_argument("--model_size", default="13b",
                     choices=["tiny", "7b", "13b"])
-    ap.add_argument("--quant", default=None, choices=["int8", "int4"],
-                    help="weights-only LLM quantization at load")
+    ap.add_argument("--quant", default=None,
+                    choices=["int8", "int4", "auto"],
+                    help="weights-only LLM quantization at load. "
+                    "'auto' reads the checkpoint's quant_preflight.json "
+                    "(validate_quant_quality --preflight --record) and "
+                    "pins the recorded decision; 'int4' against real "
+                    "weights REQUIRES a record approving int4")
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--served_name", default="vicuna-13b-v1.5")
@@ -55,16 +60,26 @@ def main(argv=None):
     ap.add_argument("--no_speculative", action="store_true")
     args = ap.parse_args(argv)
 
+    from video_llava_tpu.engine.quant_select import resolve_quant
+
+    # Resolve BEFORE the (slow) model load so a missing/refusing
+    # preflight record fails fast (VERDICT r3 #8: int4 never ships
+    # unvalidated; 'auto' pins the recorded decision).
+    quant = resolve_quant(args.quant, args.model_name)
+    if args.quant == "auto":
+        print(f"--quant auto -> {quant or 'bf16'} (preflight record)",
+              flush=True)
+
     engine = initialize_model(
         model_name=args.model_name,
         model_size=args.model_size,
         mesh_model=args.mesh_model,
     )
     params = engine.params
-    if args.quant:
+    if quant:
         import jax
 
-        if args.quant == "int8":
+        if quant == "int8":
             from video_llava_tpu.ops.quant import quantize_params as q
         else:
             from video_llava_tpu.ops.quant4 import quantize_params_int4 as q
@@ -76,7 +91,7 @@ def main(argv=None):
         cfg=engine.cfg,
         tokenizer=engine.tokenizer,
         conv_mode=args.conv_mode,
-        cache_dtype=jnp.int8 if args.quant == "int8" else jnp.bfloat16,
+        cache_dtype=jnp.int8 if quant == "int8" else jnp.bfloat16,
         speculative=not args.no_speculative,
         mesh=engine.mesh,
     )
