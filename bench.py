@@ -376,9 +376,13 @@ def _build_transcriber():
             for i in ids
         )
 
+    # music_tags=(): with random AT-head logits the speech-beats-music
+    # margin drops ~all segments, zeroing the transcript; keeping every
+    # segment makes alignment/splice costs representative (the AT
+    # logits themselves are still computed and timed)
     return Transcriber(
         params, cfg, decode_text, start_tokens=(1,), eot_token=2,
-        max_new_tokens=112, at_cfg=atc,
+        max_new_tokens=112, at_cfg=atc, music_tags=(),
     )
 
 
@@ -418,8 +422,9 @@ def _bench_audio(e2e_jit, params, frames, input_ids, seq_lens):
         # bench's synthetic ids the equivalent is writing hashed word
         # ids into the prompt tail
         ids = np.asarray(input_ids).copy()
+        cap = min(64, max(ids.shape[1] // 4, 1))
         wordids = [
-            3 + (hash(wd) % 29000) for wd in text.split()[:64]
+            3 + (hash(wd) % 29000) for wd in text.split()[:cap]
         ]
         if wordids:
             ids[0, -len(wordids):] = wordids

@@ -269,10 +269,17 @@ def measured_pipeline(detector, segmenter, xparams, xcfg, tagger):
     # down once. This IS the path run_on_list_of_images dispatches to
     # under this build (learned propagator + device-capable filter):
     # the headline measures what chat/eval actually run
-    # (tests/test_fused_clip.py pins parity + dispatch).
+    # (tests/test_fused_clip.py pins parity + dispatch). Grounded chat
+    # shares ONE device clip upload across tagging and tracking
+    # (chat.py answer()), so the measured flow does the same: upload
+    # timed once, then device-resident frames feed both stages.
     assert tracker.fused_eligible()
     t0 = time.perf_counter()
-    fres = tracker.run_on_list_of_images(list(frames), classes)
+    dev_frames = jnp.asarray(frames)
+    np.asarray(dev_frames[0, 0, 0])  # block until resident
+    upload_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    fres = tracker.run_on_list_of_images(dev_frames, classes)
     fused_first_s = time.perf_counter() - t0
     assert len(fres) == NUM_FRAMES
     fused_times = []
@@ -280,27 +287,28 @@ def measured_pipeline(detector, segmenter, xparams, xcfg, tagger):
     for _ in range(MEASURED_RUNS):
         crop_filter.batch.reset()
         t0 = time.perf_counter()
-        tracker.run_on_list_of_images(list(frames), classes)
+        tracker.run_on_list_of_images(dev_frames, classes)
         fused_times.append(time.perf_counter() - t0)
         filter_batch_s.append(crop_filter.batch.t)
     fused_s = float(np.median(fused_times))
 
     # filter-OFF fused run: isolates the batched filter's cost
     tracker.crop_filter = None
-    tracker.run_on_list_of_images(list(frames), classes)  # compile
+    tracker.run_on_list_of_images(dev_frames, classes)  # compile
     nofilter_times = []
     for _ in range(MEASURED_RUNS):
         t0 = time.perf_counter()
-        tracker.run_on_list_of_images(list(frames), classes)
+        tracker.run_on_list_of_images(dev_frames, classes)
         nofilter_times.append(time.perf_counter() - t0)
     tracker.crop_filter = crop_filter
     fused_nofilter_s = float(np.median(nofilter_times))
 
     # RAM tagging over all frames (reference chat.py:261 runs this
-    # before tracking even starts); device-side resize/normalize.
-    tagger.run_on_video(frames[:20], top_k=10)  # compile
+    # before tracking even starts); device-side resize/normalize, fed
+    # from the SHARED device clip (no second 120 MB upload).
+    tagger.run_on_video(dev_frames[:20], top_k=10)  # compile
     t0 = time.perf_counter()
-    tags = tagger.run_on_video(frames, top_k=10)
+    tags = tagger.run_on_video(dev_frames, top_k=10)
     tagging_s = time.perf_counter() - t0
 
     # Entity matching is one chat call to an OpenAI-compatible endpoint
@@ -324,14 +332,17 @@ def measured_pipeline(detector, segmenter, xparams, xcfg, tagger):
         "fused_first_run_s": round(fused_first_s, 3),  # incl. compiles
         "fused_nofilter_s": round(fused_nofilter_s, 3),
         "crop_filter_batch_s": round(float(np.median(filter_batch_s)), 3),
+        "clip_upload_s": round(upload_s, 3),  # the ONE shared upload
         "hostloop_s": round(measured_s, 3),  # per-segment dispatch path
         "hostloop_runs": [round(t, 3) for t in times],
         "stage_s": stage_s,  # host-blocking decomposition, host loop
         "first_run_s": round(first_run_s, 3),  # includes compiles
         "tagging_s": round(tagging_s, 3),
         "entity_match_stub_s": round(entity_stub_s, 4),
+        # the grounded-chat answer flow: ONE clip upload shared by
+        # tagging + fused tracking, then entity matching
         "full_pipeline_s": round(
-            fused_s + tagging_s + entity_stub_s, 3
+            upload_s + fused_s + tagging_s + entity_stub_s, 3
         ),
     }
 

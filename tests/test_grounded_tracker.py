@@ -176,14 +176,14 @@ def test_segmenter_embedding_precompute_used():
     base = GroundedTracker(
         detector=_stub_detector, segmenter=_stub_segmenter, **kw
     )
-    ref = base.run_on_list_of_images(frames, ["red square"])
+    ref = base.run_host_loop(frames, ["red square"])
 
     seg = _CachingStubSegmenter()
     det = _BatchStubDetector()
     tracked = GroundedTracker(
         detector=det, segmenter=seg, detect_batch_size=4, **kw
     )
-    got = tracked.run_on_list_of_images(frames, ["red square"])
+    got = tracked.run_host_loop(frames, ["red square"])
 
     # the 6 detection frames all precompute (window 8 covers them in
     # one batch); every detect_and_segment hit the cache
@@ -210,7 +210,7 @@ def test_segmenter_embedding_prefetch_window_bounds_residency():
         detection_every=2, emb_prefetch_frames=2,
         tracker_cfg=TrackerConfig(max_objects=4, patch=4, temperature=0.02),
     )
-    got = tracked.run_on_list_of_images(frames, ["red square"])
+    got = tracked.run_host_loop(frames, ["red square"])
     assert len(got) == 11
     # never more than the window resident; all frames still served from
     # the cache (prefetch keeps up with the cursor)
@@ -233,6 +233,6 @@ def test_segmenter_precompute_independent_of_detector_batching():
         detection_every=2,
         tracker_cfg=TrackerConfig(max_objects=4, patch=4, temperature=0.02),
     )
-    tracked.run_on_list_of_images(frames, ["red square"])
+    tracked.run_host_loop(frames, ["red square"])
     assert seg.cached_calls == 4
     assert seg.uncached_calls == 0

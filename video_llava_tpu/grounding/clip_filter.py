@@ -157,13 +157,31 @@ class ClipCropFilter:
         class_ids: np.ndarray,
         classes: Sequence[str],
     ) -> np.ndarray:
-        """-> keep mask (n,) bool."""
-        if len(boxes) == 0:
+        """-> keep mask (n,) bool.
+
+        Routes through the batched device scorer with the box count
+        padded to a power-of-2 bucket: ONE compiled program per
+        (H, W, bucket). The per-crop host path (embed_crops) compiles
+        a resize for EVERY distinct crop shape — with arbitrary boxes
+        that is a fresh ~30 s XLA compile per crop on a TPU, and a
+        dispatch round trip per crop forever after; it remains only as
+        the reference formulation for the parity tests."""
+        n = len(boxes)
+        if n == 0:
             return np.zeros((0,), bool)
-        w = self.zeroshot_weights(classes)
-        emb = self.embed_crops(image, boxes)
-        scores = np.asarray(emb @ w)  # (n, n_classes) cosine
-        return self._decide(scores, class_ids, len(classes))
+        bucket = 1 << (n - 1).bit_length()
+        bx = np.zeros((bucket, 4), np.float32)
+        bx[:n] = boxes
+        valid = np.zeros((bucket,), bool)
+        valid[:n] = True
+        cid = np.zeros((bucket,), np.int64)
+        cid[:n] = class_ids
+        keep = self.filter_frames_device(
+            np.asarray(image)[None] if not isinstance(image, jax.Array)
+            else image[None],
+            bx[None], valid[None], cid[None], classes, chunk=1,
+        )
+        return np.asarray(keep[0, :n], bool)
 
     def _decide(
         self, scores: np.ndarray, class_ids: np.ndarray, n_classes: int
@@ -229,6 +247,7 @@ class ClipCropFilter:
         valid,  # (F, K) bool
         class_ids,  # (F, K) int
         classes: Sequence[str],
+        chunk: int = 4,
     ) -> np.ndarray:
         """Batched twin of __call__ over all detection frames of a clip
         -> keep (F, K) bool (False wherever `valid` is False). Same
@@ -237,5 +256,6 @@ class ClipCropFilter:
         valid = np.asarray(valid, bool)
         if not valid.any():
             return np.zeros_like(valid)
-        scores = self.score_frames_device(frames, boxes, classes)
+        scores = self.score_frames_device(frames, boxes, classes,
+                                          chunk=chunk)
         return self._decide(scores, class_ids, len(classes)) & valid

@@ -361,12 +361,18 @@ class GroundedTracker:
 
     def fused_eligible(self) -> bool:
         """True when this build can take the fused whole-clip program:
-        online mode, a learned (XMem) propagator, and a crop filter
-        that either is absent or scores box batches on device."""
+        online mode, a fusable propagator (learned XMem, or the
+        default-feature handcrafted STM — i.e. both configurations
+        build_grounding_stack produces), and a crop filter that either
+        is absent or scores box batches on device."""
+        fusable_prop = hasattr(self.tracker, "_xmem") or (
+            isinstance(self.tracker, MemoryTracker)
+            and getattr(self.tracker, "_fused", False)
+        )
         return (
             self.prefer_fused
             and self.temporal_setting == "online"
-            and hasattr(self.tracker, "_xmem")
+            and fusable_prop
             and (
                 self.crop_filter is None
                 or getattr(self.crop_filter, "supports_batch_device",
@@ -503,9 +509,13 @@ class GroundedTracker:
                 "run_host_loop"
             )
         prop = self.tracker
-        if not hasattr(prop, "_xmem"):
+        is_stm = isinstance(prop, MemoryTracker) and getattr(
+            prop, "_fused", False
+        )
+        if not (hasattr(prop, "_xmem") or is_stm):
             raise NotImplementedError(
-                "fused path needs a LearnedMemoryTracker propagator"
+                "fused path needs a LearnedMemoryTracker or a "
+                "default-feature MemoryTracker propagator"
             )
         self.classes = list(classes)
         self.clear()
@@ -522,7 +532,9 @@ class GroundedTracker:
                 [arr, xp.repeat(arr[-1:], t_pad - t0, axis=0)]
             )
         h, w = arr.shape[1:3]
-        ph, pw = -h % 16, -w % 16  # XMem feature stride
+        # XMem needs stride-16 frame padding; the STM runs at native
+        # size (its packed transport pads width to bytes internally)
+        ph, pw = (0, 0) if is_stm else (-h % 16, -w % 16)
         padded = (
             xp.pad(arr, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
             if (ph or pw) else arr
@@ -629,22 +641,55 @@ class GroundedTracker:
                     )
             det_masks = jnp.asarray(m)
 
-        cfg = prop.cfg
-        state = xmem_mod.init_state(cfg, (h + ph) // 16, (w + pw) // 16)
-        table = fused_clip.init_table(cfg)
-        masks, cats, scores_out, counts, state = fused_clip.run_clip_fused(
-            prop.params, state, dev_clip, det_masks,
-            jnp.asarray(det_valid), jnp.asarray(cat.astype(np.int32)),
-            jnp.asarray(score), jnp.asarray(frame_valid), table, cfg,
-            detect_every=E,
-            iou_threshold=self.iou_match_threshold,
-            # binary=False (tests/debug): soft f32 masks, unpacked —
-            # 32x more device->host traffic than the packed default
-            binary=binary, pack=binary,
-        )
-        prop.state = state
-        prop._hw = (h, w)
-        prop._frame_idx = t_pad
+        if is_stm:
+            from video_llava_tpu.grounding import memory_tracker as mt
+
+            cfg = prop.cfg
+            fshape = jax.eval_shape(
+                lambda f: mt.default_features(f, cfg),
+                jax.ShapeDtypeStruct((h, w, 3), jnp.uint8),
+            )
+            state = mt.init_state(cfg, fshape.shape[0], fshape.shape[1])
+            table = fused_clip.init_table(cfg)
+            masks, cats, scores_out, counts, state = (
+                fused_clip.run_clip_fused_stm(
+                    state, dev_clip, det_masks,
+                    jnp.asarray(det_valid),
+                    jnp.asarray(cat.astype(np.int32)),
+                    jnp.asarray(score), jnp.asarray(frame_valid),
+                    table, cfg, detect_every=E,
+                    iou_threshold=self.iou_match_threshold,
+                    binary=binary, pack=binary,
+                )
+            )
+            prop.state = state
+            prop._hw = (h, w)
+            unpack_w = w + (-w % 8)
+        else:
+            cfg = prop.cfg
+            state = xmem_mod.init_state(
+                cfg, (h + ph) // 16, (w + pw) // 16
+            )
+            table = fused_clip.init_table(cfg)
+            masks, cats, scores_out, counts, state = (
+                fused_clip.run_clip_fused(
+                    prop.params, state, dev_clip, det_masks,
+                    jnp.asarray(det_valid),
+                    jnp.asarray(cat.astype(np.int32)),
+                    jnp.asarray(score), jnp.asarray(frame_valid),
+                    table, cfg,
+                    detect_every=E,
+                    iou_threshold=self.iou_match_threshold,
+                    # binary=False (tests/debug): soft f32 masks,
+                    # unpacked — 32x more device->host traffic than
+                    # the packed default
+                    binary=binary, pack=binary,
+                )
+            )
+            prop.state = state
+            prop._hw = (h, w)
+            prop._frame_idx = t_pad
+            unpack_w = w + pw
         packed = np.asarray(masks)  # (T, O, Hp, Wp/8) — ONE fetch
         cats = np.asarray(cats)
         scores_out = np.asarray(scores_out)
@@ -663,7 +708,7 @@ class GroundedTracker:
                 ]
                 obj_cache[s] = objs
             full = (
-                fused_clip.unpack_mask_bits(packed[t], w + pw)
+                fused_clip.unpack_mask_bits(packed[t], unpack_w)
                 if binary else packed[t]
             )
             results.append(FrameResult(t, full[:, :h, :w], list(objs)))
