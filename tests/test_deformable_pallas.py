@@ -174,3 +174,142 @@ def test_nonfinite_locations_contribute_zero():
     np.testing.assert_allclose(
         np.asarray(out_bad), np.asarray(out_fin), atol=1e-5, rtol=1e-5
     )
+
+
+# ---- 2D-tiled windowed variant (encoder raster queries) -------------------
+
+from video_llava_tpu.ops.deformable_pallas import (  # noqa: E402
+    multi_scale_deformable_attention_pallas_2d as msda_2d,
+)
+
+
+def _encoder_case(rng, shapes, nh=2, hd=32, P=4, off_scale=0.02,
+                  dtype=jnp.float32):
+    """Raster queries over all levels with per-query reference points
+    at their own grid location (the grounding_dino encoder regime,
+    models/grounding_dino.py _deformable_attention)."""
+    L = len(shapes)
+    sum_hw = sum(h * w for h, w in shapes)
+    value = jnp.asarray(rng.standard_normal((1, sum_hw, nh, hd)), dtype)
+    pts = []
+    for h, w in shapes:
+        ys = (np.arange(h) + 0.5) / h
+        xs = (np.arange(w) + 0.5) / w
+        gy, gx = np.meshgrid(ys, xs, indexing="ij")
+        pts.append(np.stack([gx.reshape(-1), gy.reshape(-1)], -1))
+    ref_pts = np.concatenate(pts)  # (q, 2) normalized (x, y)
+    q = sum_hw
+    offs = rng.uniform(-off_scale, off_scale, (q, nh, L, P, 2))
+    locs = jnp.asarray((ref_pts[:, None, None, None] + offs)[None],
+                       jnp.float32)
+    weights = jnp.asarray(rng.uniform(0, 1, (1, q, nh, L, P)),
+                          jnp.float32)
+    return value, locs, weights
+
+
+def test_tile2d_local_offsets_windowed():
+    """Local offsets: L0/L1 blocks take the DMA'd window path; parity
+    vs the XLA gather formulation. Shapes force y+x windowing on the
+    first two levels (>= 3 blocks each way) and the full path on the
+    small tail levels."""
+    rng = np.random.default_rng(10)
+    shapes = ((50, 50), (25, 25), (13, 13))
+    value, locs, weights = _encoder_case(rng, shapes)
+    ref = msda_xla(value, shapes, locs, weights)
+    out = msda_2d(value, shapes, locs, weights, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(ref), np.asarray(out), atol=1e-4, rtol=1e-4
+    )
+
+
+def test_tile2d_tall_map_yx_window():
+    """h >= 3*row_block: the first level takes the 'yx' (row+col
+    window) config — the L0 regime at 800 px. Offsets span the ring
+    scale; some blocks straddle and fall back."""
+    rng = np.random.default_rng(16)
+    shapes = ((100, 50), (25, 13))
+    value, locs, weights = _encoder_case(rng, shapes, off_scale=0.04)
+    ref = msda_xla(value, shapes, locs, weights)
+    out = msda_2d(value, shapes, locs, weights, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(ref), np.asarray(out), atol=1e-4, rtol=1e-4
+    )
+
+
+def test_tile2d_wild_offsets_fallback():
+    """Uniform [-0.3, 1.3] locations (parity-harness regime): spans
+    cover the whole map, every block falls back to the resident
+    full-map path — exactness must not depend on locality."""
+    rng = np.random.default_rng(11)
+    shapes = ((50, 50), (25, 25))
+    sum_hw = sum(h * w for h, w in shapes)
+    value, locs, weights = _case(rng, shapes, sum_hw, 1, nh=2)
+    ref = msda_xla(value, shapes, locs, weights)
+    out = msda_2d(value, shapes, locs, weights, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(ref), np.asarray(out), atol=1e-4, rtol=1e-4
+    )
+
+
+def test_tile2d_mixed_fit_and_fallback():
+    """Half the queries local (windowed), half wild (fallback) — both
+    kernel branches exercised in one call, including blocks straddling
+    the window grid."""
+    rng = np.random.default_rng(12)
+    shapes = ((48, 48), (24, 24))
+    value, locs, weights = _encoder_case(rng, shapes)
+    wild = rng.uniform(-0.3, 1.3, np.asarray(locs).shape)
+    mixed = np.asarray(locs).copy()
+    mixed[0, ::3] = wild[0, ::3]  # every 3rd query wild
+    locs = jnp.asarray(mixed)
+    ref = msda_xla(value, shapes, locs, weights)
+    out = msda_2d(value, shapes, locs, weights, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(ref), np.asarray(out), atol=1e-4, rtol=1e-4
+    )
+
+
+def test_tile2d_bf16_value():
+    rng = np.random.default_rng(13)
+    shapes = ((50, 50), (25, 25))
+    value, locs, weights = _encoder_case(rng, shapes, dtype=jnp.bfloat16)
+    ref = msda_xla(value, shapes, locs, weights)
+    out = msda_2d(value, shapes, locs, weights, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(ref, np.float32), np.asarray(out, np.float32),
+        atol=3e-2, rtol=3e-2,
+    )
+
+
+def test_tile2d_nonsquare_ragged_tiles():
+    """Non-square maps whose dims are not tile multiples: per-level
+    pad queries carry the sentinel and must contribute nothing."""
+    rng = np.random.default_rng(14)
+    shapes = ((50, 34), (21, 10))
+    value, locs, weights = _encoder_case(rng, shapes, off_scale=0.05)
+    ref = msda_xla(value, shapes, locs, weights)
+    out = msda_2d(value, shapes, locs, weights, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(ref), np.asarray(out), atol=1e-4, rtol=1e-4
+    )
+
+
+def test_tile2d_dispatch_encoder_only():
+    """The 2d variant asserts on decoder shapes (q != sum_hw — its
+    tiling presumes raster queries); the dispatch default keeps the
+    full-width kernel (the 2d variant measured slower on chip, see
+    ops/deformable.py)."""
+    from video_llava_tpu.ops import deformable
+
+    assert not deformable._TILE2D
+    rng = np.random.default_rng(15)
+    shapes = ((16, 16), (8, 8))
+    value, locs, weights = _case(rng, shapes, 40, 1, nh=2)
+    # decoder shape: must not assert, must match xla
+    out = msda_pallas(value, shapes, locs, weights, interpret=True)
+    ref = msda_xla(value, shapes, locs, weights)
+    np.testing.assert_allclose(
+        np.asarray(ref), np.asarray(out), atol=1e-4, rtol=1e-4
+    )
+    with pytest.raises(AssertionError):
+        msda_2d(value, shapes, locs, weights, interpret=True)

@@ -27,11 +27,29 @@ import jax.numpy as jnp
 # Force either path per-process with set_default_impl('xla'|'pallas').
 _DEFAULT_IMPL = "auto"
 
+# set_tile2d(True) routes encoder self-attention shapes (q == sum_hw:
+# the queries are the raster grid) to the 2D-tiled windowed kernel
+# (deformable_pallas.multi_scale_deformable_attention_pallas_2d). It
+# is OFF by default: despite ~2x fewer MXU passes and x-select lanes
+# in the windowed path, it measured SLOWER than the full-width kernel
+# on chip (chained-iteration, 800 px encoder, local offsets: 14.4 vs
+# 8.2 ms/call) — ablation shows the full kernel's floor is scratch
+# read/point-sum traffic plus per-block fixed work, which windowing
+# does not shrink, while the overlap-tensor build, tile padding and
+# window DMA streams add real cost. Kept for shapes/backends where the
+# trade may flip; parity-tested either way.
+_TILE2D = False
+
 
 def set_default_impl(impl: str) -> None:
     global _DEFAULT_IMPL
     assert impl in ("auto", "xla", "pallas")
     _DEFAULT_IMPL = impl
+
+
+def set_tile2d(enabled: bool) -> None:
+    global _TILE2D
+    _TILE2D = bool(enabled)
 
 
 def _bilinear_sample_level(
@@ -85,8 +103,14 @@ def multi_scale_deformable_attention(
     if impl == "pallas":
         from video_llava_tpu.ops.deformable_pallas import (
             multi_scale_deformable_attention_pallas,
+            multi_scale_deformable_attention_pallas_2d,
         )
 
+        if _TILE2D and sampling_locations.shape[1] == value.shape[1]:
+            return multi_scale_deformable_attention_pallas_2d(
+                value, spatial_shapes, sampling_locations,
+                attention_weights,
+            )
         return multi_scale_deformable_attention_pallas(
             value, spatial_shapes, sampling_locations, attention_weights
         )

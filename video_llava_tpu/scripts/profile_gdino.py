@@ -30,7 +30,19 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--impl", default="auto",
+                    choices=["auto", "xla", "pallas", "pallas_full"],
+                    help="deformable-attention dispatch: 'pallas_full' "
+                    "pins the full-width kernel (tile2d off)")
     args = ap.parse_args(argv)
+
+    from video_llava_tpu.ops import deformable
+
+    if args.impl == "pallas_full":
+        deformable.set_default_impl("pallas")
+        deformable.set_tile2d(False)
+    elif args.impl != "auto":
+        deformable.set_default_impl(args.impl)
 
     rng = np.random.default_rng(0)
     frame = rng.integers(0, 255, size=(480, 832, 3)).astype(np.uint8)

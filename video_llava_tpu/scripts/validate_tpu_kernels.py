@@ -103,12 +103,19 @@ def validate_paged(args):
 
 
 def validate_deformable(args):
+    from video_llava_tpu.ops import deformable
     from video_llava_tpu.ops.deformable import (
         multi_scale_deformable_attention,
     )
     from video_llava_tpu.ops.deformable_pallas import (
         multi_scale_deformable_attention_pallas,
+        multi_scale_deformable_attention_pallas_2d,
     )
+
+    # pin the dispatching twin to the XLA gather formulation (on TPU
+    # 'auto' would otherwise route it to the kernel under test)
+    prev_impl = deformable._DEFAULT_IMPL
+    deformable.set_default_impl("xla")
 
     rng = np.random.default_rng(1)
     # GroundingDINO encoder shape at 800px (the hot config)
@@ -131,7 +138,10 @@ def validate_deformable(args):
             gy, gx = np.meshgrid(ys, xs, indexing="ij")
             refs.append(np.stack([gx.ravel(), gy.ravel()], -1))
         ref_pts = np.concatenate(refs)  # (lq, 2)
-        offs = rng.normal(size=(b, lq, nh, len(shapes), npts, 2)) * 4.0
+        offs = (
+            rng.normal(size=(b, lq, nh, len(shapes), npts, 2))
+            * args.off_sigma
+        )
         norm = np.asarray([[w, h] for (h, w) in shapes], np.float32)
         locs = jnp.asarray(
             (ref_pts[None, :, None, None, None] + offs / norm[:, None])
@@ -151,21 +161,37 @@ def validate_deformable(args):
     f_p = jax.jit(lambda v, l, w: multi_scale_deformable_attention_pallas(
         v, shapes, l, w, interpret=args.interpret
     ))
+    f_2d = jax.jit(
+        lambda v, l, w: multi_scale_deformable_attention_pallas_2d(
+            v, shapes, l, w, interpret=args.interpret
+        )
+    )
     a = np.asarray(f_x(value, locs, attw), np.float32)
     c = np.asarray(f_p(value, locs, attw), np.float32)
-    cos = float(
-        (a.ravel() @ c.ravel())
-        / (np.linalg.norm(a) * np.linalg.norm(c) + 1e-9)
-    )
+    d = np.asarray(f_2d(value, locs, attw), np.float32)
+
+    def _cos(x, y):
+        return float(
+            (x.ravel() @ y.ravel())
+            / (np.linalg.norm(x) * np.linalg.norm(y) + 1e-9)
+        )
+
+    cos = _cos(a, c)
+    cos2d = _cos(a, d)
     t_x = _time(lambda: f_x(value, locs, attw), iters=10)
     t_p = _time(lambda: f_p(value, locs, attw), iters=10)
+    t_2d = _time(lambda: f_2d(value, locs, attw), iters=10)
     out = {
         "kernel": "deformable_attention_pallas", "queries": lq,
-        "locs": args.locs, "cos_vs_xla": round(cos, 6),
+        "locs": args.locs, "off_sigma": args.off_sigma,
+        "cos_vs_xla": round(cos, 6), "cos_2d_vs_xla": round(cos2d, 6),
         "xla_ms": round(t_x * 1e3, 3), "pallas_ms": round(t_p * 1e3, 3),
+        "pallas_2d_ms": round(t_2d * 1e3, 3),
     }
     print(json.dumps(out), flush=True)
+    deformable.set_default_impl(prev_impl)
     assert cos > 0.99, cos
+    assert cos2d > 0.99, cos2d
     return out
 
 
@@ -180,6 +206,9 @@ def main(argv=None):
                     "mirrors the encoder (raster refs + pixel-unit "
                     "offsets); 'uniform' is the worst case for the "
                     "row-window kernel")
+    ap.add_argument("--off_sigma", type=float, default=4.0,
+                    help="pixel-unit offset sigma for --locs local "
+                    "(trained GDINO offsets are typically a few px)")
     ap.add_argument("--interpret", action="store_true",
                     help="CPU smoke (forces the cpu backend + interpret "
                     "mode; timings meaningless)")
