@@ -34,8 +34,13 @@ from video_llava_tpu.models.llama import KVCache
 prefill_jit = functools.partial(
     jax.jit, static_argnames=("cfg", "max_cache_len", "cache_dtype", "mesh")
 )(video_llava.prefill)
+# The cache is DONATED: without donation XLA defensively copies the
+# whole KV cache on every step to preserve the (never reused) input
+# buffer — profiled at 1.03 ms/step of the 7.8 ms int4 7B decode step
+# (copy.19/copy.20 in scripts/profile_decode.py). Callers must treat
+# the passed cache as consumed (every in-tree caller reassigns it).
 decode_step_jit = functools.partial(
-    jax.jit, static_argnames=("cfg",)
+    jax.jit, static_argnames=("cfg",), donate_argnums=(3,)
 )(llama.decode_step)
 
 
@@ -73,7 +78,8 @@ class GenerateResult(NamedTuple):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "gen", "max_new_tokens", "mesh")
+    jax.jit, static_argnames=("cfg", "gen", "max_new_tokens", "mesh"),
+    donate_argnums=(4,),  # cache: see decode_step_jit's donation note
 )
 def _decode_loop(
     params,

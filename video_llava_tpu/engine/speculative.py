@@ -157,7 +157,11 @@ def _init_ctx(input_ids: jax.Array, cap: int, pad_token_id: jax.Array):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "gen", "max_new_tokens", "ngram", "k")
+    jax.jit, static_argnames=("cfg", "gen", "max_new_tokens", "ngram", "k"),
+    # cache + ctx are donated: chunk callers reassign both, and the
+    # undonated form defensively copies the whole KV cache per chunk
+    # (see engine/generate.decode_step_jit's donation note).
+    donate_argnums=(4, 5),
 )
 def _decode_loop_pld(
     params,

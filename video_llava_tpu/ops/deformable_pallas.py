@@ -12,9 +12,11 @@ TPU-first reformulation — no gathers, only MXU matmuls and VPU masks:
   * each level's value map is laid out (h, w*d) and kept VMEM-resident
     per (batch*head) grid row;
   * bilinear sampling is separable: the y-interpolation of BOTH corner
-    rows is ONE matmul  W_y @ V  where W_y (qp, h) is a 2-hot matrix
-    built as the bilinear TENT  relu(1 - |row - yf|)  (times the
-    attention weight) — no floor/compare/select, no scatter;
+    rows is ONE matmul  W_y^T @ V  where W_y is built TRANSPOSED,
+    (h, qp), as the bilinear TENT  relu(1 - |row - yf|)  (times the
+    attention weight) — no floor/compare/select, no scatter, no meta
+    transposes, and the dot contracts dim 0 of both operands (the
+    MXU-natural K-on-sublanes form);
   * the x-selection multiplies the interpolated rows (qp, w*d) by the
     same tent over the lane-group index  relu(1 - |iota//d - xf|)  and
     folds w*d -> d with a constant binary matrix G[x*d+j, j] = 1 — a

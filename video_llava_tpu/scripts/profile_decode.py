@@ -57,15 +57,20 @@ def main(argv=None):
 
     # warm per-step latency: run a burst inside one host window so the
     # per-call RTT does not dominate (measure() subtracts one RTT per
-    # call; a 16-step chained burst amortizes dispatch noise further)
+    # call; a 16-step chained burst amortizes dispatch noise further).
+    # decode_step_jit DONATES the cache, so the burst chains it
+    # forward instead of restarting from a (now-invalid) buffer.
+    state = {"t": tok, "c": cache}
+
     def burst(i):
-        t, c, out = tok, cache, None
+        out = None
         for _ in range(16):
-            out, c = step(t, c)
-            t = jnp.argmax(out, axis=-1).astype(jnp.int32)
+            out, state["c"] = step(state["t"], state["c"])
+            state["t"] = jnp.argmax(out, axis=-1).astype(jnp.int32)
         return out
 
     t_burst = measure(burst, iters=3)
+    tok, cache = state["t"], state["c"]
     step_ms = t_burst / 16 * 1e3
     print(json.dumps({
         "decode_step_ms": round(step_ms, 3),
