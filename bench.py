@@ -400,6 +400,7 @@ def _build_transcriber():
     return Transcriber(
         params, cfg, decode_text, start_tokens=(1,), eot_token=2,
         max_new_tokens=112, at_cfg=atc, music_tags=(),
+        aligner=aligner,
     )
 
 

@@ -130,6 +130,12 @@ class Transcriber:
                 return_layer_states=want_layers,
             )
         )
+        # One program for the whole TL-TR head (the eager form costs a
+        # host round trip per op over the tunneled TPU).
+        self._at_tltr = jax.jit(
+            whisper_mod.audio_tag_logits_tltr,
+            static_argnames=("atcfg", "window_tokens"),
+        )
 
     def _chunk(self, audio: np.ndarray) -> np.ndarray:
         """Split PCM into padded 30 s chunks: (n_chunks, N_SAMPLES)."""
@@ -184,7 +190,7 @@ class Transcriber:
                 1, int(round(self.at_window_s * 50 / atc.pool_stride))
             )
             tag_logits = np.asarray(
-                whisper_mod.audio_tag_logits_tltr(
+                self._at_tltr(
                     self.params["at_head"], layer_states, atc,
                     window_tokens=win,
                 )

@@ -44,10 +44,15 @@ class Wav2Vec2Config:
 
     @classmethod
     def tiny_test(cls):
+        # conv strides multiply to the REAL 320-sample frame stride:
+        # the old (5, 2) = stride 10 produced ~48k frames for a 30 s
+        # segment, and the 2-layer transformer's 48k x 48k attention
+        # took minutes to compile/run on CPU (found when the bench
+        # aligner was first wired: align_segments 411 s at tiny size).
         return cls(
             vocab_size=12, hidden_size=32, num_layers=2, num_heads=4,
             intermediate_size=64, conv_dim=(16, 16), conv_kernel=(10, 3),
-            conv_stride=(5, 2), pos_conv_kernel=8, pos_conv_groups=4,
+            conv_stride=(16, 20), pos_conv_kernel=8, pos_conv_groups=4,
         )
 
     @property

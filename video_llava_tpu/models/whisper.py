@@ -13,6 +13,7 @@ Weight layout converts from HF WhisperModel state dicts.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -493,6 +494,9 @@ def _decoder_step_cached(
     return logits, new_cache
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "max_new_tokens", "eot_token")
+)
 def greedy_decode_cached(
     params,
     enc_states: jax.Array,
@@ -502,8 +506,12 @@ def greedy_decode_cached(
     eot_token: int,
 ) -> Tuple[jax.Array, jax.Array]:
     """KV-cached greedy decode: prefill the start tokens, then one
-    jitted while_loop step per token (O(n) instead of the re-forward
-    loop's O(n^2))."""
+    while_loop step per token (O(n) instead of the re-forward loop's
+    O(n^2)). Jitted WHOLE (cross-KV precompute + prefill + loop): the
+    unjitted form dispatched the 32-layer prefill + cross-KV eagerly —
+    hundreds of per-op round trips on the tunneled TPU (measured:
+    47.3 s asr_s for a 60 s wav in bench BENCH_WITH_AUDIO, dominated
+    by dispatch, vs ~100x-realtime device work)."""
     b, s0 = start_tokens.shape
     total = s0 + max_new_tokens
     hd = cfg.d_model // cfg.num_heads
