@@ -16,19 +16,22 @@ Usage:
                                          # every pytest invocation
 
 Exit code is nonzero if ANY group fails. CI tiers:
-    fast tier  : python tests/run_suite.py --fast   (<5 min, measured —
-                 see CLAUDE.md; keeps >=1 smoke per subsystem)
+    fast tier  : python tests/run_suite.py --fast   (261 s measured on
+                 this 1-core box; keeps >=1 smoke per module)
     full tier  : python tests/run_suite.py
 
-Fast-tier mechanics (VERDICT r3 #7 — the tier measured 1921 s on this
-1-core box before): tests/conftest.py auto-marks the heavy tail of
-every module `slow` via FAST_TESTS (an explicit keep-list of smokes,
-one-to-a-few per module), and --fast runs ALL torch-mirror smokes in
-ONE pytest process — the per-module process isolation exists for the
-FULL tier's long runs (a torch+JAX segfault appeared ~90% into a
-45-minute single-process run; a 2-minute smoke subset is far below
-that exposure), and 15 separate interpreter+torch+jax startups cost
-~200 s of pure import time the smokes don't need.
+Fast-tier mechanics (VERDICT r3 #7 — the tier measured 1921 s
+uncurated, 1284 s with only the torch-mirror modules curated):
+tests/conftest.py keeps an explicit smoke ALLOWLIST per heavy module
+(FAST_TESTS) and the FIRST collected test of every other module as a
+canary; everything else is auto-marked `slow`. --fast runs ALL
+torch-mirror smokes in ONE pytest process — the per-module process
+isolation exists for the FULL tier's long runs (a torch+JAX segfault
+appeared ~90% into a 45-minute single-process run; a 1-minute smoke
+subset is far below that exposure), and 15 separate
+interpreter+torch+jax startups cost ~200 s of pure import time the
+smokes don't need. The fast tier is the pre-commit GATE; the full
+tier remains the correctness bar.
 """
 
 from __future__ import annotations

@@ -139,3 +139,32 @@ def test_inference_engine_end_to_end(tiny_model):
     frames = rng.integers(0, 256, size=(4, 56, 56, 3), dtype=np.uint8)
     out = engine.infer(frames, "What is happening?", conv_mode="pg-video-llava")
     assert isinstance(out, str)
+
+
+def test_decode_step_jit_donates_cache(tiny_model):
+    """decode_step_jit must DONATE the cache: without donation XLA
+    defensively copies the whole KV cache every step (profiled at
+    1.03 ms of the 7.8 ms int4 7B step on chip). Donation shows up as
+    the input buffers being deleted after the call."""
+    cfg, tok, params = tiny_model
+    ids = np.full((1, 16), 7, np.int64)
+    ids[0, 0] = tok.vid_start_token_id
+    ids[0, 1:13] = tok.vid_patch_token_id
+    ids[0, 13] = tok.vid_end_token_id
+    feats = jnp.zeros(
+        (1, cfg.video_token_len, cfg.vision.hidden_size), jnp.float32
+    )
+    pre = gen_mod.prefill_jit(
+        params, cfg, jnp.asarray(ids, jnp.int32),
+        jnp.asarray([16], jnp.int32), feats,
+        max_cache_len=32, cache_dtype=jnp.float32,
+    )
+    cache = pre.cache
+    tok0 = jnp.argmax(pre.logits_last, axis=-1).astype(jnp.int32)
+    k_buf = cache.k
+    _, cache2 = gen_mod.decode_step_jit(params["llm"], cfg.llm, tok0, cache)
+    assert k_buf.is_deleted(), (
+        "decode_step_jit no longer donates the cache — the defensive "
+        "per-step cache copy is back (see engine/generate.py)"
+    )
+    assert not cache2.k.is_deleted()
