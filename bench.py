@@ -40,8 +40,17 @@ PROMPT_LEN = 512
 # MXU-saturated at 100 frames, so clip batching adds nothing there),
 # one batched prefill, one batched greedy decode. Emits
 # e2e_video_qa_batched_p50 + qa_samples_per_min; the driver-facing
-# metric from a plain run stays e2e_video_qa_p50.
+# metric from a plain run stays e2e_video_qa_p50. Not combinable with
+# BENCH_FROM_VIDEO / BENCH_WITH_AUDIO (single-clip pipelines).
 BATCH = int(os.environ.get("BENCH_BATCH", "1"))
+if BATCH > 1 and (
+    os.environ.get("BENCH_FROM_VIDEO", "0") == "1"
+    or os.environ.get("BENCH_WITH_AUDIO", "0") == "1"
+):
+    raise SystemExit(
+        "BENCH_BATCH>1 cannot combine with BENCH_FROM_VIDEO/"
+        "BENCH_WITH_AUDIO (single-clip pipelines)"
+    )
 # BENCH_NEW_TOKENS / BENCH_LAYERS: debugging knobs (e.g. validating the
 # BENCH_MESH path on a slow virtual CPU mesh); the headline numbers use
 # the defaults.

@@ -96,9 +96,25 @@ def main(argv=None) -> int:
 
     failures = []
     t0 = time.time()
-    rc = run_group(rest, extra)
-    if rc not in (0, 5):  # 5 = no tests collected (e.g. all deselected)
-        failures.append(("main-group", rc))
+    if args.fast:
+        main_groups = [("main-group", rest)]
+    else:
+        # Full tier: split the main group into two processes at a module
+        # boundary. A ~35-minute single-process run of the whole main
+        # group segfaulted inside an XLA CPU compile near its end (the
+        # same long-run torch+JAX failure class the mirror isolation
+        # exists for); halving the per-process exposure keeps each run
+        # in the regime that has always passed. The fast tier's
+        # ~3-minute run stays one process.
+        mid = len(rest) // 2
+        main_groups = [
+            ("main-group-a", rest[:mid]),
+            ("main-group-b", rest[mid:]),
+        ]
+    for name, paths in main_groups:
+        rc = run_group(paths, extra)
+        if rc not in (0, 5):  # 5 = no tests collected (all deselected)
+            failures.append((name, rc))
     if args.fast:
         # one process for every mirror smoke (see module docstring)
         rc = run_group(mirror, extra)

@@ -419,9 +419,13 @@ def serve(
     elif batching:
         model = BatchingChatModel(model, max_batch, window_ms)
     server = ThreadingHTTPServer((host, port), make_handler(model, model_name))
-    if continuous:
-        # tie the engine's scheduler thread to the server lifecycle so
-        # shutdown() doesn't leak a forever-waiting thread
+    if continuous or batching:
+        # tie the engine's scheduler / batching worker thread to the
+        # server lifecycle so shutdown() doesn't leak a forever-waiting
+        # thread (leaked BatchingChatModel workers from earlier tests
+        # were still alive when a later long-run segfault hit — thread
+        # hygiene keeps the process's JAX use single-threaded between
+        # tests)
         _orig_shutdown = server.shutdown
 
         def _shutdown():
@@ -466,6 +470,13 @@ class BatchingChatModel:
         self._worker.start()
 
     _EXCLUSIVE = object()
+    _STOP = object()
+
+    def close(self):
+        """Stop the batching worker (idempotent). In-flight batches
+        finish; queued requests after the sentinel are not served."""
+        self._queue.put((self._STOP,))
+        self._worker.join(timeout=10)
 
     def chat(self, messages, temperature=0.2, max_tokens=512, seed=None):
         done = threading.Event()
@@ -499,7 +510,7 @@ class BatchingChatModel:
         first = self._pending if self._pending is not None else self._queue.get()
         self._pending = None
         batch = [first]
-        if first[0] is self._EXCLUSIVE:
+        if first[0] is self._EXCLUSIVE or first[0] is self._STOP:
             return batch
         deadline = time.time() + self.window_s
         while len(batch) < self.max_batch:
@@ -510,8 +521,9 @@ class BatchingChatModel:
                 item = self._queue.get(timeout=remaining)
             except queue.Empty:
                 break
-            if item[0] is self._EXCLUSIVE:
-                # Exclusive work runs alone; hold it for the next round.
+            if item[0] is self._EXCLUSIVE or item[0] is self._STOP:
+                # Exclusive/stop work runs alone; hold it for the next
+                # round (stop still lets this batch finish first).
                 self._pending = item
                 break
             batch.append(item)
@@ -524,6 +536,8 @@ class BatchingChatModel:
         tok = m.tokenizer
         while True:
             batch = self._collect()
+            if batch[0][0] is self._STOP:
+                return
             if batch[0][0] is self._EXCLUSIVE:
                 _, fn, slot, done = batch[0]
                 try:
