@@ -22,8 +22,9 @@ import jax.numpy as jnp
 
 # 'auto' selects the Pallas matmul kernel (ops/deformable_pallas.py) on
 # TPU and the XLA gather formulation elsewhere. On-chip validation
-# (scripts/validate_tpu_kernels.py, v5e): cos 0.99998 vs the XLA twin at
-# the GroundingDINO 800px encoder shape, 11.1 ms vs 59.2 ms (5.3x).
+# (scripts/validate_tpu_kernels.py, v5e, round 4 transposed-tent form):
+# cos 0.99998 vs the XLA twin at the GroundingDINO 800px encoder shape,
+# 5.4-7.4 ms vs ~60 ms (~10x; chained-iteration timing 7.4).
 # Force either path per-process with set_default_impl('xla'|'pallas').
 _DEFAULT_IMPL = "auto"
 
