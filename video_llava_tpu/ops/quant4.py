@@ -266,10 +266,17 @@ def _w4a8_matvec_body(x_ref, w, s_raw, o_ref, *,
                       groups_half: int, ga: int, nb: int):
     dh, bf = w.shape
     d = 2 * dh
-    # Mosaic rejects 1-byte-lane shifts: unpack via int32 shifts, then
-    # narrow to int8 for the MXU int8 dot. Row order of q is the
-    # ORIGINAL kernel row order (lo nibbles = rows [0, Dh), hi nibbles =
-    # rows [Dh, 2Dh)), matching both x's and the scale groups' layout.
+    # Mosaic only legalizes VECTOR shifts at i32 (an i16 variant of
+    # this unpack fails Mosaic lowering on chip: "failed to legalize
+    # arith.shli" — interpret mode passes, round-4 attempt): unpack via
+    # int32 shifts, then narrow to int8 for the MXU int8 dot. Measured
+    # headroom note: the four decode matvecs run at ~1.2-1.3x their
+    # effective HBM floor (78 us vs ~61-65 us for the 45 MB gate_up at
+    # ~85-90% DMA efficiency), so the unpack largely overlaps the
+    # weight stream and further unpack micro-optimization has little
+    # to win. Row order of q is the ORIGINAL kernel row order (lo
+    # nibbles = rows [0, Dh), hi nibbles = rows [Dh, 2Dh)), matching
+    # both x's and the scale groups' layout.
     p = w.astype(jnp.int32)
     lo = jax.lax.shift_right_arithmetic(
         jax.lax.shift_left(p, 28), 28
