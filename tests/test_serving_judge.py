@@ -266,3 +266,50 @@ def test_batched_serving_speculative_matches_plain():
         return outs
 
     assert run(True) == run(False)
+
+
+def test_batching_worker_stops_on_shutdown():
+    """server.shutdown() must stop the BatchingChatModel worker thread
+    (leaked forever-waiting workers from earlier tests accumulated in
+    long single-process suite runs — see serving/server.py close())."""
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    from video_llava_tpu.config import VideoLLaVAConfig as _VC
+    from video_llava_tpu.models import video_llava as _vl
+    from video_llava_tpu.runtime.tokenizer import ByteTokenizer
+    from video_llava_tpu.serving.server import ChatModel as _CM, serve as _serve
+    import dataclasses as _dc
+
+    tok = ByteTokenizer()
+    base = _VC.tiny()
+    cfg = _dc.replace(
+        base,
+        vid_patch_token_id=tok.vid_patch_token_id,
+        vid_start_token_id=tok.vid_start_token_id,
+        vid_end_token_id=tok.vid_end_token_id,
+    )
+    params = _vl.init_params(_jax.random.PRNGKey(0), cfg, _jnp.float32)
+    model = _CM(params=params, cfg=cfg, tokenizer=tok,
+                cache_dtype=_jnp.float32, seq_pad_multiple=64)
+    server = _serve(model, host="127.0.0.1", port=0, block=False,
+                    batching=True, max_batch=2, window_ms=10)
+    server.shutdown()
+    # after shutdown the batching worker must exit (close() joins it)
+    import threading as _th
+    import time as _time
+
+    deadline = _time.time() + 10
+    while _time.time() < deadline:
+        alive = [
+            t for t in _th.enumerate()
+            if getattr(t, "_target", None) is not None
+            and getattr(t._target, "__qualname__", "").startswith(
+                "BatchingChatModel._run"
+            )
+            and t.is_alive()
+        ]
+        if not alive:
+            break
+        _time.sleep(0.1)
+    assert not alive, "BatchingChatModel worker still running after shutdown"
