@@ -244,12 +244,16 @@ def _w4a8_matvec_kernel(x_ref, w_ref, s_ref, o_ref, *,
     the per-F-block recompute is free VPU work) — hoisting it to XLA
     cost ~100 us/layer of small-op dispatch between the pallas calls.
 
-    Batch rows (nb <= A8_MAX_BATCH) run as a STATIC per-row loop: the
-    weight block still streams once per step for the whole batch, while
-    VMEM temporaries stay at their batch-1 size (a fused (nb*G, D) f32
-    spread would hit 15 MB for `down` at nb=4, and caching the spread
-    in scratch measured SLOWER — the (G, 1) scale scratch reads are
-    1-lane stalls).
+    Batch rows (nb <= A8_MAX_BATCH): the block-diagonal spread +
+    activation quant run as a STATIC per-row loop (f32 temporaries stay
+    at their batch-1 size — a fused (nb*G, D) f32 spread would hit
+    15 MB for `down` at nb=4, and caching the spread in scratch
+    measured SLOWER: the (G, 1) scale scratch reads are 1-lane stalls),
+    but the already-int8 spreads CONCATENATE into one (nb*G, D) operand
+    for a single MXU dot per weight block: the per-row dot loop fed the
+    weight operand nb times at <=G-row (quarter-tile) M utilization,
+    so decode batch 4 paid ~4x the MXU passes of batch 1 for the same
+    math.
 
     x_ref: (nb, 2*Dh) f32 activations; w_ref: (Dh, bf) packed int8;
     s_ref: (G, bf) weight scales; o_ref: (nb, bf) f32.
@@ -288,6 +292,12 @@ def _w4a8_matvec_body(x_ref, w, s_raw, o_ref, *,
     row_id = jax.lax.broadcasted_iota(jnp.int32, (ga, d), 0)
     diag = col_group == row_id
     sw = s_raw.astype(jnp.float32)  # (G, bf)
+    # Build every row's block-diagonal int8 spread, then run ONE MXU
+    # dot for the whole batch: a per-row dot loop fed the (d, bf)
+    # weight operand nb times at <=ga-row (quarter-tile) M utilization
+    # — at decode batch 4 the concatenated (nb*ga, d) form fills a full
+    # 128-row M tile for the same pass count as batch 1.
+    xdiags, sxs = [], []
     for r in range(nb):  # static: nb is a compile-time constant
         x_rows = jnp.broadcast_to(
             x_ref[r : r + 1, :].astype(jnp.float32), (ga, d)
@@ -301,19 +311,23 @@ def _w4a8_matvec_body(x_ref, w, s_raw, o_ref, *,
         sx = jnp.maximum(
             jnp.max(jnp.abs(xm), axis=1, keepdims=True), 1e-8
         ) / 127.0  # (ga, 1)
-        xdiag = (
+        xdiags.append(
             jnp.clip(jnp.round(xm / sx), -127, 127)
             .astype(jnp.int32)
             .astype(jnp.int8)
         )
-        part = jnp.dot(
-            xdiag, q, preferred_element_type=jnp.int32
-        ).astype(jnp.float32)  # (ga, bf) per-group partials
+        sxs.append(sx)
+    xall = xdiags[0] if nb == 1 else jnp.concatenate(xdiags, axis=0)
+    part_all = jnp.dot(
+        xall, q, preferred_element_type=jnp.int32
+    ).astype(jnp.float32)  # (nb*ga, bf) per-(row, group) partials
+    for r in range(nb):
+        part = part_all[r * ga : (r + 1) * ga]
         if groups_half == 0:
             # per-tensor weight scale (s has one row), 2 groups
-            acc = jnp.sum(part * sx, axis=0, keepdims=True) * sw[0:1]
+            acc = jnp.sum(part * sxs[r], axis=0, keepdims=True) * sw[0:1]
         else:
-            acc = jnp.sum(part * sx * sw, axis=0, keepdims=True)
+            acc = jnp.sum(part * sxs[r] * sw, axis=0, keepdims=True)
         o_ref[r : r + 1] = acc
 
 
