@@ -491,8 +491,9 @@ import os as _os
 
 _A8_DECODE = _os.environ.get("VLT_INT4_A8", "1") == "1"
 A8_MAX_BATCH = int(_os.environ.get("VLT_INT4_A8_MAX_B", "8"))
-# Max batch rows the W4A8 decode kernels take (static per-row loop;
-# weights stream once per step for the whole batch). Past this, or with
+# Max batch rows the W4A8 decode kernels take (static per-row spread +
+# one batched MXU dot; weights stream once per step for the whole
+# batch). Past this, or with
 # VLT_INT4_A8_MAX_B=1, the MXU block kernel takes over. NOTE: measured
 # on chip, batched decode (b>=4) runs FASTER on int8 weights than int4
 # (11.7 vs 12.9 ms/step at b=4, 7B) — batching amortizes the weight
