@@ -55,6 +55,9 @@ REQUESTS = int(os.environ.get("BENCH_REQUESTS", "8"))
 PROMPT = int(os.environ.get("BENCH_PROMPT", "256"))
 MODE = os.environ.get("BENCH_MODE", "all")
 SHARED_FRAC = float(os.environ.get("BENCH_SHARED", "0.6"))
+# BENCH_WARM=0 restores the old include-first-compile-in-wall
+# methodology (rounds 1-4 numbers were measured that way).
+WARM = os.environ.get("BENCH_WARM", "1") == "1"
 # Alternating short/long generations — the shape continuous batching
 # is built for. Short rows finish and hand their slot to the queue.
 SHORT, LONG = 32, 224
@@ -130,10 +133,32 @@ def workload(cfg):
     return reqs
 
 
+def _warm_generate(cfg, params, cache_dtype, reqs, batch=1):
+    """Compile the prefill + decode-loop programs outside the timed
+    window (same prompt bucket and every horizon class the workload
+    uses — _decode_loop is specialized on max_new_tokens)."""
+    ids = reqs[0][0]
+    arr = np.tile(np.asarray(ids, np.int32)[None], (batch, 1))
+    for horizon in sorted({m for _, m in reqs}):
+        g = GenerationConfig(
+            max_new_tokens=horizon, do_sample=False, eos_token_id=-1,
+            pad_token_id=0,
+        )
+        res = gen_mod.generate(
+            params, cfg, g, jnp.asarray(arr),
+            jnp.asarray([len(ids)] * batch, jnp.int32), None,
+            jax.random.PRNGKey(0), cache_dtype=cache_dtype,
+            max_cache_len=CACHE_LEN,
+        )
+        np.asarray(res.tokens)
+
+
 def bench_sequential(cfg, params, cache_dtype, reqs):
     # Latency convention (ALL modes): completion time measured from
     # the common submission instant t0 — queueing behind earlier work
     # counts, apples-to-apples with the continuous engine.
+    if WARM:
+        _warm_generate(cfg, params, cache_dtype, reqs)
     lat, total, t0 = [], 0, time.perf_counter()
     for ids, max_new in reqs:
         g = GenerationConfig(
@@ -155,6 +180,10 @@ def bench_sequential(cfg, params, cache_dtype, reqs):
 def bench_windowed(cfg, params, cache_dtype, reqs):
     """BatchingChatModel semantics: SLOTS-sized windows decode to the
     window's max horizon together."""
+    if WARM:
+        _warm_generate(
+            cfg, params, cache_dtype, reqs, batch=min(SLOTS, len(reqs))
+        )
     lat, total, t0 = [], 0, time.perf_counter()
     for w0 in range(0, len(reqs), SLOTS):
         window = reqs[w0 : w0 + SLOTS]
@@ -190,6 +219,20 @@ def bench_continuous(cfg, params, cache_dtype, reqs, speculative=True,
         cache_dtype=cache_dtype, chunk=CHUNK, prompt_pad=64,
         speculative=speculative, paged=paged, prefix_cache=prefix_cache,
     )
+    if WARM:
+        # compile the prefill/decode/spec chunk programs OUTSIDE the
+        # timed window: the first chunk at a new slot-count/batch shape
+        # costs seconds of XLA compile, which used to land in wall_s
+        # and misrepresent steady-state throughput (measured: 8-slot
+        # continuous read 95.9 tok/s with compile in the window).
+        wh = eng.submit(SlotRequest(
+            list(reqs[0][0]), max_new_tokens=2 * CHUNK,
+            eos_token_id=-1,
+        ))
+        while not wh.done:
+            eng.step_once()
+        for k in eng.stats:
+            eng.stats[k] = 0
     done_at = {}
     t0 = time.perf_counter()
     handles = []
@@ -210,6 +253,17 @@ def bench_continuous(cfg, params, cache_dtype, reqs, speculative=True,
     extra = {}
     if prefix_cache:
         extra["prefix_hit_tokens"] = eng.stats["prefix_hit_tokens"]
+    if speculative:
+        # spec effectiveness: how many chunks engaged PLD and the mean
+        # tokens they produced (diagnoses regimes where speculation
+        # does not pay, e.g. high slot counts on low-echo mixes)
+        sc = int(eng.stats.get("spec_chunks", 0))
+        extra["spec_chunks"] = sc
+        extra["plain_chunks"] = int(eng.stats.get("plain_chunks", 0))
+        if sc:
+            extra["spec_tokens_per_chunk"] = round(
+                eng.stats.get("spec_tokens", 0) / sc, 2
+            )
     return wall, total, lat, extra
 
 

@@ -823,6 +823,14 @@ class ContinuousEngine:
         blocks only drop a ref — they stay warm for the next request
         with this prefix."""
         self.slots[slot] = None
+        # Zero the retired row's cache length: the decode-attention
+        # kernels skip compute AND (via clamped fetch index maps) the
+        # KV DMA for blocks past a row's length, so a freed slot rides
+        # subsequent decode chunks at ~zero cost instead of paying its
+        # stale length's reads every step until re-admission.
+        self.cache = self.cache._replace(
+            length=self.cache.length.at[slot].set(0)
+        )
         if self.paged:
             if self.slot_shared[slot] and self.prefix is not None:
                 self.prefix.release(self.slot_shared[slot])

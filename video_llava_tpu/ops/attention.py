@@ -1062,6 +1062,16 @@ def decode_attention_mxu(
 
     sl = ks.shape[1]  # L when quantized, 1 (dummy) otherwise
     s_bl = block_l if quantized else 1
+
+    # Blocks wholly past this row's length are compute-skipped in the
+    # kernel; CLAMP their fetch index to the last needed block so the
+    # pipeline sees consecutive identical indices and elides the DMA —
+    # KV traffic then scales with the row's LENGTH, not the cache
+    # capacity (a 512-token row in a 2048-cap cache reads 4x less).
+    def lb_clamp(bi, li, len_ref):
+        nb = (len_ref[bi] + (block_l - 1)) // block_l
+        return jnp.minimum(li, jnp.maximum(nb - 1, 0))
+
     out = pl.pallas_call(
         functools.partial(
             _decode_attn_mxu_kernel, block_l=block_l,
@@ -1075,16 +1085,22 @@ def decode_attention_mxu(
                              lambda bi, li, len_ref: (bi, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, block_l, h * d),
-                             lambda bi, li, len_ref: (bi, li, 0),
+                             lambda bi, li, len_ref:
+                             (bi, lb_clamp(bi, li, len_ref), 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, s_bl, h),
-                             lambda bi, li, len_ref: (bi, li if s_bl > 1 else 0, 0),
+                             lambda bi, li, len_ref:
+                             (bi, lb_clamp(bi, li, len_ref)
+                              if s_bl > 1 else 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, block_l, h * d),
-                             lambda bi, li, len_ref: (bi, li, 0),
+                             lambda bi, li, len_ref:
+                             (bi, lb_clamp(bi, li, len_ref), 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, s_bl, h),
-                             lambda bi, li, len_ref: (bi, li if s_bl > 1 else 0, 0),
+                             lambda bi, li, len_ref:
+                             (bi, lb_clamp(bi, li, len_ref)
+                              if s_bl > 1 else 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(
@@ -1227,12 +1243,19 @@ def decode_attention_mxu_stacked(
     s_bl = block_l if quantized else 1
     li = layer.reshape(1).astype(jnp.int32)
 
+    def lb_clamp(bi, lb, len_ref):
+        # see decode_attention_mxu: clamp fetches past the row's
+        # length to the last needed block so the pipeline elides their
+        # DMA — KV traffic scales with length, not capacity.
+        nb = (len_ref[bi] + (block_l - 1)) // block_l
+        return jnp.minimum(lb, jnp.maximum(nb - 1, 0))
+
     def kv_map(bi, lb, len_ref, li_ref):
-        return (li_ref[0], bi, lb, 0, 0)
+        return (li_ref[0], bi, lb_clamp(bi, lb, len_ref), 0, 0)
 
     def s_map(bi, lb, len_ref, li_ref):
         if quantized:
-            return (li_ref[0], bi, lb, 0)
+            return (li_ref[0], bi, lb_clamp(bi, lb, len_ref), 0)
         return (0, bi, 0, 0)
 
     out = pl.pallas_call(
