@@ -418,6 +418,131 @@ def test_int4_stacked_batched_matches_per_layer():
             )
 
 
+# -- W4A8 BLOCK path (prefill / speculative verify, b > 8) -------------------
+
+
+@pytest.mark.parametrize("group_size", [32, None])
+@pytest.mark.parametrize("b", [16, 48])
+def test_w4a8_block_pallas_interpret_matches_xla_twin(group_size, b):
+    from video_llava_tpu.ops.quant4 import int4_matmul_w4a8_block_xla
+
+    rng = np.random.default_rng(11)
+    d, f = 256, 256
+    w = jnp.asarray(rng.normal(size=(d, f)).astype(np.float32))
+    packed, scales = quantize_tensor_int4(w, group_size=group_size)
+    x = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32))
+    want = np.asarray(int4_matmul_w4a8_block_xla(x, packed, scales))
+    got = np.asarray(
+        int4_matmul_pallas(
+            x, packed, scales, interpret=True, a8_block=True
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_w4a8_block_accuracy_vs_dense():
+    """Per-row int8 activation rounding on top of int4 weights: stays
+    close to the dense-dequant matmul (the prefill numerics gate)."""
+    from video_llava_tpu.ops.quant4 import int4_matmul_w4a8_block_xla
+
+    rng = np.random.default_rng(12)
+    d, f = 256, 128
+    w = jnp.asarray(rng.normal(size=(d, f)).astype(np.float32) * 0.05)
+    packed, scales = quantize_tensor_int4(w, group_size=64)
+    x = jnp.asarray(rng.normal(size=(16, d)).astype(np.float32))
+    dense = np.asarray(x @ dequantize_int4(packed, scales, jnp.float32))
+    a8 = np.asarray(int4_matmul_w4a8_block_xla(x, packed, scales))
+    denom = np.maximum(np.abs(dense), 1e-3)
+    assert np.median(np.abs(a8 - dense) / denom) < 0.02
+
+
+@pytest.mark.parametrize("group_size", [32, None])
+def test_w4a8_block_stacked_matches_per_layer(group_size):
+    """Scalar-prefetch stacked BLOCK kernel == the per-layer block twin
+    for every layer index (the speculative-verify zero-copy path)."""
+    from video_llava_tpu.ops.quant4 import (
+        _int4_block_stacked_pallas,
+        int4_matmul_w4a8_block_xla,
+    )
+
+    rng = np.random.default_rng(13)
+    nl, nb, d, f = 3, 16, 128, 256
+    packed_l, scales_l = [], []
+    for _ in range(nl):
+        w = jnp.asarray(rng.normal(size=(d, f)).astype(np.float32))
+        p, s = quantize_tensor_int4(w, group_size=group_size)
+        packed_l.append(p)
+        scales_l.append(s)
+    packed, scales = jnp.stack(packed_l), jnp.stack(scales_l)
+    x = jnp.asarray(rng.normal(size=(nb, d)).astype(np.float32))
+    for li in range(nl):
+        want = np.asarray(
+            int4_matmul_w4a8_block_xla(x, packed[li], scales[li])
+        )
+        got = np.asarray(
+            _int4_block_stacked_pallas(
+                x, packed, scales, jnp.int32(li), interpret=True
+            )
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_w4a8_block_stacked_prefill_batch():
+    """Prefill-scale batch (256 rows -> two bb=128 grid blocks) through
+    the stacked kernel: zero-copy layer select at full prefill width."""
+    from video_llava_tpu.ops.quant4 import (
+        _int4_block_stacked_pallas,
+        int4_matmul_w4a8_block_xla,
+    )
+
+    rng = np.random.default_rng(15)
+    nl, nb, d, f = 2, 256, 128, 256
+    packed_l, scales_l = [], []
+    for _ in range(nl):
+        w = jnp.asarray(rng.normal(size=(d, f)).astype(np.float32))
+        p, s = quantize_tensor_int4(w, group_size=32)
+        packed_l.append(p)
+        scales_l.append(s)
+    packed, scales = jnp.stack(packed_l), jnp.stack(scales_l)
+    x = jnp.asarray(rng.normal(size=(nb, d)).astype(np.float32))
+    for li in range(nl):
+        want = np.asarray(
+            int4_matmul_w4a8_block_xla(x, packed[li], scales[li])
+        )
+        got = np.asarray(
+            _int4_block_stacked_pallas(
+                x, packed, scales, jnp.int32(li), interpret=True
+            )
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_w4a8_block_multi_batch_blocks():
+    """b spanning several batch grid blocks: the quant scratch must be
+    refreshed at each batch block's first F step (j==0 gating)."""
+    from video_llava_tpu.ops.quant4 import int4_matmul_w4a8_block_xla
+
+    rng = np.random.default_rng(14)
+    d, f = 256, 256
+    w = jnp.asarray(rng.normal(size=(d, f)).astype(np.float32))
+    packed, scales = quantize_tensor_int4(w, group_size=32)
+    # b=256 -> two bb=128 grid blocks, with very different magnitudes
+    # across blocks: a stale per-row scale would show immediately
+    x = jnp.asarray(
+        np.concatenate(
+            [
+                rng.normal(size=(128, d)),
+                rng.normal(size=(128, d)) * 100.0,
+            ]
+        ).astype(np.float32)
+    )
+    want = np.asarray(int4_matmul_w4a8_block_xla(x, packed, scales))
+    got = np.asarray(
+        int4_matmul_pallas(x, packed, scales, interpret=True, a8_block=True)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+
 def test_int4_matmul_pallas_odd_batch():
     """9-row (speculative-verify) forward: the batch block must fall
     back to the whole batch dim (bb in (4,2,1) violates Mosaic's

@@ -145,18 +145,10 @@ def int4_matmul_xla(x: jax.Array, packed: jax.Array, scales: jax.Array):
 
 
 def _w4_matmul_kernel(x_ref, w_ref, s_ref, o_ref, *, groups_half: int):
-    """Dequantize in-kernel via a scale-EXPANSION MATMUL, then one big
-    dot per nibble half: E = R @ s with R (Dh, Gh) the 0/1 row->group
-    map expands the (Gh, bf) scale block over weight rows (a direct
-    (G, bf) -> (G, 1, bf) shape cast is rejected by Mosaic, but the
-    expansion as a matmul is ~64 MXU passes), so y = x_lo @ (lo*E_lo)
-    + x_hi @ (hi*E_hi). The per-group K-SPLIT form this replaces
-    (32 small dots per F block, scales applied to dot outputs)
-    measured 1.07-1.77 ms per 7B gate_up call at b=8..128
-    (chained-iteration, v5e) — dominated by small-dot issue overhead,
-    the same failure mode as the deformable kernel's windowed
-    variants; two big dots cost ~4x less issue overhead for identical
-    math."""
+    """Group scales are applied to per-group dot OUTPUTS — (1, bf) row
+    broadcasts over the (B, bf) partials — instead of expanding scales
+    over weight rows (Mosaic rejects the (G, bf) -> (G, 1, bf) shape
+    cast that row expansion needs). y = sum_g s[g] * (x_g @ q_g)."""
     p = w_ref[:].astype(jnp.int32)  # (Dh, bf)
     dh, bf = p.shape
     lo = jax.lax.shift_right_arithmetic(
@@ -172,22 +164,117 @@ def _w4_matmul_kernel(x_ref, w_ref, s_ref, o_ref, *, groups_half: int):
         return
 
     g = dh // groups_half
-    # R[r, gi] = 1 iff r // g == gi (0/1 in bf16 — exact)
-    rmap = jnp.equal(
-        jax.lax.broadcasted_iota(jnp.int32, (dh, groups_half), 0) // g,
-        jax.lax.broadcasted_iota(jnp.int32, (dh, groups_half), 1),
-    ).astype(jnp.bfloat16)
-    e_lo = jnp.dot(
-        rmap, s[:groups_half].astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32,
-    ).astype(jnp.bfloat16)  # (Dh, bf)
-    e_hi = jnp.dot(
-        rmap, s[groups_half:].astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32,
-    ).astype(jnp.bfloat16)
-    acc = jnp.dot(x[:, :dh], lo * e_lo, preferred_element_type=jnp.float32)
-    acc += jnp.dot(x[:, dh:], hi * e_hi, preferred_element_type=jnp.float32)
+    b = x.shape[0]
+    # Static unroll (groups_half is a compile-time constant): every
+    # slice is static and aligned, which Mosaic handles unconditionally.
+    acc = jnp.zeros((b, bf), jnp.float32)
+    for gi in range(groups_half):
+        r0 = gi * g
+        acc += s[gi : gi + 1] * jnp.dot(
+            x[:, r0 : r0 + g], lo[r0 : r0 + g],
+            preferred_element_type=jnp.float32,
+        )
+        acc += s[groups_half + gi : groups_half + gi + 1] * jnp.dot(
+            x[:, dh + r0 : dh + r0 + g], hi[r0 : r0 + g],
+            preferred_element_type=jnp.float32,
+        )
     o_ref[:] = acc
+
+
+def _w4a8_block_kernel(x_ref, w_ref, s_ref, o_ref, xq_ref, sx_ref, *,
+                       groups_half: int):
+    """W4A8 MXU BLOCK kernel (prefill / speculative-verify, b > 8).
+
+    The bf16 block kernel above unpacks nibbles to bf16 and runs 2G
+    bf16 dots; this variant quantizes activations to int8 with ONE
+    per-row scale and runs the same K-split as int8 x int8 MXU dots
+    (2x the bf16 MXU rate, and the unpack stays int8):
+
+        y[b, f] = sx[b] * sum_g sw[g, f] * (xq[b, g-rows] . q[g-rows, f])
+
+    Per-ROW activation scales (not per-group as in the decode matvec):
+    the row-broadcast multiply is one VPU op applied once after the
+    group loop, so the scale application adds O(B*F) work instead of
+    O(G*B*F). Accuracy cost is one int8 rounding of a whole
+    RMSNorm-normalized row — validated by the preflight harness
+    alongside the decode path (engine/quant_select.py).
+
+    Activation quantization runs once per batch block (at the first F
+    grid step, stashed in VMEM scratch) rather than per F block: the
+    F sweep reuses xq_ref/sx_ref, so quant costs O(B*D) per call, not
+    O(B*D*F/bf).
+
+    Replaces the fp16 prefill matmuls of the reference hot path
+    (video_chatgpt/inference.py:86-112) for the quantized LLM.
+    """
+    _w4a8_block_body(
+        x_ref, w_ref[:], s_ref[:], o_ref, xq_ref, sx_ref,
+        groups_half=groups_half, quant_now=pl.program_id(1) == 0,
+    )
+
+
+def _w4a8_block_stacked_kernel(li_ref, x_ref, w_ref, s_ref, o_ref,
+                               xq_ref, sx_ref, *, groups_half: int):
+    """Stacked-layer wrapper of _w4a8_block_kernel: w_ref/s_ref carry a
+    leading singleton layer dim selected by the scalar-prefetch layer
+    index (see int4_matmul_stacked); grid (batch blocks, F blocks) —
+    activation quant runs at each batch block's first F step."""
+    del li_ref
+    _w4a8_block_body(
+        x_ref, w_ref[0], s_ref[0], o_ref, xq_ref, sx_ref,
+        groups_half=groups_half, quant_now=pl.program_id(1) == 0,
+    )
+
+
+def _w4a8_block_body(x_ref, w, s_raw, o_ref, xq_ref, sx_ref, *,
+                     groups_half: int, quant_now):
+    dh, bf = w.shape
+
+    @pl.when(quant_now)
+    def _quantize():
+        x = x_ref[:].astype(jnp.float32)  # (bb, d)
+        sx = jnp.maximum(
+            jnp.max(jnp.abs(x), axis=1, keepdims=True), 1e-8
+        ) / 127.0  # (bb, 1)
+        xq_ref[:] = (
+            jnp.clip(jnp.round(x / sx), -127, 127)
+            .astype(jnp.int32)
+            .astype(jnp.int8)
+        )
+        sx_ref[:] = sx
+
+    p = w.astype(jnp.int32)  # (Dh, bf)
+    lo = jax.lax.shift_right_arithmetic(
+        jax.lax.shift_left(p, 28), 28
+    ).astype(jnp.int8)
+    hi = jax.lax.shift_right_arithmetic(p, 4).astype(jnp.int8)
+    xq = xq_ref[:]
+    s = s_raw.astype(jnp.float32)  # (G, bf)
+
+    if groups_half == 0:  # one group total: same scale row for both halves
+        acc = jnp.dot(
+            xq[:, :dh], lo, preferred_element_type=jnp.int32
+        ).astype(jnp.float32)
+        acc += jnp.dot(
+            xq[:, dh:], hi, preferred_element_type=jnp.int32
+        ).astype(jnp.float32)
+        o_ref[:] = acc * s[0:1] * sx_ref[:]
+        return
+
+    g = dh // groups_half
+    b = xq.shape[0]
+    acc = jnp.zeros((b, bf), jnp.float32)
+    for gi in range(groups_half):
+        r0 = gi * g
+        acc += s[gi : gi + 1] * jnp.dot(
+            xq[:, r0 : r0 + g], lo[r0 : r0 + g],
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+        acc += s[groups_half + gi : groups_half + gi + 1] * jnp.dot(
+            xq[:, dh + r0 : dh + r0 + g], hi[r0 : r0 + g],
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+    o_ref[:] = acc * sx_ref[:]
 
 
 def _w4_matvec_kernel(xc_ref, w_ref, s_ref, o_ref, *, groups_half: int):
@@ -391,6 +478,32 @@ def int4_matmul_w4a8_xla(x: jax.Array, packed: jax.Array, scales: jax.Array):
     )
 
 
+def int4_matmul_w4a8_block_xla(
+    x: jax.Array, packed: jax.Array, scales: jax.Array
+):
+    """XLA twin of the W4A8 BLOCK math (per-ROW int8 activation scales,
+    activation-quantization error included) — parity reference for
+    _w4a8_block_kernel and the CPU fallback. x: (B, D) -> (B, F) f32."""
+    dh, f = packed.shape
+    d = 2 * dh
+    xb = x.reshape(-1, d).astype(jnp.float32)
+    sx = jnp.maximum(
+        jnp.max(jnp.abs(xb), axis=1, keepdims=True), 1e-8
+    ) / 127.0
+    xq = jnp.clip(jnp.round(xb / sx), -127, 127)
+    p = packed.astype(jnp.int32)
+    lo = jax.lax.shift_right_arithmetic(jax.lax.shift_left(p, 28), 28)
+    hi = jax.lax.shift_right_arithmetic(p, 4)
+    q = jnp.concatenate([lo, hi], axis=0).astype(jnp.float32)  # (D, F)
+    n_groups = scales.shape[-2]
+    if n_groups > 1:
+        g = d // n_groups
+        sw = jnp.repeat(scales.astype(jnp.float32), g, axis=-2)
+    else:
+        sw = jnp.broadcast_to(scales.astype(jnp.float32), (d, f))
+    return jnp.dot(xq, q * sw, preferred_element_type=jnp.float32) * sx
+
+
 def _pick_block(
     n: int, candidates: Sequence[int], max_elems: Optional[int] = None,
     other_dim: int = 1,
@@ -401,20 +514,43 @@ def _pick_block(
     return n
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "a8"))
+def _pick_batch_block(b: int, max_elems: int, d: int) -> int:
+    """Batch (M) block for the int4 block kernels: the WHOLE batch when
+    it fits the VMEM budget — weights then stream exactly once — else
+    the largest power-of-2 divisor block.
+
+    Whole-batch-first matters beyond VMEM comfort: a batch like 72
+    (8-slot spec verify, 8 x (k+1)=9 rows) has no large divisor in the
+    candidate list, and the old bb=8 choice swept the F grid NINE times
+    — the packed weights re-streamed from HBM once per batch block,
+    9 x 45 MB per gate_up call. That restreaming (not the matmul math)
+    was the measured 8-slot 285 -> 96 tok/s serving collapse in round
+    4 (bench_serving slot-scaling trace)."""
+    if b * d <= max_elems:
+        return b
+    return _pick_block(b, (256, 128, 64, 32, 16, 8), max_elems=max_elems,
+                       other_dim=d)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "a8", "a8_block"))
 def int4_matmul_pallas(
     x: jax.Array,
     packed: jax.Array,
     scales: jax.Array,
     interpret: bool = False,
     a8: bool = False,
+    a8_block: bool = False,
 ):
     """x: (B, D) -> (B, F) f32. Grid over (B blocks, F blocks); packed
     weights and scales stream HBM->VMEM once per F block per B block.
 
     a8 (batch=1 only): quantize activations to int8 per contraction
     group and run int8 MXU dots (_w4a8_matvec_kernel) — compute drops
-    under the int4 HBM stream time."""
+    under the int4 HBM stream time.
+
+    a8_block (b > A8_MAX_BATCH): per-ROW int8 activation scales + int8
+    MXU K-split dots (_w4a8_block_kernel) — the prefill/spec-verify
+    variant; ~2x the bf16 block kernel's MXU rate."""
     dh, f = packed.shape
     n_groups = scales.shape[0]
     b, d = x.shape
@@ -467,8 +603,32 @@ def int4_matmul_pallas(
     # Batch blocks must be a multiple of 8 OR the whole batch dim
     # (Mosaic tiling rule — bb in (4, 2, 1) lowers only when b == bb,
     # e.g. a 9-row speculative-verify forward must take bb = 9).
-    bb = _pick_block(b, (256, 128, 64, 32, 16, 8), max_elems=2 << 20,
-                     other_dim=d)
+    if a8_block:
+        bb = _pick_batch_block(b, 1 << 20, d)
+        if bb == b and b * d > 1 << 20:
+            return int4_matmul_w4a8_block_xla(x, packed, scales)
+        bf = _pick_block(f, (512, 256, 128), max_elems=1 << 20, other_dim=dh)
+        return pl.pallas_call(
+            functools.partial(_w4a8_block_kernel, groups_half=groups_half),
+            grid=(b // bb, f // bf),
+            in_specs=[
+                pl.BlockSpec((bb, d), lambda i, j: (i, 0)),
+                pl.BlockSpec((dh, bf), lambda i, j: (0, j)),
+                pl.BlockSpec((n_groups, bf), lambda i, j: (0, j)),
+            ],
+            out_specs=pl.BlockSpec((bb, bf), lambda i, j: (i, j)),
+            out_shape=jax.ShapeDtypeStruct((b, f), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((bb, d), jnp.int8),
+                pltpu.VMEM((bb, 1), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary"),
+            ),
+            interpret=interpret,
+        )(x.astype(jnp.float32), packed, scales)
+
+    bb = _pick_batch_block(b, 2 << 20, d)
     if bb == b and b * d > 2 << 20:
         # un-blockable odd batch too big for one VMEM block
         return int4_matmul_xla(x, packed, scales)
@@ -503,11 +663,21 @@ A8_MAX_BATCH = int(_os.environ.get("VLT_INT4_A8_MAX_B", "8"))
 # Max batch rows the W4A8 decode kernels take (static per-row spread +
 # one batched MXU dot; weights stream once per step for the whole
 # batch). Past this, or with
-# VLT_INT4_A8_MAX_B=1, the MXU block kernel takes over. NOTE: measured
+# VLT_INT4_A8_MAX_B=1, the W4A8 BLOCK kernel (per-row activation
+# scales, int8 MXU) takes over; VLT_INT4_A8_BLOCK=0 falls back to the
+# bf16-dequant block kernel. NOTE: measured
 # on chip, batched decode (b>=4) runs FASTER on int8 weights than int4
 # (11.7 vs 12.9 ms/step at b=4, 7B) — batching amortizes the weight
 # stream, so int4's unpack compute stops paying; prefer int8 weights
 # for throughput-oriented batched serving, int4 for latency.
+_A8_BLOCK = _os.environ.get("VLT_INT4_A8_BLOCK", "1") == "1"
+# Max batch rows the STACKED W4A8 block kernel takes (2D grid: batch
+# blocks x F blocks): covers speculative-verify forwards of every
+# serving slot count (8 slots x (k+1)=4 drafts = 32 rows) AND full
+# prefill chunks (512 rows) — neither pays the per-layer slice copy.
+A8_BLOCK_STACKED_MAX_B = int(
+    _os.environ.get("VLT_INT4_A8_BLOCK_MAX_B", "1024")
+)
 
 
 def int4_matmul(x: jax.Array, packed: jax.Array, scales: jax.Array):
@@ -518,7 +688,9 @@ def int4_matmul(x: jax.Array, packed: jax.Array, scales: jax.Array):
         return int4_matmul_xla(x, packed, scales)
     xb = x.reshape(-1, d)
     y = int4_matmul_pallas(
-        xb, packed, scales, a8=_A8_DECODE and xb.shape[0] <= A8_MAX_BATCH
+        xb, packed, scales,
+        a8=_A8_DECODE and xb.shape[0] <= A8_MAX_BATCH,
+        a8_block=_A8_BLOCK and xb.shape[0] > A8_MAX_BATCH,
     )
     return y.reshape(lead + (packed.shape[-1],))
 
@@ -580,29 +752,96 @@ def _int4_matvec_stacked_pallas(
     )(li, x.astype(jnp.float32), packed, scales)
 
 
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _int4_block_stacked_pallas(
+    x: jax.Array,  # (nb, D) f32, A8_MAX_BATCH < nb <= A8_BLOCK_STACKED_MAX_B
+    packed: jax.Array,  # (L, Dh, F) int8
+    scales: jax.Array,  # (L, G, F)
+    layer: jax.Array,  # () int32
+    interpret: bool = False,
+):
+    """W4A8 BLOCK matmul against ONE layer of a scan-stacked weight
+    (scalar-prefetch layer select, zero-copy — see the matvec variant's
+    docstring for why the dynamic-slice form triples weight traffic).
+
+    Covers two hot paths that used to fall off the stacked path onto a
+    materialized per-layer slice + the bf16 block kernel:
+      * speculative verify — an 8-slot serving step with k=3 drafts
+        verifies 32 rows per weight stream (the measured 8-slot
+        285 -> 96 tok/s collapse, round-4 bench_serving);
+      * prefill through scan-stacked weights — 512 rows paid a 25-45 MB
+        layer-slice copy per layer per chunk.
+    Grid is (batch blocks, F blocks); the whole batch streams the
+    selected layer's bytes exactly once."""
+    nl, dh, f = packed.shape
+    n_groups = scales.shape[1]
+    nb, d = x.shape
+    assert d == 2 * dh, (d, dh)
+    groups_half = n_groups // 2 if n_groups > 1 else 0
+    bb = _pick_batch_block(nb, 1 << 20, d)
+    bf = _pick_block(f, (512, 256, 128), max_elems=1 << 20, other_dim=dh)
+    li = layer.reshape(1).astype(jnp.int32)
+    return pl.pallas_call(
+        functools.partial(_w4a8_block_stacked_kernel,
+                          groups_half=groups_half),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb // bb, f // bf),
+            in_specs=[
+                pl.BlockSpec((bb, d), lambda i, j, li_ref: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, dh, bf),
+                             lambda i, j, li_ref: (li_ref[0], 0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n_groups, bf),
+                             lambda i, j, li_ref: (li_ref[0], 0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((bb, bf), lambda i, j, li_ref: (i, j),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((bb, d), jnp.int8),
+                pltpu.VMEM((bb, 1), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((nb, f), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(li, x.astype(jnp.float32), packed, scales)
+
+
 def int4_matmul_stacked(
     x: jax.Array, packed: jax.Array, scales: jax.Array, layer: jax.Array
 ):
     """int4 matmul against layer `layer` of scan-stacked weights
     packed (L, Dh, F) / scales (L, G, F). x (..., D) -> (..., F) f32.
 
-    Decode (up to A8_MAX_BATCH rows, TPU): zero-copy stacked Pallas
-    kernel — weights stream once per step for the whole batch.
-    Otherwise (prefill, CPU): explicit layer slice + the regular
-    dispatch — the slice copy is once per prefill, not once per
-    generated token."""
+    Decode (up to A8_MAX_BATCH rows, TPU): zero-copy stacked W4A8
+    matvec kernel — weights stream once per step for the whole batch.
+    Speculative-verify (up to A8_BLOCK_STACKED_MAX_B rows): zero-copy
+    stacked W4A8 BLOCK kernel. Otherwise (prefill, CPU): explicit
+    layer slice + the regular dispatch — the slice copy is once per
+    prefill, not once per generated token."""
     lead = x.shape[:-1]
     d = x.shape[-1]
     xb = x.reshape(-1, d)
     f = packed.shape[-1]
-    if (
-        jax.default_backend() == "tpu"
-        and not f % 128
-        and xb.shape[0] <= A8_MAX_BATCH
-        and _A8_DECODE
-    ):
-        y = _int4_matvec_stacked_pallas(xb, packed, scales, layer)
-        return y.reshape(lead + (f,))
+    if jax.default_backend() == "tpu" and not f % 128 and _A8_DECODE:
+        nb = xb.shape[0]
+        if nb <= A8_MAX_BATCH:
+            y = _int4_matvec_stacked_pallas(xb, packed, scales, layer)
+            return y.reshape(lead + (f,))
+        if (
+            _A8_BLOCK
+            and nb <= A8_BLOCK_STACKED_MAX_B
+            # odd batches (not a multiple of 8) must fit one VMEM block
+            # (Mosaic batch-tiling rule — see int4_matmul_pallas)
+            and not (nb % 8 and nb * d > 1 << 20)
+        ):
+            y = _int4_block_stacked_pallas(xb, packed, scales, layer)
+            return y.reshape(lead + (f,))
     packed_l = jax.lax.dynamic_index_in_dim(packed, layer, 0, keepdims=False)
     scales_l = jax.lax.dynamic_index_in_dim(scales, layer, 0, keepdims=False)
     return int4_matmul(x, packed_l, scales_l)
