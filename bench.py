@@ -43,6 +43,11 @@ PROMPT_LEN = 512
 # metric from a plain run stays e2e_video_qa_p50. Not combinable with
 # BENCH_FROM_VIDEO / BENCH_WITH_AUDIO (single-clip pipelines).
 BATCH = int(os.environ.get("BENCH_BATCH", "1"))
+# BENCH_SPEC=1 decodes through the batched prompt-lookup speculative
+# loop (engine/speculative.py) instead of plain decode — the batched-QA
+# lever (VERDICT r4 #4). Greedy-exact: same tokens, fewer weight
+# streams when answers echo context.
+SPEC = os.environ.get("BENCH_SPEC", "0") == "1"
 if BATCH > 1 and (
     os.environ.get("BENCH_FROM_VIDEO", "0") == "1"
     or os.environ.get("BENCH_WITH_AUDIO", "0") == "1"
@@ -55,7 +60,9 @@ if BATCH > 1 and (
 # BENCH_MESH path on a slow virtual CPU mesh); the headline numbers use
 # the defaults.
 NEW_TOKENS = int(os.environ.get("BENCH_NEW_TOKENS", "128"))
-CACHE_LEN = PROMPT_LEN + NEW_TOKENS
+# the speculative verify writes optimistically up to k+1 = 9 past the
+# last kept token (engine/speculative.py) — the cache needs that slack
+CACHE_LEN = PROMPT_LEN + NEW_TOKENS + (9 if SPEC else 0)
 LAYERS = int(os.environ.get("BENCH_LAYERS", "0"))  # 0 = full depth
 
 
@@ -300,6 +307,21 @@ def build():
     def e2e(params, frames, input_ids, seq_lens, rng):
         feats = encode(params, frames)
         res = prefill(params, input_ids, seq_lens, feats)
+        if SPEC:
+            from video_llava_tpu.engine.speculative import (
+                _decode_loop_pld, _init_ctx,
+            )
+
+            spec_k = 8
+            ctx = _init_ctx(
+                input_ids, PROMPT_LEN + NEW_TOKENS + spec_k + 1,
+                jnp.int32(gen.pad_token_id),
+            )
+            out, _, _ = _decode_loop_pld(
+                params, cfg, gen, res.logits_last, res.cache, ctx,
+                seq_lens, rng, NEW_TOKENS, 3, spec_k,
+            )
+            return out.tokens
         out = _decode_loop(params, cfg, gen, res.logits_last, res.cache, rng,
                            NEW_TOKENS, mesh=mesh)
         return out.tokens

@@ -431,3 +431,30 @@ def test_keyword_path_speculative_stop_id_midchunk():
     assert int(r0.lengths[0]) == int(r1.lengths[0])
     np.testing.assert_array_equal(np.asarray(r0.tokens),
                                   np.asarray(r1.tokens))
+
+
+def test_generate_speculative_flag_matches_plain_batched():
+    """generate(speculative=True) — the batched-QA runner's path
+    (eval/run_inference.run_qa_batched) — must emit exactly the plain
+    batched greedy tokens, including with an explicit (too-small)
+    max_cache_len that the flag must bump for the optimistic verify
+    write."""
+    cfg, params = _setup(seed=5)
+    rng = np.random.default_rng(6)
+    ids = jnp.asarray(rng.integers(2, 500, size=(3, 19)), jnp.int32)
+    seq = jnp.asarray([19, 14, 19], jnp.int32)
+    gen = GenerationConfig(max_new_tokens=16, do_sample=False,
+                           eos_token_id=1, pad_token_id=0)
+    want = gen_mod.generate(params, cfg, gen, ids, seq, None,
+                            jax.random.PRNGKey(0),
+                            max_cache_len=19 + 16)
+    got = gen_mod.generate(params, cfg, gen, ids, seq, None,
+                           jax.random.PRNGKey(0),
+                           max_cache_len=19 + 16, speculative=True)
+    np.testing.assert_array_equal(np.asarray(want.lengths),
+                                  np.asarray(got.lengths))
+    for r in range(3):
+        n = int(want.lengths[r])
+        np.testing.assert_array_equal(
+            np.asarray(want.tokens)[r, :n], np.asarray(got.tokens)[r, :n]
+        )

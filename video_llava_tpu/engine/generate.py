@@ -151,20 +151,51 @@ def generate(
     max_cache_len: Optional[int] = None,
     cache_dtype=jnp.bfloat16,
     mesh=None,
+    speculative: bool = False,
+    spec_ngram: int = 3,
+    spec_k: int = 8,
 ) -> GenerateResult:
     """Prefill a right-padded batch and decode up to max_new_tokens.
 
     mesh: optional ('data', 'model') Mesh for TP/DP inference — params
     and inputs must already be device_put with their NamedShardings; the
     cache is pinned to cache_spec and the decode loop inherits it.
+
+    speculative: batched prompt-lookup speculative decoding
+    (engine/speculative.py — greedy-exact / distribution-exact, rows
+    draft and advance independently). QA answers echo question/
+    transcript spans, so the batched QA sweep is PLD's best regime.
+    Ignored under a TP mesh (the spec loop does not pin sharded cache
+    layouts).
     """
     b, s = input_ids.shape
+    if mesh is not None:
+        speculative = False
+    slack = spec_k + 1 if speculative else 0
     if max_cache_len is None:
-        max_cache_len = s + gen.max_new_tokens
+        max_cache_len = s + gen.max_new_tokens + slack
+    elif speculative:
+        # the optimistic verify write may run k past the last kept token
+        max_cache_len = max(max_cache_len, s + gen.max_new_tokens + slack)
     res = prefill_jit(
         params, cfg, input_ids, seq_lens, video_features,
         max_cache_len=max_cache_len, cache_dtype=cache_dtype, mesh=mesh,
     )
+    if speculative:
+        from video_llava_tpu.engine.speculative import (
+            _decode_loop_pld, _init_ctx,
+        )
+
+        ctx = _init_ctx(
+            input_ids, s + gen.max_new_tokens + spec_k + 1,
+            jnp.int32(gen.pad_token_id),
+        )
+        out, _, _ = _decode_loop_pld(
+            params, cfg, gen, res.logits_last, res.cache, ctx,
+            seq_lens.astype(jnp.int32), rng, gen.max_new_tokens,
+            spec_ngram, spec_k,
+        )
+        return out
     return _decode_loop(
         params, cfg, gen, res.logits_last, res.cache, rng,
         gen.max_new_tokens, mesh=mesh,

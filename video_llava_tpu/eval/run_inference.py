@@ -199,6 +199,7 @@ def run_qa_batched(
             engine.params, cfg, gen,
             jnp.asarray(input_ids), jnp.asarray(lens, jnp.int32), feats,
             jax.random.PRNGKey(start), cache_dtype=engine.cache_dtype,
+            speculative=engine.speculative,
         )
         toks = np.asarray(res.tokens)
         lengths = np.asarray(res.lengths)
