@@ -183,13 +183,119 @@ def test_fused_no_detections(xsetup):
         assert r.masks.sum() == 0
 
 
+@pytest.mark.parametrize("t", [9, 11])  # exact windows + ragged tail
+def test_fused_semionline_matches_host_loop(xsetup, t):
+    """Semionline (3-frame DEVA voting) through the fused program ==
+    the host voting loop (VERDICT r4 #6): device vote_detections gates
+    keyframe detections, the same fused program runs with
+    detect_every=num_voting_frames, and the ragged tail (t=11: two
+    leftover frames) propagates instead of voting."""
+    params, cfg = xsetup
+    frames = _frames(t)
+
+    host = _make_tracker(LearnedMemoryTracker(params, cfg))
+    host.temporal_setting = "semionline"
+    host.binary_masks = False
+    ref = host.run_host_loop(list(frames), ["person", "dog"])
+
+    fused = _make_tracker(LearnedMemoryTracker(params, cfg))
+    fused.temporal_setting = "semionline"
+    got = fused.run_on_list_of_images_fused(
+        list(frames), ["person", "dog"], binary=False
+    )
+
+    assert len(ref) == len(got) == t
+    for r, g in zip(ref, got):
+        assert r.frame_index == g.frame_index
+        assert [tuple(o) for o in r.objects] == [
+            (o.id, o.category_id, pytest.approx(o.score, abs=1e-6))
+            for o in g.objects
+        ]
+        bad = np.mean(
+            np.abs(np.asarray(r.masks, np.float32) - g.masks) > 5e-3
+        )
+        assert bad < 5e-3, (r.frame_index, bad)
+
+
+def test_fused_semionline_voting_drops_unconfirmed(xsetup):
+    """A detection present ONLY on the keyframe (no overlap in the
+    following window frames) must be voted out on both paths."""
+    params, cfg = xsetup
+
+    class FlickerDet(StubDetector):
+        """Stable box everywhere + a spurious box on frames 0, 3, 6..
+        (keyframes) only, in a region nothing else touches."""
+
+        def detect_batch(self, images, prompts):
+            images = np.asarray(images)
+            out = []
+            for _ in images:
+                ti = self.calls
+                self.calls += 1
+                boxes = [[4, 6, 34, 32]]
+                conf = [0.9]
+                cids = [0]
+                if ti % 3 == 0:
+                    boxes.append([60, 40, 90, 60])
+                    conf.append(0.8)
+                    cids.append(1)
+                out.append((
+                    np.asarray(boxes, np.float32),
+                    np.asarray(conf, np.float32),
+                    np.asarray(cids, np.int64),
+                ))
+            return out
+
+    host = _make_tracker(LearnedMemoryTracker(params, cfg))
+    host.detector = FlickerDet()
+    host.temporal_setting = "semionline"
+    host.binary_masks = False
+    ref = host.run_host_loop(_frames(9), ["person", "dog"])
+
+    fused = _make_tracker(LearnedMemoryTracker(params, cfg))
+    fused.detector = FlickerDet()
+    fused.temporal_setting = "semionline"
+    got = fused.run_on_list_of_images_fused(
+        _frames(9), ["person", "dog"], binary=False
+    )
+    # the flickering category-1 box must not appear in either run
+    for r, g in zip(ref, got):
+        assert all(o.category_id == 0 for o in r.objects)
+        assert [tuple(o) for o in r.objects] == [
+            (o.id, o.category_id, pytest.approx(o.score, abs=1e-6))
+            for o in g.objects
+        ]
+
+
+def test_fused_stm_semionline_matches_host_loop():
+    """Semionline through the handcrafted-STM fused program (the
+    weights-free default build) == the host voting loop, including the
+    ragged-tail gap-write arm (run_clip_fused_stm's seg_is_det)."""
+    host = _make_tracker(None)
+    host.temporal_setting = "semionline"
+    host.binary_masks = False
+    frames = _frames(11)
+    ref = host.run_host_loop(list(frames), ["person", "dog"])
+
+    fused = _make_tracker(None)
+    fused.temporal_setting = "semionline"
+    got = fused.run_on_list_of_images_fused(
+        list(frames), ["person", "dog"], binary=False
+    )
+    assert len(ref) == len(got) == 11
+    for r, g in zip(ref, got):
+        assert r.frame_index == g.frame_index
+        assert [tuple(o) for o in r.objects] == [
+            (o.id, o.category_id, pytest.approx(o.score, abs=1e-6))
+            for o in g.objects
+        ]
+        np.testing.assert_allclose(
+            np.asarray(r.masks, np.float32), g.masks, atol=2e-3
+        )
+
+
 def test_fused_rejects_unsupported_configs(xsetup):
     params, cfg = xsetup
-    tr = _make_tracker(LearnedMemoryTracker(params, cfg))
-    tr.temporal_setting = "semionline"
-    with pytest.raises(NotImplementedError):
-        tr.run_on_list_of_images_fused(_frames(5), ["person"])
-
     # custom-feature STM (eager path) is not fusable
     from video_llava_tpu.grounding.memory_tracker import (
         MemoryTracker, TrackerConfig,

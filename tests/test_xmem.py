@@ -669,3 +669,92 @@ def test_grounded_tracker_chunked_propagation_parity(models):
         assert a.frame_index == b.frame_index
         np.testing.assert_allclose(b.masks, a.masks, rtol=2e-4, atol=2e-5)
         assert a.objects == b.objects
+
+
+# -- long-term prototype memory (XMemConfig.lt_slots) --------------------------
+
+
+def test_lt_consolidation_on_eviction():
+    """When the ring overwrites an occupied slot, its lt_prototypes
+    highest-usage elements move to the long-term ring; the usage row
+    resets with the overwrite."""
+    from video_llava_tpu.models.xmem import XMemConfig, _write, init_state
+
+    cfg = XMemConfig(mem_slots=3, key_dim=8, value_dim=8, hidden_dim=4,
+                     max_objects=2, lt_slots=8, lt_prototypes=2)
+    st = init_state(cfg, 2, 2)  # n = 4 elements per slot
+    n = 4
+    mk = lambda i: (  # noqa: E731
+        jnp.full((n, cfg.key_dim), float(i)),
+        jnp.ones((n,)),
+        jnp.full((n, cfg.max_objects, cfg.value_dim), float(i)),
+    )
+    for i in range(3):  # slot 0 (permanent ref), slots 1, 2
+        st = _write(st, *mk(i), cfg)
+    assert not bool(np.asarray(st.lt_valid).any())
+    # elements 1 and 3 of slot 1 are the most-read
+    st = st._replace(usage=st.usage.at[1, 1].set(5.0).at[1, 3].set(3.0))
+    st = _write(st, *mk(3), cfg)  # ring wraps onto slot 1 -> consolidate
+    lt_valid = np.asarray(st.lt_valid)
+    assert lt_valid[:2].all() and not lt_valid[2:].any()
+    # the consolidated elements carry slot 1's content (the "1" write)
+    np.testing.assert_array_equal(np.asarray(st.lt_keys[:2]), 1.0)
+    np.testing.assert_array_equal(np.asarray(st.lt_values[:2]), 1.0)
+    assert int(st.lt_next) == 2
+    np.testing.assert_array_equal(np.asarray(st.usage[1]), 0.0)
+    # an invalid (never-written) slot does NOT consolidate: first fill
+    # rounds above produced no LT entries (asserted before the wrap)
+
+
+def test_lt_elements_attend_in_reads():
+    """Reads attend over ring + LT jointly: a query matching only an LT
+    key reads back the LT value even when the ring holds no match."""
+    from video_llava_tpu.models.xmem import (
+        XMemConfig, _memory_views, init_state, read_memory,
+    )
+
+    cfg = XMemConfig(mem_slots=2, key_dim=4, value_dim=4, hidden_dim=4,
+                     max_objects=1, lt_slots=4, top_k=2)
+    st = init_state(cfg, 1, 2)  # n = 2
+    st = st._replace(
+        keys=jnp.full_like(st.keys, 10.0),  # far from the query
+        slot_valid=jnp.asarray([True, True]),
+        lt_keys=st.lt_keys.at[0].set(1.0),  # exact query match
+        lt_values=st.lt_values.at[0].set(7.0),
+        lt_valid=st.lt_valid.at[0].set(True),
+    )
+    q = jnp.ones((2, cfg.key_dim))
+    mk, ms, mv, valid = _memory_views(st, cfg, 2)
+    out = read_memory(mk, ms, mv, valid, q, q, cfg.top_k)
+    np.testing.assert_allclose(np.asarray(out), 7.0, atol=1e-3)
+
+
+def test_lt_long_session_tracks_and_stays_finite(models):
+    """A session long enough to wrap the ring several times with LT on:
+    prototypes consolidate, probabilities stay valid, and the step keeps
+    its static shapes (one compile)."""
+    import dataclasses as dc
+
+    _, params, base_cfg = models
+    cfg = dc.replace(base_cfg, mem_slots=3, lt_slots=16, lt_prototypes=4)
+    rng = np.random.default_rng(7)
+    frame = rng.random((64, 64, 3), np.float32)
+    mask = np.zeros((1, 64, 64), np.float32)
+    mask[0, 10:30, 10:30] = 1
+
+    state = xmem.init_state(cfg, 4, 4)
+    state = xmem.add_reference_step(
+        params, state, jnp.asarray(frame),
+        jnp.pad(mask, ((0, cfg.max_objects - 1), (0, 0), (0, 0))),
+        jnp.int32(1), cfg,
+    )
+    for i in range(6):  # writes every frame: wraps the 3-slot ring
+        prob, state = xmem.propagate_step(
+            params, state, jnp.asarray(rng.random((64, 64, 3), np.float32)),
+            cfg, update_memory=True, deep_update=False,
+        )
+        assert np.isfinite(np.asarray(prob)).all()
+    assert bool(np.asarray(state.lt_valid).any())  # consolidation fired
+    assert float(np.asarray(state.usage).sum()) >= 0.0
+    # reference slot still intact (slot 0 permanent)
+    assert bool(np.asarray(state.slot_valid[0]))

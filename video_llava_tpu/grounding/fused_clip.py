@@ -157,18 +157,21 @@ def _batched_key_encode(params, frames):
 
 def _read_decode(params, state: XMemState, f16, f8, f4, key, sel, cfg):
     """Memory read + grouped decode for one frame -> (prob (O, H, W),
-    new hidden). Identical to the body of xmem.propagate_step."""
+    new hidden, usage-updated state). Identical to the body of
+    xmem.propagate_step (incl. the long-term usage accumulation when
+    cfg.lt_slots > 0)."""
     h16, w16 = key.shape[:2]
     n = h16 * w16
-    readout = xmem.read_memory(
-        state.keys.reshape(-1, cfg.key_dim),
-        state.shrinkage.reshape(-1),
-        state.values.reshape(-1, cfg.max_objects, cfg.value_dim),
-        jnp.repeat(state.slot_valid, n),
+    mk, ms, mv, mvalid = xmem._memory_views(state, cfg, n)
+    readout, (top_idx, att) = xmem.read_memory(
+        mk, ms, mv, mvalid,
         key.reshape(n, -1),
         sel.reshape(n, -1),
         cfg.top_k,
-    ).transpose(1, 0, 2).reshape(
+        return_attention=True,
+    )
+    state = xmem._accumulate_usage(state, cfg, top_idx, att, n)
+    readout = readout.transpose(1, 0, 2).reshape(
         cfg.max_objects, h16, w16, cfg.value_dim
     )
     logits, hidden = xmem.decode(
@@ -178,7 +181,7 @@ def _read_decode(params, state: XMemState, f16, f8, f4, key, sel, cfg):
         jnp.arange(cfg.max_objects) < state.num_objects
     )[:, None, None]
     prob = jax.nn.sigmoid(logits) * obj_valid
-    return xmem.aggregate(prob)[1:], hidden
+    return xmem.aggregate(prob)[1:], hidden, state
 
 
 def _value_write(params, state: XMemState, frame, f16, key, shr, masks,
@@ -198,6 +201,7 @@ def _value_write(params, state: XMemState, frame, f16, key, shr, masks,
         key.reshape(n, -1),
         shr.reshape(n),
         value.reshape(cfg.max_objects, n, -1).transpose(1, 0, 2),
+        cfg,
     )
 
 
@@ -221,6 +225,7 @@ def run_clip_fused(
     iou_threshold: float = 0.5,
     binary: bool = True,
     pack: bool = True,
+    seg_is_det: Optional[jax.Array] = None,  # (F,) bool; None -> all True
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, XMemState]:
     """The whole grounded clip as ONE program. T = F * detect_every;
     frame s*detect_every is segment s's detection frame, whose
@@ -238,6 +243,8 @@ def run_clip_fused(
     T = frames.shape[0]
     F = T // E
     assert F * E == T, (T, E)
+    if seg_is_det is None:
+        seg_is_det = jnp.ones((F,), bool)
 
     seg_frames = frames.reshape((F, E) + frames.shape[1:])
     seg_valid = frame_valid.reshape(F, E)
@@ -252,7 +259,7 @@ def run_clip_fused(
 
     def seg_body(carry, inp):
         state, table, fidx = carry
-        (sframes, det_m, det_v, det_c, det_s, s_ok) = inp
+        (sframes, det_m, det_v, det_c, det_s, s_ok, is_det) = inp
         # cast the segment's detection masks (uint8 transport) here, not
         # the whole (F, K, H, W) array — a clip-wide f32 copy would hold
         # ~1 GB at the 100-frame bench shape
@@ -274,12 +281,19 @@ def run_clip_fused(
             return (
                 jnp.zeros((o,) + sframes.shape[1:3], jnp.float32),
                 state.hidden,
+                state,
             )
 
         stepped = has_obj & s_ok[0]
-        prev_prob, hidden = jax.lax.cond(
+        prev_prob, hidden, state = jax.lax.cond(
             stepped, with_step, without_step, None
         )
+        # non-detection keyframe (semionline partial-tail flush): the
+        # host loop treats it as a plain propagate frame — mem_every-
+        # cadence write of the SOFT probs, single fidx advance — so the
+        # gap-frame write rules apply instead of the reference write.
+        u_gap = stepped & ~is_det & ((fidx % cfg.mem_every) == 0)
+        dp_gap = u_gap & ((fidx % cfg.deep_update_every) == 0)
         fidx = fidx + stepped.astype(jnp.int32)
         st = state._replace(hidden=hidden)
         slots, new_table = associate(
@@ -287,24 +301,38 @@ def run_clip_fused(
             iou_threshold, binary,
         )
         table = jax.tree.map(
-            lambda a, b: jnp.where(s_ok[0], a, b), new_table, table
+            lambda a, b: jnp.where(s_ok[0] & is_det, a, b),
+            new_table, table,
         )
 
         def write(s):
-            # host parity: GroundedTracker._incorporate hands
-            # add_reference the FULL (max_objects, H, W) slot array, so
-            # LearnedMemoryTracker sets num_objects = max_objects after
-            # the first reference (empty slots decode to ~0 and the
-            # object table governs what is reported)
-            s = s._replace(num_objects=jnp.int32(cfg.max_objects))
+            # num_objects = the LIVE object count (host parity:
+            # GroundedTracker passes it alongside the full slot
+            # array). Counting every slot as live let empty-slot
+            # decoder noise compete in xmem.aggregate — measured as a
+            # 0.34-vs-0.74 product-path J&F gap on the synthetic suite
+            # (scripts/tracking_quality fused rows).
+            s = s._replace(
+                num_objects=jnp.maximum(s.num_objects, table.count)
+            )
             # raw frame: encode_value normalizes internally
             return _value_write(
                 params, s, sframes[0], f16[0], key[0], shr[0], slots,
                 cfg, deep=jnp.asarray(True),
             )
 
-        wrote = (table.count > 0) & s_ok[0]
-        st = jax.lax.cond(wrote, write, lambda s: s, st)
+        def write_gap(s):
+            return _value_write(
+                params, s, sframes[0], f16[0], key[0], shr[0],
+                prev_prob, cfg, deep=dp_gap,
+            )
+
+        wrote = (table.count > 0) & s_ok[0] & is_det
+        st = jax.lax.cond(
+            wrote, write,
+            lambda s: jax.lax.cond(u_gap, write_gap, lambda x: x, s),
+            st,
+        )
         fidx = fidx + wrote.astype(jnp.int32)
         out0 = (slots > 0.5).astype(jnp.uint8) if binary else slots
         state = st
@@ -318,10 +346,10 @@ def run_clip_fused(
             dp = u & ((fidx % cfg.deep_update_every) == 0)
 
             def live(_):
-                prob, hidden = _read_decode(
+                prob, hidden, s_u = _read_decode(
                     params, st, f16_t, f8_t, f4_t, key_t, sel_t, cfg
                 )
-                s2 = st._replace(hidden=hidden)
+                s2 = s_u._replace(hidden=hidden)
 
                 def w(s):
                     return _value_write(
@@ -361,10 +389,43 @@ def run_clip_fused(
     (state, table, _), (outs, cats, scores, counts) = jax.lax.scan(
         seg_body, (state, table, jnp.zeros((), jnp.int32)),
         (seg_frames, det_masks, det_valid, det_cat, det_score,
-         seg_valid),
+         seg_valid, seg_is_det),
     )
     masks = outs.reshape((T,) + outs.shape[2:])
     return masks, cats, scores, counts, state
+
+
+@functools.partial(jax.jit, static_argnames=("nvf",))
+def vote_detections(
+    det_masks: jax.Array,  # (T, K, H, W) uint8/f32 — EVERY frame
+    det_valid: jax.Array,  # (T, K) bool
+    nvf: int,
+) -> jax.Array:
+    """Device twin of GroundedTracker._vote (DEVA's semionline
+    spatio-temporal voting, ref grounding_new_api.py:448-521): keyframe
+    detection i (frame s*nvf) survives iff its mask box overlaps
+    (IoU >= 0.5) some detection in at least nvf//2 of the following
+    nvf-1 frames. T must be F*nvf (pad with invalid rows).
+
+    Returns keep (F, K) bool for the keyframes; non-keyframe
+    detections only vote, they are never incorporated."""
+    from video_llava_tpu.ops.box_ops import box_iou, masks_to_boxes
+
+    t, k = det_valid.shape
+    f = t // nvf
+    assert f * nvf == t, (t, nvf)
+    boxes = jax.vmap(masks_to_boxes)(det_masks.astype(jnp.float32))
+    boxes = boxes.reshape(f, nvf, k, 4)
+    valid = det_valid.reshape(f, nvf, k)
+    iou_all = jax.vmap(jax.vmap(lambda a, b: box_iou(a, b)[0],
+                                in_axes=(None, 0)))(
+        boxes[:, 0], boxes[:, 1:]
+    )  # (F, nvf-1, K, K): keyframe dets x frame-j dets
+    hit = jnp.any(
+        (iou_all >= 0.5) & valid[:, 1:, None, :], axis=-1
+    )  # (F, nvf-1, K)
+    votes = jnp.sum(hit.astype(jnp.int32), axis=1)  # (F, K)
+    return (votes >= nvf // 2) & valid[:, 0]
 
 
 def init_table(cfg) -> ObjTable:
@@ -409,6 +470,7 @@ def run_clip_fused_stm(
     iou_threshold: float = 0.5,
     binary: bool = True,
     pack: bool = True,
+    seg_is_det: Optional[jax.Array] = None,  # (F,) bool; None -> all True
 ):
     """Whole-clip grounded tracking with the handcrafted STM as ONE
     program. Mirrors GroundedTracker's host loop exactly (parity-tested
@@ -426,6 +488,8 @@ def run_clip_fused_stm(
     T = frames.shape[0]
     F = T // E
     assert F * E == T, (T, E)
+    if seg_is_det is None:
+        seg_is_det = jnp.ones((F,), bool)
     H, W = frames.shape[1:3]
     pw = -W % 8  # pack needs a byte-aligned width
 
@@ -449,7 +513,7 @@ def run_clip_fused_stm(
 
     def seg_body(carry, inp):
         state, table = carry
-        (sframes, det_m, det_v, det_c, det_s, s_ok) = inp
+        (sframes, det_m, det_v, det_c, det_s, s_ok, is_det) = inp
         det_m = det_m.astype(jnp.float32)
         feats = jax.vmap(feat_one)(sframes)  # (E, N, c)
 
@@ -469,19 +533,29 @@ def run_clip_fused_stm(
             iou_threshold, binary,
         )
         table = jax.tree.map(
-            lambda a, b: jnp.where(s_ok[0], a, b), new_table, table
+            lambda a, b: jnp.where(s_ok[0] & is_det, a, b),
+            new_table, table,
         )
 
         def write(s):
-            # host parity: add_reference receives the FULL slot array,
-            # so num_objects pins to max_objects
+            # num_objects = the LIVE object count (see run_clip_fused)
             return mt.write_memory(
                 s, feats[0], mt.masks_to_grid(slots, cfg),
-                jnp.int32(cfg.max_objects),
+                jnp.maximum(s.num_objects, table.count),
             )
 
+        def write_gap(s):
+            # non-detection keyframe (semionline partial-tail flush):
+            # host treats it as a plain step — confident write of the
+            # propagated grid with the CURRENT num_objects
+            conf = jnp.where(grid > 0.5, grid, 0.0)
+            return mt.write_memory(s, feats[0], conf, s.num_objects)
+
+        run_gap = (state.num_objects > 0) & s_ok[0] & ~is_det
         state = jax.lax.cond(
-            (table.count > 0) & s_ok[0], write, lambda s: s, state
+            (table.count > 0) & s_ok[0] & is_det, write,
+            lambda s: jax.lax.cond(run_gap, write_gap, lambda x: x, s),
+            state,
         )
         out0 = out_mask((slots > 0.5).astype(jnp.uint8)
                         if binary else slots, from_grid=False)
@@ -517,7 +591,7 @@ def run_clip_fused_stm(
     (state, table), (outs, cats, scores, counts) = jax.lax.scan(
         seg_body, (state, table),
         (seg_frames, det_masks, det_valid, det_cat, det_score,
-         seg_valid),
+         seg_valid, seg_is_det),
     )
     masks = outs.reshape((T,) + outs.shape[2:])
     return masks, cats, scores, counts, state

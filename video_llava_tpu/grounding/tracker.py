@@ -264,7 +264,9 @@ class GroundedTracker:
             slots[:n] = det_masks[:n]
             self.tracker.clear()
             if n:
-                self.tracker.add_reference(frame01, slots)
+                self.tracker.add_reference(
+            frame01, slots, num_objects=len(self._objects)
+        )
             return slots
 
         prev = self._step(frame01, update_memory=False)  # (max_o, H, W)
@@ -292,7 +294,9 @@ class GroundedTracker:
                                    det_infos[d].score)
                     )
                     slots[new_id] = det_masks[d]
-        self.tracker.add_reference(frame01, slots)
+        self.tracker.add_reference(
+            frame01, slots, num_objects=len(self._objects)
+        )
         return slots
 
     # -- per-frame processing ---------------------------------------------------
@@ -361,17 +365,19 @@ class GroundedTracker:
 
     def fused_eligible(self) -> bool:
         """True when this build can take the fused whole-clip program:
-        online mode, a fusable propagator (learned XMem, or the
-        default-feature handcrafted STM — i.e. both configurations
-        build_grounding_stack produces), and a crop filter that either
-        is absent or scores box batches on device."""
+        online or semionline mode (semionline votes on device —
+        fused_clip.vote_detections — and runs the same program with
+        detect_every=num_voting_frames), a fusable propagator (learned
+        XMem, or the default-feature handcrafted STM — i.e. both
+        configurations build_grounding_stack produces), and a crop
+        filter that either is absent or scores box batches on device."""
         fusable_prop = hasattr(self.tracker, "_xmem") or (
             isinstance(self.tracker, MemoryTracker)
             and getattr(self.tracker, "_fused", False)
         )
         return (
             self.prefer_fused
-            and self.temporal_setting == "online"
+            and self.temporal_setting in ("online", "semionline")
             and fusable_prop
             and (
                 self.crop_filter is None
@@ -499,8 +505,7 @@ class GroundedTracker:
         from video_llava_tpu.grounding import fused_clip
         from video_llava_tpu.models import xmem as xmem_mod
 
-        if self.temporal_setting != "online":
-            raise NotImplementedError("fused path is online-mode only")
+        semi = self.temporal_setting == "semionline"
         if self.crop_filter is not None and not getattr(
             self.crop_filter, "supports_batch_device", False
         ):
@@ -520,7 +525,12 @@ class GroundedTracker:
         self.classes = list(classes)
         self.clear()
 
-        E = self.detection_every
+        # semionline (DEVA 3-frame voting, ref grounding_new_api.py:
+        # 448-521): every frame is detected, voting gates which
+        # keyframe detections incorporate, and the segment length is
+        # the voting window — the SAME fused program runs with
+        # detect_every=num_voting_frames and pre-voted detections.
+        E = self.num_voting_frames if semi else self.detection_every
         t0 = len(frames)
         n_seg = -(-t0 // E)
         t_pad = n_seg * E
@@ -547,7 +557,11 @@ class GroundedTracker:
         # -- detection: batched forwards, host threshold, ONE vmapped NMS
         # (not precompute_detections: its SAM-embedding prefetch would
         # encode frames decode_masks_batch_device re-encodes anyway)
-        det_idx = [s * E for s in range(n_seg) if s * E < t0]
+        det_idx = (
+            list(range(t0)) if semi
+            else [s * E for s in range(n_seg) if s * E < t0]
+        )
+        n_det = len(det_idx)
         # detection frames as device slices of the clip buffer (one
         # gather program; no second host->device transfer)
         dev_det = dev_clip[jnp.asarray(det_idx, jnp.int32), :h, :w]
@@ -570,9 +584,9 @@ class GroundedTracker:
             raw = [self.detector(det_host[i], classes)
                    for i in range(len(det_idx))]
         k_det = max_dets
-        boxes = np.zeros((n_seg, k_det, 4), np.float32)
-        score = np.zeros((n_seg, k_det), np.float32)
-        cat = np.zeros((n_seg, k_det), np.int64)
+        boxes = np.zeros((n_det, k_det, 4), np.float32)
+        score = np.zeros((n_det, k_det), np.float32)
+        cat = np.zeros((n_det, k_det), np.int64)
         nms_in = np.zeros((len(raw), k_det, 4), np.float32)
         nms_sc = np.full((len(raw), k_det), -np.inf, np.float32)
         pre = []
@@ -591,7 +605,7 @@ class GroundedTracker:
                     self.nms_threshold,
                 )
             )
-        det_valid = np.zeros((n_seg, k_det), bool)
+        det_valid = np.zeros((n_det, k_det), bool)
         for s, (b, c, ids) in enumerate(pre):
             kept = np.nonzero(keep_all[s, : len(b)])[0]
             n = len(kept)
@@ -611,35 +625,77 @@ class GroundedTracker:
         # rejected detections — same results, less device work)
         if self.crop_filter is not None and det_valid.any():
             keep = self.crop_filter.filter_frames_device(
-                dev_det, boxes[: len(det_idx)],
-                det_valid[: len(det_idx)], cat[: len(det_idx)],
-                list(classes),
+                dev_det, boxes, det_valid, cat, list(classes),
             )
-            det_valid[: len(det_idx)] &= np.asarray(keep, bool)
+            det_valid &= np.asarray(keep, bool)
 
         # -- SAM masks for all detection frames, device-resident
         seg = self.segmenter
         if hasattr(seg, "decode_masks_batch_device"):
             det_masks = seg.decode_masks_batch_device(
-                dev_det, boxes[: len(det_idx)],
-                out_hw=(h + ph, w + pw),
+                dev_det, boxes, out_hw=(h + ph, w + pw),
             )
-            if len(det_idx) < n_seg:  # padded tail segments
-                det_masks = jnp.concatenate(
-                    [det_masks,
-                     jnp.zeros((n_seg - len(det_idx),)
-                               + det_masks.shape[1:], det_masks.dtype)]
-                )
         else:  # stub segmenters (tests): host masks, one upload
             det_host = np.asarray(dev_det)
-            m = np.zeros((n_seg, k_det, h + ph, w + pw), np.uint8)
-            for s in range(len(det_idx)):
+            m = np.zeros((n_det, k_det, h + ph, w + pw), np.uint8)
+            for s in range(n_det):
                 nv = int(n_nms[s])
                 if nv:
                     m[s, :nv, :h, :w] = (
                         seg(det_host[s], boxes[s, :nv]) > 0.5
                     )
             det_masks = jnp.asarray(m)
+
+        seg_is_det = None
+        if semi:
+            # vote on device over every frame's SAM-mask boxes, then
+            # keep only the keyframe rows (frames s*E) for the program.
+            # The trailing PARTIAL window never votes: the host loop
+            # flushes it by pure propagation, so its keyframe
+            # detections are disabled AND seg_is_det marks the segment
+            # so the program applies gap-frame write rules there.
+            if n_det < t_pad:
+                det_masks = jnp.concatenate(
+                    [det_masks,
+                     jnp.zeros((t_pad - n_det,) + det_masks.shape[1:],
+                               det_masks.dtype)]
+                )
+            dv_pad = np.zeros((t_pad, k_det), bool)
+            dv_pad[:n_det] = det_valid
+            keep_key = np.array(
+                fused_clip.vote_detections(
+                    det_masks, jnp.asarray(dv_pad), E
+                )
+            )
+            keep_key[t0 // E:] = False
+            det_masks = det_masks.reshape(
+                (n_seg, E) + det_masks.shape[1:]
+            )[:, 0]
+            key_rows = [s * E for s in range(n_seg)]
+            det_valid = keep_key
+            cat = cat[key_rows]
+            score = score[key_rows]
+            # the trailing partial window's keyframe is a plain
+            # propagate frame in the host loop (flush), not a
+            # detection frame — the program applies gap-write rules
+            seg_is_det = jnp.asarray(
+                [(s + 1) * E <= t0 for s in range(n_seg)]
+            )
+        elif n_det < n_seg:  # defensive: padded tail segments
+            det_masks = jnp.concatenate(
+                [det_masks,
+                 jnp.zeros((n_seg - n_det,) + det_masks.shape[1:],
+                           det_masks.dtype)]
+            )
+            det_valid = np.concatenate(
+                [det_valid, np.zeros((n_seg - n_det, k_det), bool)]
+            )
+            cat = np.concatenate(
+                [cat, np.zeros((n_seg - n_det, k_det), np.int64)]
+            )
+            score = np.concatenate(
+                [score, np.zeros((n_seg - n_det, k_det), np.float32)]
+            )
 
         if is_stm:
             from video_llava_tpu.grounding import memory_tracker as mt
@@ -660,6 +716,7 @@ class GroundedTracker:
                     table, cfg, detect_every=E,
                     iou_threshold=self.iou_match_threshold,
                     binary=binary, pack=binary,
+                    seg_is_det=seg_is_det,
                 )
             )
             prop.state = state
@@ -684,6 +741,7 @@ class GroundedTracker:
                     # unpacked — 32x more device->host traffic than
                     # the packed default
                     binary=binary, pack=binary,
+                    seg_is_det=seg_is_det,
                 )
             )
             prop.state = state

@@ -12,9 +12,13 @@ architecture, TPU-native:
     padding (the reference pads the same way, cfg :95);
   * fixed-slot ring-buffer working memory -> the per-frame step compiles
     exactly once (no recompiles as memory grows). XMem's long-term
-    prototype consolidation (P=128 / LT_max) is not implemented: clips
-    here are <= 100 frames (datasets cap, hcstvg_dataset.py:147), which
-    the mid-term ring covers;
+    prototype consolidation is available as a STATIC-shape variant
+    (XMemConfig.lt_slots > 0: usage-selected prototypes of each evicted
+    ring slot move to a fixed LT element ring that reads attend to —
+    see the config field for the documented scope cuts). It is OFF by
+    default: clips here are <= 100 frames (datasets cap,
+    hcstvg_dataset.py:147), which the mid-term ring covers, and the
+    disabled path adds zero work;
   * one jitted step per frame (encode + read + decode + optional value
     write), no host sync inside;
   * fully differentiable -> the propagation module is trainable with the
@@ -66,6 +70,21 @@ class XMemConfig:
     top_k: int = 30  # :55
     mem_every: int = 5  # r (:56)
     deep_update_every: int = 5
+    # Long-term prototype memory (XMem's third store; reference config
+    # grounding_new_api.py:44-59 enable_long_term/max_long_term_elements).
+    # 0 disables it (the <=100-frame benchmark regime, where the
+    # mid-term ring suffices, pays nothing). When >0: each time the
+    # ring evicts a slot, that slot's `lt_prototypes` highest-USAGE
+    # elements (attention mass accumulated over reads — XMem's usage
+    # statistic) consolidate into a fixed-size LT element ring that
+    # reads attend to alongside the working memory. Static shapes
+    # throughout: the per-frame step still compiles exactly once.
+    # Scope cuts vs the torch original (documented, not hidden):
+    # prototype VALUES are the selected elements' own values (no
+    # memory-potentiation attention pass), and LT eviction is a ring,
+    # not minimum-usage.
+    lt_slots: int = 0
+    lt_prototypes: int = 64
 
     @property
     def f16_dim(self) -> int:  # ResNet-50 layer3
@@ -306,8 +325,10 @@ def read_memory(
     query_key: jax.Array,  # (N, Ck)
     selection: jax.Array,  # (N, Ck)
     top_k: int,
-) -> jax.Array:
-    """XMem anisotropic-L2 memory read -> (N, O, Cv).
+    return_attention: bool = False,
+):
+    """XMem anisotropic-L2 memory read -> (N, O, Cv)
+    [, (top_idx (N, k), att (N, k)) when return_attention].
 
     similarity[m, n] = -(sum_c qe[n,c] * (mk[m,c] - qk[n,c])^2)
                        * shrinkage[m] / sqrt(Ck),
@@ -326,7 +347,10 @@ def read_memory(
     # >= 1 valid slot after add_reference, and invalid entries get 0.
     att = jax.nn.softmax(top_sim, axis=-1, where=jnp.isfinite(top_sim))
     top_v = mem_values[top_idx]  # (N, k, O, Cv)
-    return jnp.einsum("nk,nkoc->noc", att, top_v)
+    readout = jnp.einsum("nk,nkoc->noc", att, top_v)
+    if return_attention:
+        return readout, (top_idx, att)
+    return readout
 
 
 def decode(
@@ -394,11 +418,19 @@ class XMemState(NamedTuple):
     next_slot: jax.Array  # () int32
     hidden: jax.Array  # (O, h16, w16, hd)
     num_objects: jax.Array  # () int32
+    # long-term store (all zero-size when cfg.lt_slots == 0):
+    usage: jax.Array  # (S, N) f32 — attention mass per ring element
+    lt_keys: jax.Array  # (L, Ck)
+    lt_shrinkage: jax.Array  # (L,)
+    lt_values: jax.Array  # (L, O, Cv)
+    lt_valid: jax.Array  # (L,) bool
+    lt_next: jax.Array  # () int32
 
 
 def init_state(cfg: XMemConfig, h16: int, w16: int,
                dtype=jnp.float32) -> XMemState:
     n = h16 * w16
+    ls = cfg.lt_slots
     return XMemState(
         keys=jnp.zeros((cfg.mem_slots, n, cfg.key_dim), dtype),
         shrinkage=jnp.ones((cfg.mem_slots, n), dtype),
@@ -409,10 +441,52 @@ def init_state(cfg: XMemConfig, h16: int, w16: int,
         next_slot=jnp.zeros((), jnp.int32),
         hidden=jnp.zeros((cfg.max_objects, h16, w16, cfg.hidden_dim), dtype),
         num_objects=jnp.zeros((), jnp.int32),
+        usage=jnp.zeros((cfg.mem_slots if ls else 0, n if ls else 0),
+                        dtype),
+        lt_keys=jnp.zeros((ls, cfg.key_dim), dtype),
+        lt_shrinkage=jnp.ones((ls,), dtype),
+        lt_values=jnp.zeros((ls, cfg.max_objects, cfg.value_dim), dtype),
+        lt_valid=jnp.zeros((ls,), bool),
+        lt_next=jnp.zeros((), jnp.int32),
     )
 
 
-def _write(state: XMemState, key, shrinkage, value) -> XMemState:
+def _memory_views(state: XMemState, cfg: XMemConfig, n: int):
+    """Flattened (ring [+ long-term]) memory arrays for read_memory:
+    (keys (M, Ck), shrinkage (M,), values (M, O, Cv), valid (M,)) with
+    M = S*n (+ lt_slots). The ring occupies the FIRST S*n entries, so
+    attention indices below S*n are ring elements (usage tracking)."""
+    keys = state.keys.reshape(-1, cfg.key_dim)
+    shr = state.shrinkage.reshape(-1)
+    vals = state.values.reshape(-1, cfg.max_objects, cfg.value_dim)
+    valid = jnp.repeat(state.slot_valid, n)
+    if cfg.lt_slots:
+        keys = jnp.concatenate([keys, state.lt_keys])
+        shr = jnp.concatenate([shr, state.lt_shrinkage])
+        vals = jnp.concatenate([vals, state.lt_values])
+        valid = jnp.concatenate([valid, state.lt_valid])
+    return keys, shr, vals, valid
+
+
+def _accumulate_usage(
+    state: XMemState, cfg: XMemConfig, top_idx: jax.Array,
+    att: jax.Array, n: int,
+) -> XMemState:
+    """Scatter the read attention mass onto ring elements (XMem's
+    usage statistic, consumed at eviction to pick LT prototypes)."""
+    if not cfg.lt_slots:
+        return state
+    m = cfg.mem_slots * n + cfg.lt_slots
+    flat = jnp.zeros((m,), state.usage.dtype).at[top_idx].add(att)
+    return state._replace(
+        usage=state.usage + flat[: cfg.mem_slots * n].reshape(
+            cfg.mem_slots, n
+        )
+    )
+
+
+def _write(state: XMemState, key, shrinkage, value,
+           cfg: Optional[XMemConfig] = None) -> XMemState:
     # Slot 0 is PERMANENT: the first write (the reference frame's
     # detector/GT masks) anchors propagation for the whole clip, like
     # XMem/DEVA's first-frame memory. Later writes ring over slots
@@ -423,12 +497,45 @@ def _write(state: XMemState, key, shrinkage, value) -> XMemState:
     s = jnp.where(
         state.next_slot == 0, 0, 1 + (state.next_slot - 1) % (size - 1)
     )
+    if cfg is not None and cfg.lt_slots:
+        state = _consolidate_evicted(state, s, cfg)
     return state._replace(
         keys=state.keys.at[s].set(key),
         shrinkage=state.shrinkage.at[s].set(shrinkage),
         values=state.values.at[s].set(value),
         slot_valid=state.slot_valid.at[s].set(True),
         next_slot=state.next_slot + 1,
+        usage=(
+            state.usage.at[s].set(0.0)
+            if cfg is not None and cfg.lt_slots else state.usage
+        ),
+    )
+
+
+def _consolidate_evicted(
+    state: XMemState, s: jax.Array, cfg: XMemConfig
+) -> XMemState:
+    """Before the ring overwrites an OCCUPIED slot, consolidate its
+    lt_prototypes highest-usage elements into the long-term ring (the
+    XMem working->long-term transfer, usage-selected prototypes;
+    static shapes — see XMemConfig.lt_slots for the scope cuts)."""
+    n = state.keys.shape[1]
+    p = min(cfg.lt_prototypes, n)
+    evicting = state.slot_valid[s]  # only a real eviction consolidates
+    _, idx = jax.lax.top_k(state.usage[s], p)  # (p,) element indices
+    pos = (state.lt_next + jnp.arange(p, dtype=jnp.int32)) % cfg.lt_slots
+
+    def put(lt, src):
+        return jnp.where(evicting, lt.at[pos].set(src[idx]), lt)
+
+    return state._replace(
+        lt_keys=put(state.lt_keys, state.keys[s]),
+        lt_shrinkage=put(state.lt_shrinkage, state.shrinkage[s]),
+        lt_values=put(state.lt_values, state.values[s]),
+        lt_valid=jnp.where(
+            evicting, state.lt_valid.at[pos].set(True), state.lt_valid
+        ),
+        lt_next=state.lt_next + jnp.where(evicting, p, 0),
     )
 
 
@@ -457,6 +564,7 @@ def add_reference_step(
         key.reshape(n, -1),
         shrinkage.reshape(n),
         value.reshape(cfg.max_objects, n, -1).transpose(1, 0, 2),
+        cfg,
     )
 
 
@@ -477,15 +585,15 @@ def propagate_step(
     f16, f8, f4, key, shrinkage, selection = encode_key(params, frame)
     h16, w16 = key.shape[:2]
     n = h16 * w16
-    readout = read_memory(
-        state.keys.reshape(-1, cfg.key_dim),
-        state.shrinkage.reshape(-1),
-        state.values.reshape(-1, cfg.max_objects, cfg.value_dim),
-        jnp.repeat(state.slot_valid, n),
+    mk, ms, mv, mvalid = _memory_views(state, cfg, n)
+    readout, (top_idx, att) = read_memory(
+        mk, ms, mv, mvalid,
         key.reshape(n, -1),
         selection.reshape(n, -1),
         cfg.top_k,
+        return_attention=True,
     )  # (n, O, Cv)
+    state = _accumulate_usage(state, cfg, top_idx, att, n)
     readout = readout.transpose(1, 0, 2).reshape(
         cfg.max_objects, h16, w16, cfg.value_dim
     )
@@ -510,6 +618,7 @@ def propagate_step(
             key.reshape(n, -1),
             shrinkage.reshape(n),
             value.reshape(cfg.max_objects, n, -1).transpose(1, 0, 2),
+            cfg,
         )
     if binary:
         prob = (prob > 0.5).astype(jnp.uint8)
@@ -557,15 +666,16 @@ def propagate_chunk(
 
     def body(st: XMemState, inp):
         frame, f16_t, f8_t, f4_t, key_t, shr_t, sel_t, upd, deep, ok = inp
-        readout = read_memory(
-            st.keys.reshape(-1, cfg.key_dim),
-            st.shrinkage.reshape(-1),
-            st.values.reshape(-1, cfg.max_objects, cfg.value_dim),
-            jnp.repeat(st.slot_valid, n),
+        mk, ms, mv, mvalid = _memory_views(st, cfg, n)
+        readout, (top_idx, att) = read_memory(
+            mk, ms, mv, mvalid,
             key_t.reshape(n, -1),
             sel_t.reshape(n, -1),
             cfg.top_k,
-        ).transpose(1, 0, 2).reshape(
+            return_attention=True,
+        )
+        st = _accumulate_usage(st, cfg, top_idx, att, n)
+        readout = readout.transpose(1, 0, 2).reshape(
             cfg.max_objects, h16, w16, cfg.value_dim
         )
         logits, hidden = decode(
@@ -591,6 +701,7 @@ def propagate_chunk(
                 key_t.reshape(n, -1),
                 shr_t.reshape(n),
                 value.reshape(cfg.max_objects, n, -1).transpose(1, 0, 2),
+                cfg,
             )
 
         st = jax.lax.cond(upd & ok, write, lambda s: s, st)
