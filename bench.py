@@ -93,6 +93,15 @@ MODEL_SIZE = os.environ.get("BENCH_MODEL", "7b")
 # int8 on the MXU at 2x the bf16 rate; the encoder is compute-bound at
 # ~91% of the bf16 roofline, so weights-only int8 buys nothing there).
 CLIP_DTYPE = os.environ.get("BENCH_CLIP_DTYPE", "bf16")
+if CLIP_DTYPE in ("auto", "int8"):
+    # vision gate mirrors the LLM one: 'auto' pins the recorded
+    # preflight_vision_format (bf16 when absent), explicit int8 against
+    # real weights requires an approving record (quant_select).
+    from video_llava_tpu.engine.quant_select import resolve_clip_dtype
+
+    CLIP_DTYPE = resolve_clip_dtype(
+        CLIP_DTYPE, os.environ.get("BENCH_WEIGHTS") or None
+    )
 # KV cache dtype: bf16 measures fastest at bench lengths (the int8
 # cache pays quantize-on-write + scale-stream overhead that exceeds its
 # DMA saving until contexts get long/batched); int8 weights keep the

@@ -32,3 +32,26 @@ def test_self_test_preflight_record(tmp_path):
         None if data["preflight_llm_format"] == "bf16"
         else data["preflight_llm_format"]
     )
+
+
+def test_self_test_record_has_vision_entry(tmp_path):
+    """The preflight record carries the CLIP vision gate
+    (preflight_vision_format) and resolve_clip_dtype pins it
+    (VERDICT r4 #5)."""
+    import json
+
+    from video_llava_tpu.engine.quant_select import (
+        RECORD_NAME, resolve_clip_dtype,
+    )
+
+    rec = tmp_path / RECORD_NAME
+    main([
+        "--self_test", "--formats", "bf16,int8",
+        "--preflight", "--record", str(rec),
+    ])
+    data = json.loads(rec.read_text())
+    assert data["preflight_vision_format"] in ("bf16", "int8")
+    assert data["vision_metrics"]["feature_cos_mean"] > 0.5
+    assert data["vision_weights_real"] is False
+    got = resolve_clip_dtype("auto", str(tmp_path))
+    assert got == data["preflight_vision_format"]

@@ -74,3 +74,57 @@ def test_malformed_record_rejected(tmp_path):
 
 def test_record_path():
     assert record_path("/x/y").endswith("/x/y/" + RECORD_NAME)
+
+
+# -- CLIP (vision) dtype resolution ------------------------------------------
+
+
+def _write_vision_record(tmp_path, llm_fmt, vision_fmt):
+    p = tmp_path / RECORD_NAME
+    p.write_text(json.dumps({
+        "preflight_llm_format": llm_fmt,
+        "preflight_vision_format": vision_fmt,
+    }))
+    return str(tmp_path)
+
+
+def test_clip_bf16_and_none_passthrough(tmp_path):
+    from video_llava_tpu.engine.quant_select import resolve_clip_dtype
+
+    assert resolve_clip_dtype(None, str(tmp_path)) == "bf16"
+    assert resolve_clip_dtype("bf16", None) == "bf16"
+
+
+def test_clip_auto_reads_vision_entry(tmp_path):
+    from video_llava_tpu.engine.quant_select import resolve_clip_dtype
+
+    d = _write_vision_record(tmp_path, "int4", "int8")
+    assert resolve_clip_dtype("auto", d) == "int8"
+    d = _write_vision_record(tmp_path, "int4", "bf16")
+    assert resolve_clip_dtype("auto", d) == "bf16"
+    # no vision entry / no record / random weights -> conservative bf16
+    d = _write_record(tmp_path, "int4")
+    assert resolve_clip_dtype("auto", d) == "bf16"
+    assert resolve_clip_dtype("auto", None) == "bf16"
+
+
+def test_clip_int8_requires_approving_vision_entry(tmp_path):
+    from video_llava_tpu.engine.quant_select import resolve_clip_dtype
+
+    d = _write_record(tmp_path, "int4")  # record without vision entry
+    with pytest.raises(FileNotFoundError, match="vision"):
+        resolve_clip_dtype("int8", d)
+    d = _write_vision_record(tmp_path, "int4", "bf16")
+    with pytest.raises(ValueError, match="refusing"):
+        resolve_clip_dtype("int8", d)
+    d = _write_vision_record(tmp_path, "int4", "int8")
+    assert resolve_clip_dtype("int8", d) == "int8"
+    # random weights: allowed (air-gapped smoke)
+    assert resolve_clip_dtype("int8", None) == "int8"
+
+
+def test_clip_unknown_rejected():
+    from video_llava_tpu.engine.quant_select import resolve_clip_dtype
+
+    with pytest.raises(ValueError, match="unknown"):
+        resolve_clip_dtype("fp8", None)

@@ -77,18 +77,63 @@ def resolve_quant(
         fmt = rec["preflight_llm_format"]
         return None if fmt == "bf16" else fmt
     if quant == "int4" and weights_dir is not None:
-        if rec is None:
-            raise FileNotFoundError(
-                "--quant int4 without a preflight record: int4 quality "
-                "is checkpoint-dependent. Run validate_quant_quality "
-                "--preflight --record (or use --quant auto / int8). "
-                f"Expected record: {record_path(weights_dir)}"
-            )
-        if rec["preflight_llm_format"] != "int4":
-            raise ValueError(
-                f"preflight record chose "
-                f"{rec['preflight_llm_format']!r}, refusing --quant "
-                "int4 (override by rerunning the preflight with looser "
-                "thresholds if intentional)"
-            )
+        _require_int4(rec, weights_dir)
     return quant
+
+
+def resolve_clip_dtype(
+    clip_dtype: Optional[str], weights_dir: Optional[str]
+) -> str:
+    """Resolve a CLIP-tower dtype request against the preflight record
+    -> 'bf16' | 'int8'.
+
+    * None / 'bf16' -> bf16 (the default: bit-parity with the
+      reference extractor, scripts/save_spatio_temporal_clip_features
+      .py:116-121, is the quality north star).
+    * 'auto' -> the recorded `preflight_vision_format` when the record
+      has one (validate_quant_quality --vision), else bf16 — unlike
+      the LLM 'auto', a missing vision entry falls back conservatively
+      instead of erroring, because bf16 is always quality-safe.
+    * 'int8' -> W8A8 CLIP; for real weights requires a record whose
+      vision gate approved int8 (mirrors the LLM int4 rule — the
+      feature-cosine loss is checkpoint-dependent).
+    """
+    if clip_dtype in (None, "bf16"):
+        return "bf16"
+    if clip_dtype not in ("auto", "int8"):
+        raise ValueError(f"unknown clip dtype {clip_dtype!r}")
+    rec = load_preflight(weights_dir)
+    fmt = (rec or {}).get("preflight_vision_format")
+    if clip_dtype == "auto":
+        return fmt if fmt in ("bf16", "int8") else "bf16"
+    if weights_dir is not None:
+        if fmt is None:
+            raise FileNotFoundError(
+                "--clip int8 without a vision preflight entry: run "
+                "validate_quant_quality --vision --preflight --record "
+                f"for {weights_dir} first (or use bf16/auto)"
+            )
+        if fmt != "int8":
+            raise ValueError(
+                f"vision preflight chose {fmt!r}, refusing int8 CLIP "
+                "(rerun the preflight with looser --min_vision_cos if "
+                "intentional)"
+            )
+    return "int8"
+
+
+def _require_int4(rec, weights_dir):
+    if rec is None:
+        raise FileNotFoundError(
+            "--quant int4 without a preflight record: int4 quality "
+            "is checkpoint-dependent. Run validate_quant_quality "
+            "--preflight --record (or use --quant auto / int8). "
+            f"Expected record: {record_path(weights_dir)}"
+        )
+    if rec["preflight_llm_format"] != "int4":
+        raise ValueError(
+            f"preflight record chose "
+            f"{rec['preflight_llm_format']!r}, refusing --quant "
+            "int4 (override by rerunning the preflight with looser "
+            "thresholds if intentional)"
+        )

@@ -38,6 +38,7 @@ def initialize_model(
     dtype=jnp.bfloat16,
     mesh_model: Optional[int] = None,
     seed: int = 0,
+    clip_dtype: Optional[str] = None,
 ) -> InferenceEngine:
     """Build an InferenceEngine.
 
@@ -45,6 +46,11 @@ def initialize_model(
     projection_path: reference-style mm_projector.bin.
     clip_path: HF CLIP checkpoint dir. Missing paths fall back to random
     init (air-gapped testing / benchmarking).
+    clip_dtype: None/'bf16' | 'auto' | 'int8' — W8A8 CLIP tower,
+    resolved against the checkpoint's quant-preflight record
+    (engine/quant_select.resolve_clip_dtype: 'auto' pins the recorded
+    vision decision, explicit int8 against real weights needs an
+    approving record).
     """
     tokenizer = load_tokenizer(model_name)
 
@@ -72,6 +78,18 @@ def initialize_model(
     if clip_path and os.path.isdir(clip_path):
         sd = weights_mod.load_checkpoint_dir(clip_path)
         params["vision"] = weights_mod.convert_clip_vision(sd, cfg.vision, dtype)
+    if clip_dtype and clip_dtype != "bf16":
+        from video_llava_tpu.engine.quant_select import resolve_clip_dtype
+        from video_llava_tpu.ops.quant import quantize_params
+
+        resolved = resolve_clip_dtype(
+            clip_dtype,
+            clip_path if clip_path and os.path.isdir(clip_path) else None,
+        )
+        if resolved == "int8":
+            params["vision"] = jax.jit(
+                lambda v: quantize_params(v, a8=True)
+            )(params["vision"])
     if projection_path and os.path.exists(projection_path):
         sd = weights_mod.load_torch_bin(projection_path)
         params, report = weights_mod.apply_projector_overlay(

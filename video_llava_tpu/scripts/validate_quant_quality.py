@@ -134,6 +134,48 @@ def _load_self_test():
     return params, cfg, ids
 
 
+def evaluate_vision(params_bf16, vcfg, pixels, min_cos: float):
+    """CLIP W8A8 quality gate: per-patch-token cosine of the penultimate
+    feature map (the exact tensor the extractor mirrors,
+    scripts/save_spatio_temporal_clip_features.py:116-121) int8 vs
+    bf16. Returns (metrics dict, chosen format).
+
+    Per-token cosine (not a global norm) is the right granularity: the
+    projector consumes tokens independently, so one badly-quantized
+    token can skew an answer even when the mean error is tiny. The gate
+    requires BOTH mean and p5 token cosine above threshold."""
+    from video_llava_tpu.models import clip as clip_mod
+    from video_llava_tpu.ops.quant import quantize_params
+
+    fwd = jax.jit(
+        lambda p, f: clip_mod.vision_penultimate_patches(p, f, vcfg)
+    )
+    ref = np.asarray(fwd(params_bf16, pixels), np.float32)
+    # min_size=1<<10 so self-test-sized towers actually quantize (the
+    # real ViT-L kernels are >=1M elements either way)
+    qp = jax.jit(
+        lambda p: quantize_params(p, min_size=1 << 10, a8=True)
+    )(params_bf16)
+    got = np.asarray(fwd(qp, pixels), np.float32)
+    r = ref.reshape(-1, ref.shape[-1])
+    g = got.reshape(-1, got.shape[-1])
+    cos = np.sum(r * g, -1) / np.maximum(
+        np.linalg.norm(r, axis=-1) * np.linalg.norm(g, axis=-1), 1e-8
+    )
+    metrics = {
+        "feature_cos_mean": float(cos.mean()),
+        "feature_cos_p5": float(np.percentile(cos, 5)),
+        "rel_l2": float(
+            np.linalg.norm(g - r) / max(np.linalg.norm(r), 1e-8)
+        ),
+        "tokens": int(cos.size),
+    }
+    ok = metrics["feature_cos_mean"] >= min_cos and (
+        metrics["feature_cos_p5"] >= min_cos - 0.005
+    )
+    return metrics, ("int8" if ok else "bf16")
+
+
 def choose_format(results: dict, max_ppl_delta_pct: float = 1.0,
                   min_top1: float = 0.97) -> str:
     """The documented int4->int8->bf16 fallback gate: pick the narrowest
@@ -178,6 +220,22 @@ def main(argv=None):
                          "this record (engine/quant_select.py)")
     ap.add_argument("--max_ppl_delta_pct", type=float, default=1.0)
     ap.add_argument("--min_top1", type=float, default=0.97)
+    ap.add_argument("--vision", action="store_true",
+                    help="also gate the CLIP tower: W8A8 int8 vs bf16 "
+                         "per-token feature cosine on the penultimate "
+                         "map; adds preflight_vision_format to the "
+                         "record (BENCH_CLIP_DTYPE=auto / serving "
+                         "--clip_dtype auto read it)")
+    ap.add_argument("--clip_weights",
+                    help="CLIP vision checkpoint dir (bin/safetensors); "
+                         "omitted -> random init (self-test only: the "
+                         "gate is then indicative, not a real-weight "
+                         "validation)")
+    ap.add_argument("--video",
+                    help="video file for the vision gate's frames "
+                         "(omitted -> random frames)")
+    ap.add_argument("--vision_frames", type=int, default=16)
+    ap.add_argument("--min_vision_cos", type=float, default=0.99)
     args = ap.parse_args(argv)
 
     if args.self_test:
@@ -221,6 +279,65 @@ def main(argv=None):
                     flush=True,
                 )
 
+    vision_metrics = vision_fmt = None
+    if args.vision or args.self_test:
+        from video_llava_tpu.config import CLIPVisionConfig
+        from video_llava_tpu.models import clip as clip_mod
+        from video_llava_tpu.ops.image import normalize_clip
+
+        if args.self_test:
+            vcfg = CLIPVisionConfig(
+                image_size=32, patch_size=16, hidden_size=64,
+                intermediate_size=128, num_layers=3, num_heads=4,
+            )
+            vparams = jax.jit(
+                lambda k: clip_mod.init_vision_params(k, vcfg, jnp.bfloat16)
+            )(jax.random.PRNGKey(1))
+        else:
+            vcfg = CLIPVisionConfig()
+            if args.clip_weights:
+                from video_llava_tpu.engine.weights import (
+                    convert_clip_vision,
+                    load_checkpoint_dir,
+                )
+
+                vparams = convert_clip_vision(
+                    load_checkpoint_dir(args.clip_weights), vcfg
+                )
+            else:
+                print(
+                    "# vision gate on RANDOM weights (no --clip_weights)"
+                    " — indicative only", flush=True
+                )
+                vparams = jax.jit(
+                    lambda k: clip_mod.init_vision_params(
+                        k, vcfg, jnp.bfloat16
+                    )
+                )(jax.random.PRNGKey(1))
+        if args.video:
+            from video_llava_tpu.media.loader import load_video
+
+            frames = load_video(
+                args.video, num_frm=args.vision_frames,
+                shape=(vcfg.image_size, vcfg.image_size),
+            )
+        else:
+            frames = np.random.default_rng(0).integers(
+                0, 256,
+                size=(args.vision_frames, vcfg.image_size,
+                      vcfg.image_size, 3),
+            ).astype(np.uint8)
+        pixels = normalize_clip(jnp.asarray(frames), dtype=jnp.bfloat16)
+        vision_metrics, vision_fmt = evaluate_vision(
+            vparams, vcfg, pixels, args.min_vision_cos
+        )
+        print(
+            json.dumps(
+                {"vision_format": vision_fmt, **vision_metrics}
+            ),
+            flush=True,
+        )
+
     if args.preflight:
         chosen = choose_format(
             results, args.max_ppl_delta_pct, args.min_top1
@@ -231,6 +348,11 @@ def main(argv=None):
             "min_top1": args.min_top1,
             "metrics": results,
         }
+        if vision_fmt is not None:
+            record["preflight_vision_format"] = vision_fmt
+            record["min_vision_cos"] = args.min_vision_cos
+            record["vision_metrics"] = vision_metrics
+            record["vision_weights_real"] = bool(args.clip_weights)
         print(json.dumps(record), flush=True)
         if args.record is not None:
             import os
@@ -253,6 +375,11 @@ def main(argv=None):
         assert d8 < 0.25, f"int8 self-test ppl delta {d8:.3f} implausible"
         assert results["int8"]["top1_agreement_vs_bf16"] > 0.5
         assert choose_format(results) in ("bf16", "int8", "int4")
+        assert vision_metrics is not None
+        # W8A8 on a quantized tiny tower: close but NOT bit-identical
+        # (a 0-delta means nothing was actually quantized)
+        assert 0.5 < vision_metrics["feature_cos_mean"] < 1.0
+        assert vision_metrics["rel_l2"] > 0.0
         print("self_test OK", flush=True)
     return 0
 
