@@ -53,7 +53,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(win_ref, meta_ref, g_ref, *refs, shapes, qb, p, hd, th,
-            win_tiles):
+            win_tiles, ablate=""):
     """Grid (bh, nqb). refs = [v_0..v_{L-1}, out, r_scratch].
 
     win_ref: flat (bh*nqb*2L,) int32 scalar-prefetch: per level,
@@ -132,37 +132,47 @@ def _kernel(win_ref, meta_ref, g_ref, *refs, shapes, qb, p, hd, th,
                 preferred_element_type=jnp.float32,
             )
 
-        if h > ww:
-            # win_ref carries the TILE index (start = tile * th): the
-            # th-multiple form lets Mosaic statically prove the dynamic
-            # sublane slice is tile-aligned.
-            nl2 = 2 * len(shapes)
-            base_i = (i * pl.num_programs(1) + j) * nl2 + 2 * lvl
-            start = win_ref[base_i] * th
-            fits = win_ref[base_i + 1]
+        if ablate != "x_only":
+            if h > ww:
+                # win_ref carries the TILE index (start = tile * th):
+                # the th-multiple form lets Mosaic statically prove the
+                # dynamic sublane slice is tile-aligned.
+                nl2 = 2 * len(shapes)
+                base_i = (i * pl.num_programs(1) + j) * nl2 + 2 * lvl
+                start = win_ref[base_i] * th
+                fits = win_ref[base_i + 1]
 
-            @pl.when(fits > 0)
-            def _(start=start, lvl=lvl, wd=wd):
-                v = refs[lvl][0, pl.ds(start, ww), :]  # (ww, wd)
-                r_ref[:, :wd] = y_dot(wy_t(start, ww), v)
+                @pl.when(fits > 0)
+                def _(start=start, lvl=lvl, wd=wd):
+                    v = refs[lvl][0, pl.ds(start, ww), :]  # (ww, wd)
+                    r_ref[:, :wd] = y_dot(wy_t(start, ww), v)
 
-            @pl.when(fits == 0)
-            def _(lvl=lvl, wd=wd, h=h):
-                v = refs[lvl][0, :, :]  # (h_pad, wd)
+                @pl.when(fits == 0)
+                def _(lvl=lvl, wd=wd, h=h):
+                    v = refs[lvl][0, :, :]  # (h_pad, wd)
+                    r_ref[:, :wd] = y_dot(wy_t(0, h), v)
+            else:
+                v = refs[lvl][0, :, :]
                 r_ref[:, :wd] = y_dot(wy_t(0, h), v)
-        else:
-            v = refs[lvl][0, :, :]
-            r_ref[:, :wd] = y_dot(wy_t(0, h), v)
+
+        if ablate == "y_only":
+            # TIMING DIAGNOSTIC (wrong math): consume r so the y-dot is
+            # not dead-code-eliminated, skip x-select/point-sum/fold.
+            acc = acc + r_ref[0:qb, :hd]
+            continue
 
         # -- x selection: bilinear tent over the lane-group index (the
         # attention weight already rode the y operand). Built per level:
         # a hoisted (qp, max_wd) iota sliced to wd crashes Mosaic's
         # vector layout pass when wd isn't a 128-lane multiple.
-        xg = (
-            jax.lax.broadcasted_iota(jnp.int32, (qp, wd), 1) // hd
-        ).astype(jnp.float32)
-        mxa = jnp.maximum(0.0, 1.0 - jnp.abs(xg - xf))
-        s = r_ref[:, :wd] * mxa
+        if ablate == "no_mask":
+            s = r_ref[:, :wd]  # TIMING DIAGNOSTIC: skip the x tent
+        else:
+            xg = (
+                jax.lax.broadcasted_iota(jnp.int32, (qp, wd), 1) // hd
+            ).astype(jnp.float32)
+            mxa = jnp.maximum(0.0, 1.0 - jnp.abs(xg - xf))
+            s = r_ref[:, :wd] * mxa
         # -- sum over points BEFORE the fold (both linear): p-major row
         # order makes this p-1 contiguous sublane-block adds, and the
         # fold matmul — whose N=hd pads to a full 128-lane MXU tile —
@@ -170,6 +180,9 @@ def _kernel(win_ref, meta_ref, g_ref, *refs, shapes, qb, p, hd, th,
         sq = s[0:qb]
         for k in range(1, p):
             sq = sq + s[k * qb : (k + 1) * qb]
+        if ablate == "no_fold":
+            acc = acc + sq[:, :hd]  # TIMING DIAGNOSTIC: skip the fold
+            continue
         # fold runs in the VALUE dtype (g_ref is built in it): an f32
         # MXU matmul costs several bf16 passes, and with bf16 values
         # the products are bf16-precision-limited anyway.
@@ -190,9 +203,15 @@ def multi_scale_deformable_attention_pallas(
     row_tile: int = 16,
     win_tiles: int = 0,
     interpret: bool = False,
+    _ablate: str = "",
 ) -> jax.Array:
     """Drop-in twin of ops.deformable.multi_scale_deformable_attention
     -> (b, q, nh*hd).
+
+    _ablate ('y_only' | 'no_mask' | 'no_fold'): TIMING DIAGNOSTIC ONLY
+    — runs the kernel with a stage skipped (wrong math) so the per-
+    stage cost decomposition can be measured by difference on chip
+    (scripts/profile_deformable).
 
     query_block: queries per grid step. 64 (default) measures fastest
     within comfortable VMEM at 800 px; 128 is marginally faster but
@@ -346,7 +365,7 @@ def multi_scale_deformable_attention_pallas(
     out = pl.pallas_call(
         functools.partial(
             _kernel, shapes=shapes_pad, qb=qb, p=n_points, hd=hd,
-            th=th, win_tiles=win_tiles,
+            th=th, win_tiles=win_tiles, ablate=_ablate,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
