@@ -265,8 +265,8 @@ class GroundedTracker:
             self.tracker.clear()
             if n:
                 self.tracker.add_reference(
-            frame01, slots, num_objects=len(self._objects)
-        )
+                    frame01, slots, num_objects=len(self._objects)
+                )
             return slots
 
         prev = self._step(frame01, update_memory=False)  # (max_o, H, W)

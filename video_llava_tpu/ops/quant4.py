@@ -17,10 +17,14 @@ unpacked on the fly:
     sign-extends both nibbles (VPU), dequantizes in VMEM and issues two
     MXU dots (x_lo @ w_lo + x_hi @ w_hi). VPU unpack overlaps the HBM
     stream, so the step stays bandwidth-bound at int4 bytes;
-  * prefill (batch > 1) uses the MXU block variant of the same kernel
-    (group scales applied to per-group dot outputs); a pure-XLA twin of
-    the math serves as the CPU fallback and the escape hatch for shapes
-    the Pallas grid doesn't admit (F not 128-aligned).
+  * prefill / speculative-verify (batch > 8) uses the W4A8 BLOCK
+    kernel: per-ROW int8 activation scales, int8 MXU K-split dots,
+    whole-batch-first batch blocks so the packed weights stream exactly
+    once per call, and a scalar-prefetch STACKED twin so scan-stacked
+    weights never pay a per-layer slice copy (the bf16-dequant block
+    kernel remains via VLT_INT4_A8_BLOCK=0); pure-XLA twins of both
+    serve as the CPU fallback and the escape hatch for shapes the
+    Pallas grid doesn't admit (F not 128-aligned).
 
 Replaces the fp16 weight streaming of the reference's decode hot loop
 (video_chatgpt/inference.py:105-112); packing/unpacking has no
