@@ -559,3 +559,20 @@ def test_int4_matmul_pallas_odd_batch():
         int4_matmul_pallas(x, packed, scales, interpret=True, a8=False)
     )
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=0.05 * rms)
+
+
+def test_pick_batch_block_prefers_whole_batch():
+    """Whole-batch-first blocking (the 8-slot serving-collapse fix):
+    a 72-row spec-verify batch must take ONE batch block (weights
+    stream once), not bb=8 (the F grid would sweep 9x and re-stream
+    the packed weights 9x per matmul)."""
+    from video_llava_tpu.ops.quant4 import _pick_batch_block
+
+    d = 8192  # 7B gate_up contraction width (2*Dh)
+    assert _pick_batch_block(72, 1 << 20, d) == 72
+    assert _pick_batch_block(36, 1 << 20, d) == 36
+    # prefill-scale batches exceed the VMEM budget -> divisor blocks
+    assert _pick_batch_block(512, 1 << 20, d) == 128
+    assert _pick_batch_block(512, 2 << 20, d) == 256
+    # odd huge batch: no divisor fits -> returns b (caller falls back)
+    assert _pick_batch_block(513, 1 << 20, d) == 513
