@@ -50,20 +50,37 @@ from jax.experimental.pallas import tpu as pltpu
 def pack_int4(q: jax.Array) -> jax.Array:
     """q: (..., D, F) int values in [-8, 7] -> (..., D/2, F) int8.
 
-    Byte [..., i, f] = (q[..., i + D/2, f] << 4) | (q[..., i, f] & 0xF).
+    Byte [..., i, f] = (q[..., i + D/2, f] << 4) | ((q[..., i, f] + 8) & 0xF)
+
+    The LOW nibble is stored OFFSET-BINARY (lo + 8, in [0, 15]) while
+    the high nibble stays two's-complement. With a = byte & 15 the byte
+    VALUE then satisfies byte == 16 * hi + a exactly, which lets the
+    W4A8 matvec recover both nibble contributions from dots on just
+    {byte (the raw ref), a (ONE derived operand)}:
+
+        x_lo . lo = dot(x_lo, a) - 8 * rowsum(x_lo)
+        x_hi . hi = (dot(x_hi, byte) - dot(x_hi, a)) / 16
+
+    Measured motivation (round-5 on-chip probe): a Mosaic dot streaming
+    an INPUT REF is free under the block's DMA, but every dot on a
+    DERIVED (computed) operand pays ~3 us/call of VMEM round-trip — the
+    two's-complement format needed two derived operands (or an i32
+    convert+shift unpack chain of the same cost), the offset format
+    needs one. Unpack is also cheaper everywhere: (p & 15) - 8 beats
+    the shl-28/shr-28 sign-extension pair.
     """
     d = q.shape[-2]
     assert d % 2 == 0, f"contraction dim must be even, got {d}"
     q = q.astype(jnp.int32)
     lo = q[..., : d // 2, :]
     hi = q[..., d // 2 :, :]
-    return ((hi << 4) | (lo & 0xF)).astype(jnp.int8)
+    return ((hi << 4) | ((lo + 8) & 0xF)).astype(jnp.int8)
 
 
 def unpack_int4(packed: jax.Array) -> jax.Array:
-    """(..., D/2, F) int8 -> (..., D, F) int32 (sign-extended nibbles)."""
+    """(..., D/2, F) int8 -> (..., D, F) int32 (signed nibble values)."""
     p = packed.astype(jnp.int32)
-    lo = jax.lax.shift_right_arithmetic(jax.lax.shift_left(p, 28), 28)
+    lo = (p & 15) - 8
     hi = jax.lax.shift_right_arithmetic(p, 4)
     return jnp.concatenate([lo, hi], axis=-2)
 
@@ -125,7 +142,7 @@ def int4_matmul_xla(x: jax.Array, packed: jax.Array, scales: jax.Array):
     XLA fuses shift+convert+scale into each matmul read."""
     dh, f = packed.shape
     p = packed.astype(jnp.int32)
-    lo = jax.lax.shift_right_arithmetic(jax.lax.shift_left(p, 28), 28)
+    lo = (p & 15) - 8
     hi = jax.lax.shift_right_arithmetic(p, 4)
     n_groups = scales.shape[-2]
     s32 = scales.astype(jnp.float32)
@@ -155,9 +172,7 @@ def _w4_matmul_kernel(x_ref, w_ref, s_ref, o_ref, *, groups_half: int):
     cast that row expansion needs). y = sum_g s[g] * (x_g @ q_g)."""
     p = w_ref[:].astype(jnp.int32)  # (Dh, bf)
     dh, bf = p.shape
-    lo = jax.lax.shift_right_arithmetic(
-        jax.lax.shift_left(p, 28), 28
-    ).astype(jnp.bfloat16)
+    lo = ((p & 15) - 8).astype(jnp.bfloat16)
     hi = jax.lax.shift_right_arithmetic(p, 4).astype(jnp.bfloat16)
     x = x_ref[:].astype(jnp.bfloat16)  # (B, 2*Dh)
     s = s_ref[:].astype(jnp.float32)  # (G, bf)
@@ -248,9 +263,7 @@ def _w4a8_block_body(x_ref, w, s_raw, o_ref, xq_ref, sx_ref, *,
         sx_ref[:] = sx
 
     p = w.astype(jnp.int32)  # (Dh, bf)
-    lo = jax.lax.shift_right_arithmetic(
-        jax.lax.shift_left(p, 28), 28
-    ).astype(jnp.int8)
+    lo = ((p & 15) - 8).astype(jnp.int8)
     hi = jax.lax.shift_right_arithmetic(p, 4).astype(jnp.int8)
     xq = xq_ref[:]
     s = s_raw.astype(jnp.float32)  # (G, bf)
@@ -301,9 +314,7 @@ def _w4_matvec_kernel(xc_ref, w_ref, s_ref, o_ref, *, groups_half: int):
     for gi in range(n):
         r0 = gi * g
         p = w_ref[r0 : r0 + g, :].astype(jnp.int32)
-        lo = jax.lax.shift_right_arithmetic(
-            jax.lax.shift_left(p, 28), 28
-        ).astype(jnp.float32)
+        lo = ((p & 15) - 8).astype(jnp.float32)
         hi = jax.lax.shift_right_arithmetic(p, 4).astype(jnp.float32)
         xl = xc_ref[r0 : r0 + g, :].astype(jnp.float32)  # (g, 1)
         xh = xc_ref[dh + r0 : dh + r0 + g, :].astype(jnp.float32)
@@ -319,7 +330,7 @@ def _w4_matvec_kernel(xc_ref, w_ref, s_ref, o_ref, *, groups_half: int):
     o_ref[:] = acc
 
 
-def _w4a8_matvec_kernel(x_ref, w_ref, s_ref, o_ref, *,
+def _w4a8_matvec_kernel(x_ref, w_ref, s_ref, o_ref, *scratch,
                         groups_half: int, ga: int, nb: int):
     """Small-batch decode W4A8 variant: activations are pre-quantized to
     int8 (per contraction group), so the per-group partials run as int8
@@ -360,14 +371,132 @@ def _w4a8_matvec_kernel(x_ref, w_ref, s_ref, o_ref, *,
     ga: number of activation groups (== weight groups, or 2 when the
     weight scale is per-tensor).
     """
-    _w4a8_matvec_body(
-        x_ref, w_ref[:], s_ref[:], o_ref,
+    _MATVEC_BODIES[UNPACK_MODE](
+        x_ref, w_ref[:], s_ref[:], o_ref, *scratch,
         groups_half=groups_half, ga=ga, nb=nb,
+        quant_now=pl.program_id(0) == 0,
     )
 
 
-def _w4a8_matvec_body(x_ref, w, s_raw, o_ref, *,
-                      groups_half: int, ga: int, nb: int):
+def _pad8(n: int) -> int:
+    return -(-n // 8) * 8
+
+
+def _w4a8_matvec_body_axor(x_ref, w, s_raw, o_ref, xq_ref,
+                           sxl_ref, sxh_ref, rsl_ref, *,
+                           groups_half: int, ga: int, nb: int, quant_now):
+    """W4A8 matvec for the OFFSET-BINARY low nibble (round-5 rewrite).
+
+    Measured on chip (RTT-free interleaved probe, round 5): a Mosaic
+    dot STREAMING AN INPUT REF hides entirely under the block's DMA,
+    while each dot on a DERIVED (computed) operand pays ~3 us/call of
+    VMEM round-trip, and the i8->i32 convert+shift unpack chain costs
+    about the same again — the shipping kernels ran 15-30% over their
+    DMA floor. This body exploits pack_int4's offset-binary low nibble
+    (byte == 16 * hi + a with a = byte & 15 in [0, 15], see pack_int4)
+    to touch ONE derived operand, produced by ONE native-i8 AND
+    (Mosaic legalizes i8 and/xor but not i8 shifts/compares/add —
+    probed on chip):
+
+        x_lo . lo = dot(x_lo, a) - 8 * rowsum(x_lo)
+        x_hi . hi = (dot(x_hi, byte) - dot(x_hi, a)) / 16
+
+    dot(x_hi, byte) rides the ref; the two a-dots merge into one
+    row-concatenated dot so `a` streams through the MXU once. The
+    activation spread/quant/rowsums are built ONCE per call into VMEM
+    scratch at the first F grid step (the F sweep reuses them).
+    Integer-exact: identical int32 partials to the convert form.
+    """
+    dh, bf = w.shape
+    d = 2 * dh
+    gh = max(groups_half, 1)  # spread rows per half (ga==2 -> 1+1)
+    ghp = _pad8(gh)  # Mosaic: row broadcasts/selects want 8-multiples
+    g_rows = dh // gh
+    sw = s_raw.astype(jnp.float32)  # (G, bf)
+
+    @pl.when(quant_now)
+    def _build_spreads():
+        """Quantize + spread x ONCE per call (the F sweep reuses the
+        scratch): per-F-block recompute measured as the largest
+        non-hidden VPU term at the gate_up shape (round-5 probe).
+
+        Built FULL-WIDTH (ghp, d): a sublane broadcast of a lane-SLICED
+        (1, dh) row hits a Mosaic "Invalid input layout" whenever
+        dh % 1024 != 0 (down/13B shapes, probed on chip), while the
+        full-row broadcast always legalizes. Spread row g selects group
+        g's columns in BOTH halves ((col % dh) // g_rows == g), so one
+        (ghp, d) int8 scratch holds the lo spread in columns [0, dh)
+        and the hi spread in [dh, d) — the dots read ref slices."""
+        col = jax.lax.broadcasted_iota(jnp.int32, (ghp, d), 1)
+        row_id = jax.lax.broadcasted_iota(jnp.int32, (ghp, d), 0)
+        m = (col % dh) // g_rows == row_id  # rows >= gh: zero rows
+        is_lo = col < dh
+
+        xs, sxls, sxhs, rsls = [], [], [], []
+        for r in range(nb):  # static: nb is a compile-time constant
+            xr = x_ref[r : r + 1, :].astype(jnp.float32)
+            xm = jnp.where(m, jnp.broadcast_to(xr, (ghp, d)), 0.0)
+            ax = jnp.abs(xm)
+            sxl = jnp.maximum(
+                jnp.max(jnp.where(is_lo, ax, 0.0), axis=1, keepdims=True),
+                1e-8,
+            ) / 127.0
+            sxh = jnp.maximum(
+                jnp.max(jnp.where(is_lo, 0.0, ax), axis=1, keepdims=True),
+                1e-8,
+            ) / 127.0
+            sdiv = jnp.where(is_lo, sxl, sxh)  # column-broadcast scales
+            xq = jnp.clip(jnp.round(xm / sdiv), -127, 127)
+            rs = jnp.sum(
+                jnp.where(is_lo, xq, 0.0), axis=1, keepdims=True
+            )
+            xs.append(xq.astype(jnp.int32).astype(jnp.int8))
+            sxls.append(sxl); sxhs.append(sxh); rsls.append(rs)
+        cat = lambda v: v[0] if nb == 1 else jnp.concatenate(v, axis=0)
+        xq_ref[:] = cat(xs)
+        sxl_ref[:] = cat(sxls)
+        sxh_ref[:] = cat(sxhs)
+        rsl_ref[:] = cat(rsls)
+
+    xlo = xq_ref[:, :dh]  # ref-slice reads (128-aligned offsets)
+    xhi = xq_ref[:, dh:]
+    a = w & jnp.int8(15)  # offset low nibble: ONE native-i8 VPU op
+    nr = nb * ghp
+    xcat = jnp.concatenate([xlo, xhi], axis=0)
+    aa = jnp.dot(xcat, a, preferred_element_type=jnp.int32)
+    a1, a4 = aa[:nr], aa[nr:]
+    a3 = jnp.dot(xhi, w, preferred_element_type=jnp.int32)
+    if groups_half and ghp > gh:  # zero-pad the scale halves to ghp rows
+        pad = jnp.zeros((ghp - gh, bf), jnp.float32)
+        sw_lo = jnp.concatenate([sw[:gh], pad], axis=0)
+        sw_hi = jnp.concatenate([sw[gh:], pad], axis=0)
+    else:
+        sw_lo, sw_hi = sw[:gh], sw[gh:]
+    for r in range(nb):
+        rows = slice(r * ghp, (r + 1) * ghp)
+        # exact in f32: |dot| <= 127*127*128 ~ 2.1e6 << 2^24
+        p_lo = a1[rows].astype(jnp.float32) - 8.0 * rsl_ref[rows]
+        p_hi = (
+            a3[rows].astype(jnp.float32) - a4[rows].astype(jnp.float32)
+        ) * 0.0625
+        if groups_half == 0:
+            acc = (
+                jnp.sum(p_lo * sxl_ref[rows], axis=0, keepdims=True)
+                + jnp.sum(p_hi * sxh_ref[rows], axis=0, keepdims=True)
+            ) * sw[0:1]
+        else:
+            acc = jnp.sum(
+                p_lo * sxl_ref[rows] * sw_lo, axis=0, keepdims=True
+            )
+            acc += jnp.sum(
+                p_hi * sxh_ref[rows] * sw_hi, axis=0, keepdims=True
+            )
+        o_ref[r : r + 1] = acc
+
+
+def _w4a8_matvec_body(x_ref, w, s_raw, o_ref, *scratch,
+                      groups_half: int, ga: int, nb: int, quant_now=None):
+    del scratch, quant_now  # convert form recomputes per block
     dh, bf = w.shape
     d = 2 * dh
     # Mosaic only legalizes VECTOR shifts at i32 (an i16 variant of
@@ -382,9 +511,7 @@ def _w4a8_matvec_body(x_ref, w, s_raw, o_ref, *,
     # nibbles = rows [0, Dh), hi nibbles = rows [Dh, 2Dh)), matching
     # both x's and the scale groups' layout.
     p = w.astype(jnp.int32)
-    lo = jax.lax.shift_right_arithmetic(
-        jax.lax.shift_left(p, 28), 28
-    ).astype(jnp.int8)
+    lo = ((p & 15) - 8).astype(jnp.int8)
     hi = jax.lax.shift_right_arithmetic(p, 4).astype(jnp.int8)
     q = jnp.concatenate([lo, hi], axis=0)  # (d, bf) int8
     g_rows = d // ga
@@ -431,16 +558,32 @@ def _w4a8_matvec_body(x_ref, w, s_raw, o_ref, *,
         o_ref[r : r + 1] = acc
 
 
-def _w4a8_matvec_stacked_kernel(li_ref, x_ref, w_ref, s_ref, o_ref, *,
+def _w4a8_matvec_stacked_kernel(li_ref, x_ref, w_ref, s_ref, o_ref,
+                                *scratch,
                                 groups_half: int, ga: int, nb: int):
     """Stacked-layer wrapper of _w4a8_matvec_kernel: w_ref/s_ref blocks
     carry a leading singleton layer dim selected by the scalar-prefetch
     layer index (see int4_matmul_stacked)."""
     del li_ref
-    _w4a8_matvec_body(
-        x_ref, w_ref[0], s_ref[0], o_ref,
+    _MATVEC_BODIES[UNPACK_MODE](
+        x_ref, w_ref[0], s_ref[0], o_ref, *scratch,
         groups_half=groups_half, ga=ga, nb=nb,
+        quant_now=pl.program_id(0) == 0,
     )
+
+
+def _matvec_scratch_shapes(nb: int, dh: int, groups_half: int):
+    """VMEM scratch for the axor matvec body (spread/scale/rowsum
+    stash, built once per call at the first F grid step). The convert
+    body takes and ignores the same refs — allocation is a few hundred
+    KB against a 128 MB VMEM."""
+    ghp = _pad8(max(groups_half, 1))
+    return [
+        pltpu.VMEM((nb * ghp, 2 * dh), jnp.int8),  # lo|hi spread
+        pltpu.VMEM((nb * ghp, 1), jnp.float32),    # sx lo
+        pltpu.VMEM((nb * ghp, 1), jnp.float32),    # sx hi
+        pltpu.VMEM((nb * ghp, 1), jnp.float32),    # rowsum lo
+    ]
 
 
 def quantize_activation_int8(x: jax.Array, n_groups: int):
@@ -466,7 +609,7 @@ def int4_matmul_w4a8_xla(x: jax.Array, packed: jax.Array, scales: jax.Array):
         x.reshape(1, -1), n_groups if n_groups > 1 else 2
     )
     p = packed.astype(jnp.int32)
-    lo = jax.lax.shift_right_arithmetic(jax.lax.shift_left(p, 28), 28)
+    lo = (p & 15) - 8
     hi = jax.lax.shift_right_arithmetic(p, 4)
     q = jnp.concatenate([lo, hi], axis=0).astype(jnp.float32)  # (D, F)
     if n_groups > 1:
@@ -496,7 +639,7 @@ def int4_matmul_w4a8_block_xla(
     ) / 127.0
     xq = jnp.clip(jnp.round(xb / sx), -127, 127)
     p = packed.astype(jnp.int32)
-    lo = jax.lax.shift_right_arithmetic(jax.lax.shift_left(p, 28), 28)
+    lo = (p & 15) - 8
     hi = jax.lax.shift_right_arithmetic(p, 4)
     q = jnp.concatenate([lo, hi], axis=0).astype(jnp.float32)  # (D, F)
     n_groups = scales.shape[-2]
@@ -580,6 +723,7 @@ def int4_matmul_pallas(
             ],
             out_specs=pl.BlockSpec((b, bf), lambda j: (0, j)),
             out_shape=jax.ShapeDtypeStruct((b, f), jnp.float32),
+            scratch_shapes=_matvec_scratch_shapes(b, dh, groups_half),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),
             ),
@@ -675,6 +819,17 @@ A8_MAX_BATCH = int(_os.environ.get("VLT_INT4_A8_MAX_B", "8"))
 # stream, so int4's unpack compute stops paying; prefer int8 weights
 # for throughput-oriented batched serving, int4 for latency.
 _A8_BLOCK = _os.environ.get("VLT_INT4_A8_BLOCK", "1") == "1"
+# Nibble-unpack formulation for the W4A8 decode matvec kernels:
+#   axor    — 2-op native-i8 unpack ((p & 15) ^ 8) + dot-folded affine
+#             corrections (round-5 default; see _w4a8_matvec_body_axor)
+#   convert — i8->i32 widen + shifts + narrow (the round-2..4 form)
+# Both are integer-exact and produce identical results; the knob exists
+# for A/B measurement (scripts/profile_int4_block --decode).
+UNPACK_MODE = _os.environ.get("VLT_INT4_UNPACK", "axor")
+_MATVEC_BODIES = {
+    "axor": _w4a8_matvec_body_axor,
+    "convert": _w4a8_matvec_body,
+}
 # Max batch rows the STACKED W4A8 block kernel takes (2D grid: batch
 # blocks x F blocks): covers speculative-verify forwards of every
 # serving slot count (8 slots x (k+1)=4 drafts = 32 rows) AND full
@@ -747,6 +902,7 @@ def _int4_matvec_stacked_pallas(
             ],
             out_specs=pl.BlockSpec((nb, bf), lambda j, li_ref: (0, j),
                                    memory_space=pltpu.VMEM),
+            scratch_shapes=_matvec_scratch_shapes(nb, dh, groups_half),
         ),
         out_shape=jax.ShapeDtypeStruct((nb, f), jnp.float32),
         compiler_params=pltpu.CompilerParams(
