@@ -38,6 +38,36 @@ def test_pack_unpack_stacked_layers():
     np.testing.assert_array_equal(back, q)
 
 
+def test_pack_offset_low_nibble_identity():
+    """The W4A8 ref-dot matvec relies on byte == 16 * hi + (byte & 15)
+    holding for pack_int4's offset-binary low nibble (see pack_int4's
+    docstring): verify it over the full nibble product space."""
+    lo, hi = np.meshgrid(np.arange(-8, 8), np.arange(-8, 8))
+    q = np.stack([lo.ravel(), hi.ravel()]).astype(np.int32)  # (2, 256)
+    byte = np.asarray(pack_int4(jnp.asarray(q))).astype(np.int32)[0]
+    a = byte & 15
+    np.testing.assert_array_equal(byte, 16 * hi.ravel() + a)
+    np.testing.assert_array_equal(a - 8, lo.ravel())
+
+
+def test_w4a8_matvec_interpret_odd_groups_half():
+    """groups_half not a multiple of 8 exercises the axor body's ghp
+    row padding (down/13B shapes hit Mosaic layout limits before this
+    guard; parity must survive the padded spread rows)."""
+    from video_llava_tpu.ops.quant4 import int4_matmul_w4a8_xla
+
+    rng = np.random.default_rng(5)
+    d, f = 48 * 2, 256  # group_size 8 -> n_groups 12, groups_half 6
+    w = jnp.asarray(rng.normal(size=(d, f)).astype(np.float32))
+    packed, scales = quantize_tensor_int4(w, group_size=8)
+    x = jnp.asarray(rng.normal(size=(1, d)).astype(np.float32))
+    want = np.asarray(int4_matmul_w4a8_xla(x, packed, scales))
+    got = np.asarray(
+        int4_matmul_pallas(x, packed, scales, interpret=True, a8=True)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
 def test_quantize_tensor_int4_group_error_bound():
     rng = np.random.default_rng(2)
     w = rng.normal(size=(256, 64)).astype(np.float32)

@@ -1,10 +1,17 @@
 """On-chip A/B profiler for the int4 MXU block matmul (prefill / b>8 path).
 
 Times `int4_matmul_pallas` on the 7B gate_up shape (D=4096 -> F=22016,
-g=128) with the repo's chained-iteration methodology (CLAUDE.md): K
-data-dependent calls inside ONE jit, so per-call time is burst/K and
-reproduces to ~0.1 ms where single-call `measure` swings +-1.5 ms over
-the tunnel.
+g=128) with the RTT-FREE chained methodology: K data-dependent calls
+inside ONE jit through a traced-trip-count fori_loop, timed at TWO
+trip counts, and differenced —
+
+    t_call = (T(K2) - T(K1)) / (K2 - K1)
+
+The original burst/K form folded the ~26 ms tunnel RTT of the result
+fetch into every estimate as +RTT/K (~+0.87 ms at K=30) — discovered
+in round 5 when a DMA-floor probe returned the same "0.87 ms" for
+kernels of every size. Differences of same-K measurements were still
+valid; ABSOLUTE numbers recorded before round 5 carry that bias.
 
 This is the permanent form of the scratch profiler that round 4 left
 half-finished at the repo root (prof_blk2_tmp.py, removed in round 5):
@@ -23,30 +30,33 @@ import time
 
 import numpy as np
 
+K1, K2 = 16, 272
 
-def chain_time(fn, w, s, b, d, rng, K=30, reps=3):
+
+def chain_time(fn, w, s, b, d, rng, reps=8):
     import jax
     import jax.numpy as jnp
 
     x0 = jnp.asarray(rng.standard_normal((b, d)), jnp.float32)
 
-    def chained(x):
+    def chained(x, k):
         def body(i, c):
             out = fn(c, w, s)
             return x0 + (out[0, 0] * 0).astype(x0.dtype)
 
-        return fn(jax.lax.fori_loop(0, K - 1, body, x0), w, s)
+        return fn(jax.lax.fori_loop(0, k, body, x0), w, s)
 
     f = jax.jit(chained)
-    r = f(x0)
-    np.asarray(r[0, 0])  # warm-up + sync (block_until_ready is a no-op)
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        r = f(x0)
-        np.asarray(r[0, 0])
-        best = min(best, (time.perf_counter() - t0) / K)
-    return best
+    for k in (K1, K2):
+        np.asarray(f(x0, k)[0, 0])  # compile + warm both trip counts
+
+    best = {K1: float("inf"), K2: float("inf")}
+    for _ in range(reps):  # interleave trip counts against clock drift
+        for k in (K1, K2):
+            t0 = time.perf_counter()
+            np.asarray(f(x0, k)[0, 0])
+            best[k] = min(best[k], time.perf_counter() - t0)
+    return (best[K2] - best[K1]) / (K2 - K1)
 
 
 def main():
@@ -79,9 +89,17 @@ def main():
         ),
         "xla-twin": q4.int4_matmul_xla,
     }
+    a8_impls = {  # decode path (b <= A8_MAX_BATCH): W4A8 matvec kernel
+        "a8-matvec": lambda x, w, s: q4.int4_matmul_pallas(
+            x, w, s, a8=True
+        ),
+    }
     for b in (int(x) for x in args.b.split(",")):
         line = f"b={b:4d}:"
-        for name, fn in impls.items():
+        picks = dict(impls)
+        if b <= q4.A8_MAX_BATCH:
+            picks.update(a8_impls)
+        for name, fn in picks.items():
             t = chain_time(fn, w, s, b, D, rng)
             line += f"  {name} {t * 1e3:7.3f} ms"
         print(line, flush=True)
