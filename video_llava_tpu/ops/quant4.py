@@ -726,6 +726,11 @@ def int4_matmul_pallas(
             scratch_shapes=_matvec_scratch_shapes(b, dh, groups_half),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),
+                # the batched (nb > 1) spread build holds nb (ghp, d)
+                # f32 temporaries; the default 16 MB scoped-vmem budget
+                # OOMs at 13B/batch-4 (25.6 MB demanded) — the chip has
+                # 128 MB, leave room for double-buffered weight blocks
+                vmem_limit_bytes=96 * 1024 * 1024,
             ),
             interpret=interpret,
         )(x.astype(jnp.float32), packed, scales)
@@ -907,6 +912,9 @@ def _int4_matvec_stacked_pallas(
         out_shape=jax.ShapeDtypeStruct((nb, f), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            # see int4_matmul_pallas: batched spread build vs the 16 MB
+            # default scoped-vmem budget
+            vmem_limit_bytes=96 * 1024 * 1024,
         ),
         interpret=interpret,
     )(li, x.astype(jnp.float32), packed, scales)
