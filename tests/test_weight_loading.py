@@ -112,3 +112,34 @@ def test_initialize_model_with_checkpoints(hf_llama_dir, tmp_path):
     engine = initialize_model(model_size="tiny")
     assert engine.cfg.video_token_len == 116  # 16 patches + 100
     assert engine.tokenizer.vid_patch_token_id == 259
+
+
+def test_initialize_model_llm_quant_direct():
+    """llm_quant materializes the LLM directly in the quantized (and
+    fused) serving layout — no bf16 intermediate (quantize-after-init
+    measured 23.3 G HBM demand at 7B on the chip, round 5)."""
+    import jax
+    import numpy as np
+    from video_llava_tpu.runtime.model_init import initialize_model
+
+    eng = initialize_model(model_size="tiny", llm_quant="int4",
+                           llm_fuse=True)
+    layers = eng.params["llm"]["layers"]
+    assert "wqkv" in layers and "gate_up" in layers  # fused layout
+    k = layers["wqkv"]["kernel"]  # 128-divisible: int4-packed
+    assert "qvalues_packed" in k and k["qvalues_packed"].dtype == np.int8
+    # tiny's 688-wide ffn falls back to int8 (F % 128) — still quantized
+    assert "qvalues" in layers["gate_up"]["kernel"]
+    # the quantized engine must still answer (feature splice + decode)
+    frames = np.zeros((4, 56, 56, 3), np.uint8)
+    out = eng.infer(frames, "What is this?", conv_mode="vicuna_v1_1")
+    assert isinstance(out, str)
+
+
+def test_initialize_model_llm_quant_int8_unfused():
+    from video_llava_tpu.runtime.model_init import initialize_model
+
+    eng = initialize_model(model_size="tiny", llm_quant="int8")
+    layers = eng.params["llm"]["layers"]
+    assert "wq" in layers  # unfused
+    assert "qvalues" in layers["wq"]["kernel"]

@@ -70,21 +70,20 @@ def main(argv=None):
         print(f"--quant auto -> {quant or 'bf16'} (preflight record)",
               flush=True)
 
+    # Quantization happens INSIDE initialize_model (direct quantized
+    # init for random weights, host-side quantize for checkpoints) —
+    # a quantize-after-init jit on a materialized bf16 7B demanded
+    # 23.3 G of the chip's 15.75 G HBM. Single-chip serving also takes
+    # the fused wqkv/gate_up decode layout (the bench's fast path).
+    single_chip = not (args.mesh_model and args.mesh_model > 1)
     engine = initialize_model(
         model_name=args.model_name,
         model_size=args.model_size,
         mesh_model=args.mesh_model,
+        llm_quant=quant,
+        llm_fuse=bool(quant) and single_chip,
     )
     params = engine.params
-    if quant:
-        import jax
-
-        if quant == "int8":
-            from video_llava_tpu.ops.quant import quantize_params as q
-        else:
-            from video_llava_tpu.ops.quant4 import quantize_params_int4 as q
-        params = dict(params)
-        params["llm"] = jax.jit(q, donate_argnums=0)(params["llm"])
 
     model = ChatModel(
         params=params,

@@ -5,21 +5,32 @@ reference assumes (quantitative_evaluation/README.md:5-16,
 grounding_evaluation/eval_grounding.py annotate()): the judge scripts
 and entity matching talk to this server through eval/openai_client.
 
+Also serves VIDEO chat (the reference exposes this only through its
+gradio demo, video_chatgpt/demo/): a user message whose `content` is
+an OpenAI vision-style part list with a `video_url` part runs the full
+product pipeline — native decode, CLIP encode + pooling + projection,
+feature splice — and answers about the clip. `video_url` accepts
+`data:video/...;base64,` bodies and local `file://`/plain paths (this
+is a local serving tool, like the gradio demo it replaces).
+
 Single-model, request-serialized (device programs are already the
 bottleneck); batching across requests is a later optimization.
 """
 
 from __future__ import annotations
 
+import base64
 import dataclasses
 import json
 import math
+import os
+import tempfile
 import threading
 import time
 from contextlib import nullcontext as _nullcontext
 import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import List, Optional
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -30,6 +41,58 @@ from video_llava_tpu.config import GenerationConfig, VideoLLaVAConfig
 from video_llava_tpu.engine.generate import generate_with_keywords
 from video_llava_tpu.runtime.conversation import conv_templates
 from video_llava_tpu.runtime.tokenizer import Tokenizer
+
+
+def _split_content(content) -> Tuple[str, List[str]]:
+    """OpenAI message content -> (text, video url list).
+
+    Accepts the plain-string form and the vision-style part list
+    ({"type": "text"} / {"type": "video_url"}). Unknown part types
+    raise — better a 500 with a clear message than silently ignoring
+    media the caller paid to upload."""
+    if isinstance(content, str):
+        return content, []
+    texts, media = [], []
+    for part in content:
+        ptype = part.get("type")
+        if ptype == "text":
+            texts.append(part.get("text", ""))
+        elif ptype == "video_url":
+            url = part.get("video_url")
+            if isinstance(url, dict):
+                url = url.get("url")
+            if not url:
+                raise ValueError("video_url part missing url")
+            media.append(url)
+        else:
+            raise ValueError(f"unsupported content part type: {ptype!r}")
+    return "\n".join(t for t in texts if t), media
+
+
+def _load_video_frames(url: str, image_size: int) -> np.ndarray:
+    """Resolve a video_url to sampled frames (t, h, w, 3) uint8 via the
+    native decoder + the reference's uniform sampling (media.loader)."""
+    from video_llava_tpu.media.loader import load_video
+
+    if url.startswith("data:"):
+        header, _, body = url.partition(",")
+        if ";base64" not in header:
+            raise ValueError("data: video_url must be base64-encoded")
+        suffix = ".mp4"
+        if "/" in header:
+            fmt = header.split("/", 1)[1].split(";", 1)[0]
+            if fmt.isalnum():
+                suffix = "." + fmt
+        fd, path = tempfile.mkstemp(suffix=suffix)
+        try:
+            with os.fdopen(fd, "wb") as f:
+                f.write(base64.b64decode(body))
+            return load_video(path, shape=(image_size, image_size))
+        finally:
+            os.unlink(path)
+    if url.startswith("file://"):
+        url = url[len("file://") :]
+    return load_video(url, shape=(image_size, image_size))
 
 
 @dataclasses.dataclass
@@ -55,18 +118,65 @@ class ChatModel:
     mesh: object = None
 
     def build_prompt(self, messages: List[dict]):
-        """messages -> (prompt token ids, conversation stop string)."""
+        """messages -> (prompt token ids, stop string, video urls).
+
+        A user message may carry OpenAI vision-style content parts; the
+        first (only) video_url message gets the reference's
+        <vid_start><vid_patch>*N<vid_end> block appended to its text
+        (runtime.inference.build_video_question), so the generate path
+        splices the encoded features exactly where the product CLI
+        does. One video per conversation (the reference's session model,
+        chat.py upload_video)."""
+        from video_llava_tpu.runtime.inference import build_video_question
+
         conv = conv_templates[self.conv_mode].copy()
-        system = [m["content"] for m in messages if m["role"] == "system"]
-        if system:
-            conv.system = system[0]
+        media: List[str] = []
+        for m in messages:
+            if m["role"] == "system":
+                text, extra = _split_content(m["content"])
+                if extra:
+                    raise ValueError("system messages cannot carry video")
+                conv.system = text
         for m in messages:
             if m["role"] == "user":
-                conv.append_message(conv.roles[0], m["content"])
+                text, urls = _split_content(m["content"])
+                if urls:
+                    if media or len(urls) > 1:
+                        raise ValueError(
+                            "at most one video per conversation"
+                        )
+                    media.extend(urls)
+                    text = build_video_question(
+                        text,
+                        self.cfg.video_token_len,
+                        self.cfg.use_vid_start_end,
+                    )
+                conv.append_message(conv.roles[0], text)
             elif m["role"] == "assistant":
-                conv.append_message(conv.roles[1], m["content"])
+                text, urls = _split_content(m["content"])
+                if urls:
+                    raise ValueError("assistant messages cannot carry video")
+                conv.append_message(conv.roles[1], text)
         conv.append_message(conv.roles[1], None)
-        return self.tokenizer.encode(conv.get_prompt()), conv.stop_string()
+        return (
+            self.tokenizer.encode(conv.get_prompt()),
+            conv.stop_string(),
+            media,
+        )
+
+    def encode_video_url(self, url: str) -> jax.Array:
+        """video_url -> (1, video_token_len, c) spliceable features via
+        the same jitted decode->CLIP->pool->project program as the
+        product CLI (runtime.inference._encode_video_jit)."""
+        from video_llava_tpu.runtime.inference import _encode_video_jit
+
+        frames = _load_video_frames(url, self.cfg.vision.image_size)
+        return _encode_video_jit(
+            self.params,
+            jnp.asarray(frames),
+            self.cfg,
+            jnp.int32(frames.shape[0]),
+        )[None]
 
     def chat(
         self,
@@ -76,7 +186,8 @@ class ChatModel:
         seed: Optional[int] = None,
         on_delta=None,
     ) -> str:
-        ids, stop_str = self.build_prompt(messages)
+        ids, stop_str, media = self.build_prompt(messages)
+        feats = self.encode_video_url(media[0]) if media else None
         tok = self.tokenizer
         s_real = len(ids)
         pad = -s_real % self.seq_pad_multiple
@@ -95,7 +206,7 @@ class ChatModel:
             from video_llava_tpu.engine.speculative import generate_pld_text
 
             return generate_pld_text(
-                self.params, self.cfg, gen, input_ids, s_real, None,
+                self.params, self.cfg, gen, input_ids, s_real, feats,
                 jax.random.PRNGKey(seed if seed is not None else 0),
                 tok, stop_str, cache_dtype=self.cache_dtype,
             )
@@ -112,7 +223,7 @@ class ChatModel:
             gen,
             jnp.asarray(input_ids),
             jnp.asarray([s_real], jnp.int32),
-            None,
+            feats,
             jax.random.PRNGKey(seed if seed is not None else 0),
             decode_fn=lambda t: tok.decode(t, skip_special_tokens=True),
             keywords=keywords,
@@ -160,6 +271,7 @@ class ContinuousChatModel:
         block_size = math.gcd(block_size, model.seq_pad_multiple)
         if num_blocks is not None:
             num_blocks *= requested_bs // block_size
+        self._mm_lock = threading.Lock()
         self.engine = ContinuousEngine(
             model.params,
             model.cfg,
@@ -191,7 +303,19 @@ class ContinuousChatModel:
         from video_llava_tpu.engine.continuous import SlotRequest
 
         tok = self.model.tokenizer
-        ids, stop_str = self.model.build_prompt(messages)
+        ids, stop_str, media = self.model.build_prompt(messages)
+        if media:
+            # Video requests take the single-shot feature-splice path
+            # (the slot engine prefills token ids; spliced prompt
+            # EMBEDDINGS don't ride its chunked prefill). The device
+            # serializes programs, so this interleaves safely with the
+            # engine thread; the lock only keeps concurrent video
+            # requests from stacking host-side decodes.
+            with self._mm_lock:
+                return self.model.chat(
+                    messages, temperature=temperature,
+                    max_tokens=max_tokens, seed=seed, on_delta=on_delta,
+                )
         keyword = stop_str if stop_str and stop_str != "</s>" else None
 
         state = {"handle": None, "sent": 0}
@@ -479,6 +603,17 @@ class BatchingChatModel:
         self._worker.join(timeout=10)
 
     def chat(self, messages, temperature=0.2, max_tokens=512, seed=None):
+        if any(
+            _split_content(m.get("content", ""))[1] for m in messages
+        ):
+            # Video requests run single-shot on the worker thread
+            # (feature splice doesn't ride the batched token path).
+            return self.run_exclusive(
+                lambda: self.model.chat(
+                    messages, temperature=temperature,
+                    max_tokens=max_tokens, seed=seed,
+                )
+            )
         done = threading.Event()
         slot = {}
         self._queue.put((messages, temperature, min(max_tokens,
@@ -550,15 +685,19 @@ class BatchingChatModel:
                 prompts = []
                 for messages, temperature, max_tokens, seed, _, _ in batch:
                     conv = conv_templates[m.conv_mode].copy()
-                    system = [x["content"] for x in messages
-                              if x["role"] == "system"]
+                    system = [_split_content(x["content"])[0]
+                              for x in messages if x["role"] == "system"]
                     if system:
                         conv.system = system[0]
                     for x in messages:
+                        # video requests never reach this worker path
+                        # (routed through run_exclusive in chat());
+                        # part-list TEXT content still flattens here
+                        text = _split_content(x["content"])[0]
                         if x["role"] == "user":
-                            conv.append_message(conv.roles[0], x["content"])
+                            conv.append_message(conv.roles[0], text)
                         elif x["role"] == "assistant":
-                            conv.append_message(conv.roles[1], x["content"])
+                            conv.append_message(conv.roles[1], text)
                     conv.append_message(conv.roles[1], None)
                     prompts.append(conv.get_prompt())
 
