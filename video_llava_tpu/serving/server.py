@@ -304,18 +304,15 @@ class ContinuousChatModel:
 
         tok = self.model.tokenizer
         ids, stop_str, media = self.model.build_prompt(messages)
+        feats = None
         if media:
-            # Video requests take the single-shot feature-splice path
-            # (the slot engine prefills token ids; spliced prompt
-            # EMBEDDINGS don't ride its chunked prefill). The device
-            # serializes programs, so this interleaves safely with the
-            # engine thread; the lock only keeps concurrent video
-            # requests from stacking host-side decodes.
+            # Video rides the slot engine natively: encode under the
+            # lock (one host-side media decode at a time), then submit
+            # with video_features — the engine whole-window-prefills
+            # spliced requests and they share continuous batching with
+            # text traffic (engine/continuous.py _prefill_slot).
             with self._mm_lock:
-                return self.model.chat(
-                    messages, temperature=temperature,
-                    max_tokens=max_tokens, seed=seed, on_delta=on_delta,
-                )
+                feats = np.asarray(self.model.encode_video_url(media[0])[0])
         keyword = stop_str if stop_str and stop_str != "</s>" else None
 
         state = {"handle": None, "sent": 0}
@@ -354,6 +351,7 @@ class ContinuousChatModel:
                 max_new_tokens=max_tokens,
                 temperature=temperature if temperature > 0 else 0.0,
                 eos_token_id=tok.eos_token_id,
+                video_features=feats,
                 on_token=on_token,
                 seed=seed,
             )
