@@ -416,14 +416,25 @@ def main(argv=None):
                    "early while the next videos load/encode")
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--num_slots", type=int, default=8)
+    p.add_argument("--quant", default=None,
+                   choices=["int8", "int4", "auto"],
+                   help="weights-only LLM quantization; preflight-"
+                   "gated against real checkpoints like serving")
     args = p.parse_args(argv)
 
+    from video_llava_tpu.engine.quant_select import resolve_quant
+
+    quant = resolve_quant(args.quant, args.model_name)
     engine = initialize_model(
         args.model_name,
         args.projection_path,
         args.clip_path,
         model_size=args.model_size,
         mesh_model=args.mesh_model,
+        llm_quant=quant,
+        # fused decode names are outside the TP sharding rules
+        llm_fuse=bool(quant) and not (args.mesh_model
+                                      and args.mesh_model > 1),
     )
 
     transcriber = None

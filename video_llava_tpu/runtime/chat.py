@@ -326,11 +326,22 @@ def main(argv=None):
     p.add_argument("--conv_mode", default="pg-video-llava")
     p.add_argument("--temperature", type=float, default=0.2)
     p.add_argument("--max_output_tokens", type=int, default=1024)
+    p.add_argument("--quant", default=None,
+                   choices=["int8", "int4", "auto"],
+                   help="weights-only LLM quantization (int4 decodes "
+                   "~3x faster than bf16 on one chip); 'auto' / 'int4' "
+                   "against real weights are gated by the checkpoint's "
+                   "quant_preflight.json like serving --quant")
     args = p.parse_args(argv)
 
+    from video_llava_tpu.engine.quant_select import resolve_quant
+
+    quant = resolve_quant(args.quant, args.model_name)
     engine = initialize_model(
         args.model_name, args.projection_path, args.clip_path,
         model_size=args.model_size,
+        llm_quant=quant,
+        llm_fuse=bool(quant),
     )
     transcriber = None
     if args.use_asr:
