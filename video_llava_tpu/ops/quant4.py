@@ -757,10 +757,16 @@ def int4_matmul_pallas(
     # (Mosaic tiling rule — bb in (4, 2, 1) lowers only when b == bb,
     # e.g. a 9-row speculative-verify forward must take bb = 9).
     if a8_block:
-        bb = _pick_batch_block(b, 1 << 20, d)
-        if bb == b and b * d > 1 << 20:
+        # Whole-batch budget 10M elems: the old 1M cap split a 512-row
+        # prefill into bb=256 blocks, sweeping the F grid TWICE and
+        # re-streaming the packed weights 2x — measured 0.379 vs
+        # 0.295 ms on the b=512 gate_up call (round-5 probe). The f32
+        # x block (40 MB at 13B-down/512) + scratch + unpack temps fit
+        # the raised 100 MB scoped-vmem budget.
+        bb = _pick_batch_block(b, 10 << 20, d)
+        if bb == b and b * d > 10 << 20:
             return int4_matmul_w4a8_block_xla(x, packed, scales)
-        bf = _pick_block(f, (512, 256, 128), max_elems=1 << 20, other_dim=dh)
+        bf = _pick_block(f, (512, 256, 128), max_elems=3 << 20, other_dim=dh)
         return pl.pallas_call(
             functools.partial(_w4a8_block_kernel, groups_half=groups_half),
             grid=(b // bb, f // bf),
@@ -777,6 +783,7 @@ def int4_matmul_pallas(
             ],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary", "arbitrary"),
+                vmem_limit_bytes=100 * 1024 * 1024,
             ),
             interpret=interpret,
         )(x.astype(jnp.float32), packed, scales)
@@ -946,8 +953,10 @@ def _int4_block_stacked_pallas(
     nb, d = x.shape
     assert d == 2 * dh, (d, dh)
     groups_half = n_groups // 2 if n_groups > 1 else 0
-    bb = _pick_batch_block(nb, 1 << 20, d)
-    bf = _pick_block(f, (512, 256, 128), max_elems=1 << 20, other_dim=dh)
+    # whole-batch-first budgets: see int4_matmul_pallas's a8_block
+    # branch (the 1M cap made 512-row prefills re-stream weights 2x)
+    bb = _pick_batch_block(nb, 10 << 20, d)
+    bf = _pick_block(f, (512, 256, 128), max_elems=3 << 20, other_dim=dh)
     li = layer.reshape(1).astype(jnp.int32)
     return pl.pallas_call(
         functools.partial(_w4a8_block_stacked_kernel,
@@ -975,6 +984,7 @@ def _int4_block_stacked_pallas(
         out_shape=jax.ShapeDtypeStruct((nb, f), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(li, x.astype(jnp.float32), packed, scales)
@@ -1006,7 +1016,7 @@ def int4_matmul_stacked(
             and nb <= A8_BLOCK_STACKED_MAX_B
             # odd batches (not a multiple of 8) must fit one VMEM block
             # (Mosaic batch-tiling rule — see int4_matmul_pallas)
-            and not (nb % 8 and nb * d > 1 << 20)
+            and not (nb % 8 and nb * d > 10 << 20)
         ):
             y = _int4_block_stacked_pallas(xb, packed, scales, layer)
             return y.reshape(lead + (f,))
